@@ -1,0 +1,320 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.QueryDefs._
+
+/** Reference-parity single-table operators (SURVEY.md §2.2–§2.4, §2.6–§2.8):
+  * summary/stats/range sketches, histograms (1-D/CDF/2-D/trellis), heavy
+  * hitters, distinct, quantiles, NextK paging, filters, projections/
+  * conversions/derived/json columns, set ops, sampling.
+  */
+object CoreQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- SummarySketch: row count + presence -------------------------------
+    Q("summary_count",
+      "SELECT COUNT(*) AS row_count, COUNT(l_extendedprice) AS present_count FROM lineitem") {
+      (s, d) => Stats.summary(t(s, d, "lineitem"), "l_extendedprice")
+    },
+
+    // ---- DoubleDataRangeSketch ---------------------------------------------
+    Q("data_range",
+      """SELECT MIN(l_extendedprice) AS min_val, MAX(l_extendedprice) AS max_val,
+        |COUNT(l_extendedprice) AS present_count,
+        |COUNT(*) - COUNT(l_extendedprice) AS missing_count FROM lineitem""".stripMargin) {
+      (s, d) => Stats.dataRange(t(s, d, "lineitem"), "l_extendedprice")
+    },
+
+    // ---- BasicColStatSketch (exact-moment mean/stddev) ---------------------
+    Q("basic_stats",
+      s"""SELECT cnt, missing_count, min_val, max_val, s1/cnt AS avg_val,
+         |sqrt((s2 - s1*s1/cnt)/(cnt-1)) AS stddev_val FROM (
+         |  SELECT COUNT(l_extendedprice) AS cnt,
+         |         COUNT(*) - COUNT(l_extendedprice) AS missing_count,
+         |         MIN(l_extendedprice) AS min_val, MAX(l_extendedprice) AS max_val,
+         |         ${sqlDsum("l_extendedprice")} AS s1,
+         |         ${sqlDsum("l_extendedprice*l_extendedprice")} AS s2
+         |  FROM lineitem)""".stripMargin) {
+      (s, d) => Stats.basicStats(t(s, d, "lineitem"), "l_extendedprice")
+    },
+
+    // ---- HistogramSketch 1-D ----------------------------------------------
+    Q("histogram_1d",
+      """SELECT LEAST(CAST(FLOOR((l_extendedprice - CAST(900 AS DOUBLE))/CAST(2602.5 AS DOUBLE)) AS INTEGER), 39) AS bucket,
+        |COUNT(*) AS cnt FROM lineitem
+        |WHERE l_extendedprice BETWEEN 900 AND 105000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) => Histograms.histogram1d(t(s, d, "lineitem"), "l_extendedprice", 900.0, 105000.0, 40)
+    },
+
+    // ---- CDF (same sketch, prefix-summed) ----------------------------------
+    Q("histogram_cdf",
+      """SELECT bucket, cnt,
+        |CAST(SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+        |FROM (
+        |  SELECT LEAST(CAST(FLOOR((l_extendedprice - CAST(900 AS DOUBLE))/CAST(2602.5 AS DOUBLE)) AS INTEGER), 39) AS bucket,
+        |         COUNT(*) AS cnt FROM lineitem
+        |  WHERE l_extendedprice BETWEEN 900 AND 105000 GROUP BY 1)
+        |ORDER BY bucket""".stripMargin) {
+      (s, d) => Histograms.cdf(t(s, d, "lineitem"), "l_extendedprice", 900.0, 105000.0, 40)
+    },
+
+    // ---- String histogram --------------------------------------------------
+    Q("histogram_string",
+      """SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY 1 ASC NULLS FIRST LIMIT 1000""".stripMargin) {
+      (s, d) => Histograms.histogramString(t(s, d, "lineitem"), "l_returnflag")
+    },
+
+    // ---- HeatmapSketch (2-D histogram) ------------------------------------
+    Q("heatmap_2d",
+      """SELECT LEAST(CAST(FLOOR((l_quantity - CAST(0 AS DOUBLE))/CAST(5.0 AS DOUBLE)) AS INTEGER), 9) AS bx,
+        |LEAST(CAST(FLOOR((l_discount - CAST(0 AS DOUBLE))/CAST(0.01 AS DOUBLE)) AS INTEGER), 9) AS by,
+        |COUNT(*) AS cnt FROM lineitem
+        |WHERE l_quantity BETWEEN 0 AND 50 AND l_discount BETWEEN 0 AND 0.1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) => Histograms.heatmap(t(s, d, "lineitem"),
+        "l_quantity", 0.0, 50.0, 10, "l_discount", 0.0, 0.1, 10)
+    },
+
+    // ---- Histogram3DSketch (trellis) ---------------------------------------
+    Q("heatmap_trellis",
+      """SELECT l_returnflag AS split_val,
+        |LEAST(CAST(FLOOR((l_quantity - CAST(0 AS DOUBLE))/CAST(5.0 AS DOUBLE)) AS INTEGER), 9) AS bx,
+        |LEAST(CAST(FLOOR((l_discount - CAST(0 AS DOUBLE))/CAST(0.01 AS DOUBLE)) AS INTEGER), 9) AS by,
+        |COUNT(*) AS cnt FROM lineitem
+        |WHERE l_quantity BETWEEN 0 AND 50 AND l_discount BETWEEN 0 AND 0.1
+        |GROUP BY 1, 2, 3 ORDER BY 1 ASC NULLS FIRST, 2, 3""".stripMargin) {
+      (s, d) => Histograms.trellis(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", 0.0, 50.0, 10, "l_discount", 0.0, 0.1, 10)
+    },
+
+    // ---- Heavy hitters: absolute threshold ---------------------------------
+    Q("heavy_hitters",
+      """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+        |HAVING COUNT(*) >= 8
+        |ORDER BY cnt DESC, l_partkey ASC NULLS FIRST LIMIT 100""".stripMargin) {
+      (s, d) => HeavyHitters.exact(t(s, d, "lineitem"), Seq("l_partkey"), 8L, 100)
+    },
+
+    // ---- Heavy hitters: eps*N threshold (total computed in-plan) -----------
+    Q("heavy_hitters_relative",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) * 0.2
+        |ORDER BY cnt DESC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |LIMIT 100""".stripMargin) {
+      (s, d) => HeavyHitters.exactRelative(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), 0.2, 100)
+    },
+
+    // ---- ExactFreqSketch: exact probe over candidates ----------------------
+    Q("heavy_probe",
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+        |WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+        |ORDER BY 1 ASC NULLS FIRST""".stripMargin) {
+      (s, d) => HeavyHitters.exactProbe(t(s, d, "lineitem"), "l_returnflag", Seq("R", "N"))
+    },
+
+    // ---- Distinct count (exact) --------------------------------------------
+    Q("distinct_count",
+      "SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem") {
+      (s, d) => DistinctOps.distinctCount(t(s, d, "lineitem"), "l_partkey")
+    },
+
+    // ---- HLogLogSketch (approx; no oracle — HLL impls differ) --------------
+    Q.noOracle("approx_distinct") {
+      (s, d) => DistinctOps.approxDistinctCount(t(s, d, "lineitem"), "l_partkey")
+    },
+
+    // ---- DistinctStringsSketch ---------------------------------------------
+    Q("distinct_values",
+      """SELECT DISTINCT o_orderpriority AS value FROM orders
+        |ORDER BY 1 ASC NULLS FIRST LIMIT 100""".stripMargin) {
+      (s, d) => DistinctOps.distinctValues(t(s, d, "orders"), "o_orderpriority")
+    },
+
+    // ---- Quantiles (exact interpolated; matches quantile_cont) -------------
+    Q("quantiles",
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.75), 6) AS p75 FROM lineitem""".stripMargin) {
+      (s, d) => Quantiles.exact(t(s, d, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    },
+
+    // ---- Quantiles (Greenwald-Khanna sketch — the 100 TB path) -------------
+    Q.noOracle("quantiles_approx") {
+      (s, d) => Quantiles.approx(t(s, d, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    },
+
+    // ---- NextKSketch: dedup page under RecordOrder -------------------------
+    Q("next_k_page",
+      """SELECT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate, l_orderkey, cnt
+        |FROM (
+        |  SELECT l_shipdate, l_orderkey, COUNT(*) AS cnt FROM lineitem
+        |  WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |     OR (l_shipdate = TIMESTAMP '1998-06-01 00:00:00' AND l_orderkey >= 3000)
+        |  GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 20)
+        |ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val page = NextK.page(t(s, d, "lineitem"),
+          Seq(SortKey("l_shipdate"), SortKey("l_orderkey")),
+          Some(Seq(to_timestamp(lit("1998-06-01 00:00:00")), lit(3000L))), 20)
+        page.select(
+          operators.Det.fmtTs(col("l_shipdate")).as("l_shipdate"),
+          col("l_orderkey"), col("cnt"))
+    },
+
+    // ---- Top-K page (TakeOrderedAndProject) --------------------------------
+    Q("top_k_page",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 20""".stripMargin) {
+      (s, d) => NextK.topK(t(s, d, "lineitem"),
+        Seq(SortKey("l_extendedprice", asc = false), SortKey("l_orderkey"), SortKey("l_linenumber")),
+        20, Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
+    },
+
+    // ---- Filters -----------------------------------------------------------
+    Q("filter_count",
+      "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25") {
+      (s, d) =>
+        val f = Filters.equality(t(s, d, "lineitem"), "l_returnflag", "R")
+          .filter(col("l_quantity") > 25)
+        f.agg(count(lit(1)).as("cnt"))
+    },
+
+    Q("filter_range2d_count",
+      """SELECT COUNT(*) AS cnt FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.02 AND 0.05""".stripMargin) {
+      (s, d) => Filters.range2d(t(s, d, "lineitem"),
+        "l_quantity", 10, 20, "l_discount", 0.02, 0.05).agg(count(lit(1)).as("cnt"))
+    },
+
+    Q("filter_string_count",
+      "SELECT COUNT(*) AS cnt FROM orders WHERE o_orderpriority LIKE '%URGENT%'") {
+      (s, d) => Filters.stringSearch(t(s, d, "orders"), "o_orderpriority", "URGENT")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    Q("filter_regex_count",
+      "SELECT COUNT(*) AS cnt FROM customer WHERE regexp_matches(c_name, '[0-9]{2}$')") {
+      (s, d) => Filters.stringSearch(t(s, d, "customer"), "c_name", "[0-9]{2}$",
+        Filters.Regex).agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- RowComparisonFilter (spreadsheet jump, mixed asc/desc) ------------
+    Q("filter_row_compare",
+      """SELECT COUNT(*) AS cnt FROM lineitem
+        |WHERE l_returnflag > 'N'
+        |   OR (l_returnflag = 'N' AND l_quantity < 30)
+        |   OR (l_returnflag = 'N' AND l_quantity = 30 AND l_orderkey >= 500)""".stripMargin) {
+      (s, d) => Filters.rowComparison(t(s, d, "lineitem"),
+        Seq(SortKey("l_returnflag"), SortKey("l_quantity", asc = false), SortKey("l_orderkey")),
+        Seq(lit("N"), lit(30.0), lit(500L))).agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- ConvertColumnMap + projection -------------------------------------
+    Q("convert_columns",
+      """SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS DOUBLE) AS ln_double,
+        |CAST(l_orderkey AS VARCHAR) AS key_str,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_day LIMIT 500""".stripMargin) {
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
+      // every non-derived output column for a deterministic page.
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast("double").as("ln_double"),
+        col("l_orderkey").cast("string").as("key_str"),
+        operators.Det.fmtDate(col("l_shipdate")).as("ship_day"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_day")).limit(500)
+    },
+
+    // ---- Derived column (Catalyst expr ≙ reference's JS UDF column) --------
+    Q("derived_expr",
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice*(1-l_discount) AS revenue,
+        |l_extendedprice*(1-l_discount)*(1+l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 500""".stripMargin) {
+      (s, d) =>
+        val base = t(s, d, "lineitem")
+        val r1 = Projections.derive(base, "revenue", "l_extendedprice*(1-l_discount)")
+        val r2 = Projections.derive(r1, "charge", "l_extendedprice*(1-l_discount)*(1+l_tax)")
+        r2.select("l_orderkey", "l_linenumber", "revenue", "charge")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("charge"))
+          .limit(500)
+    },
+
+    // ---- JSON key extraction -----------------------------------------------
+    Q("json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin) {
+      (s, d) => Projections.jsonExtract(t(s, d, "events"), "props", "k", "k_raw")
+        .select(col("event_id"), col("k_raw").cast("int").as("k_val"))
+        .orderBy(col("event_id")).limit(1000)
+    },
+
+    // ---- Set operations on two selections of one table ---------------------
+    Q("set_ops_counts",
+      """SELECT COUNT(CASE WHEN l_quantity > 45 OR l_discount >= 0.09 THEN 1 END) AS n_union,
+        |COUNT(CASE WHEN l_quantity > 45 AND l_discount >= 0.09 THEN 1 END) AS n_intersect,
+        |COUNT(CASE WHEN l_quantity > 45 AND NOT (l_discount >= 0.09) THEN 1 END) AS n_minus
+        |FROM lineitem""".stripMargin) {
+      (s, d) =>
+        val li = t(s, d, "lineitem")
+        val a = col("l_quantity") > 45
+        val b = col("l_discount") >= 0.09
+        val u = SetOps.unionView(li, a, b).agg(count(lit(1)).as("n_union"))
+        val i = SetOps.intersectView(li, a, b).agg(count(lit(1)).as("n_intersect"))
+        val m = SetOps.minusView(li, a, b).agg(count(lit(1)).as("n_minus"))
+        u.crossJoin(i).crossJoin(m)
+    },
+
+    // ---- RandomSamplingSketch (seeded; no SQL oracle — rows-only) ----------
+    Q.noOracle("sample_rows") {
+      (s, d) => Sampling.uniform(t(s, d, "lineitem"), 0.01, 42L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
+    },
+
+    // ---- CorrMatrixSketch (one cell, exact moments) ------------------------
+    Q("correlation",
+      """SELECT n, (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr_val
+        |FROM (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
+        |  FROM lineitem)""".stripMargin) {
+      (s, d) => Stats.correlation(t(s, d, "lineitem"), "l_quantity", "l_extendedprice")
+    },
+
+    // ---- CentroidsSketch ---------------------------------------------------
+    Q("centroids",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_l_quantity,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_l_extendedprice
+        |FROM lineitem GROUP BY 1 ORDER BY 1 ASC NULLS FIRST""".stripMargin) {
+      (s, d) => Stats.centroids(t(s, d, "lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+
+    // ---- LinearProjectionMap -----------------------------------------------
+    Q("linear_projection",
+      """SELECT l_orderkey, l_linenumber,
+        |l_quantity*0.5 + l_extendedprice*0.001 + l_discount*10.0 AS proj0,
+        |l_quantity*(-1.0) + l_extendedprice*0.0005 + l_discount*0.0 AS proj1
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, proj0, proj1 LIMIT 500""".stripMargin) {
+      (s, d) => Projections.linearProjection(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq(Seq(0.5, 0.001, 10.0), Seq(-1.0, 0.0005, 0.0)), "proj")
+        .select(col("l_orderkey"), col("l_linenumber"), col("proj0"), col("proj1"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("proj0"), col("proj1"))
+        .limit(500)
+    }
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.QueryDefs._
+
+/** Event-time windowing over the `events` table (SURVEY.md §2.9): tumbling,
+  * sliding, and session windows in batch form. The same expressions run
+  * under Structured Streaming in graft.streaming (watermarked), exercised
+  * by tests — the batch results below are the correctness oracle for both.
+  *
+  * `events.ts` is nanos in parquet; the Spark loader truncates to µs
+  * (Tables.open), and the oracle mirrors with CAST(ts AS TIMESTAMP).
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Tumbling 1h window ------------------------------------------------
+    Q("events_time_window",
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) => TimeWindows.tumbling(t(s, d, "events"), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value")))
+        .select(col("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // ---- Sliding 1h/15m window (epoch-seconds start: int-exact) ------------
+    Q("events_sliding_window",
+      """SELECT CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))/900)*900 - k.k*900 AS BIGINT) AS ws_epoch,
+        |e.event_type, COUNT(*) AS cnt
+        |FROM events e CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("event_type"), col("cnt"))
+        .orderBy(col("ws_epoch"), col("event_type"))
+    },
+
+    // ---- Session window, 30 min gap (gaps-and-islands oracle) --------------
+    Q("events_session_window",
+      """WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM t),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS cnt
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) {
+      (s, d) => TimeWindows.session(t(s, d, "events"), "ts", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("cnt")))
+        .select(col("user_id"), col("session_start"), col("cnt"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** One named, driver-checkable query: a Spark implementation plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL. Column names and
+  * output ordering must match exactly (driver hash-compares at sf0.01).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}
+
+/** Shared helpers for query catalogs. */
+object QueryDefs {
+  def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.open(s, dir, name)
+
+  /** Exact-decimal sum fragment for oracle SQL (mirror of Det.dsum). */
+  def sqlDsum(exprSql: String): String =
+    s"CAST(SUM(CAST($exprSql AS DECIMAL(30,6))) AS DOUBLE)"
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.QueryDefs._
+
+/** Relational layer beyond the reference's single-table surface
+  * (SURVEY.md §2.4 "ABSENT" rows, §2.5, §2.6): general group-by
+  * aggregation, rollup/cube, equi/semi/anti joins, ranking and frame
+  * windows. All single-shuffle; dimension sides broadcast.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- TPC-H Q1-style pricing summary (general groupBy+agg) --------------
+    Q("q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+         |sum_charge, sum_qty/cnt AS avg_qty, sum_base_price/cnt AS avg_price,
+         |s_disc/cnt AS avg_disc, cnt FROM (
+         |  SELECT l_returnflag, l_linestatus,
+         |         ${sqlDsum("l_quantity")} AS sum_qty,
+         |         ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |         ${sqlDsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+         |         ${sqlDsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+         |         ${sqlDsum("l_discount")} AS s_disc,
+         |         COUNT(*) AS cnt
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |  GROUP BY 1, 2)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+        val g = li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Det.dsum(col("l_discount")).as("s_disc"),
+          count(lit(1)).as("cnt"))
+        g.select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          (col("sum_qty") / col("cnt")).as("avg_qty"),
+          (col("sum_base_price") / col("cnt")).as("avg_price"),
+          (col("s_disc") / col("cnt")).as("avg_disc"),
+          col("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- ROLLUP ------------------------------------------------------------
+    Q("rollup_counts",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- CUBE --------------------------------------------------------------
+    Q("cube_counts",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- Q3-lite: fact ⋈ fact ⋈ broadcast(dim) -----------------------------
+    Q("join_q3lite",
+      s"""SELECT o_orderkey, ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC NULLS LAST, o_orderkey ASC LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val cust = Filters.equality(t(s, d, "customer"), "c_mktsegment", "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))
+        val ord = Joins.withDim(t(s, d, "orders"), cust, Seq("o_custkey"))
+          .select(col("o_orderkey").as("l_orderkey"))
+        Joins.withDim(t(s, d, "lineitem"), ord, Seq("l_orderkey"))
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc_nulls_last, col("o_orderkey").asc)
+          .limit(10)
+    },
+
+    // ---- Star join: revenue by part brand (dim broadcast) ------------------
+    Q("join_star_brand",
+      s"""SELECT p_brand, COUNT(*) AS cnt,
+         |${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM lineitem, part WHERE l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        val part = t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        Joins.withDim(t(s, d, "lineitem"), part, Seq("l_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("cnt"),
+            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("p_brand").asc_nulls_first)
+    },
+
+    // ---- Semi / anti joins -------------------------------------------------
+    Q("join_semi_count",
+      """SELECT COUNT(*) AS cnt FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
+      (s, d) =>
+        val ok = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+        Joins.semi(t(s, d, "customer"), ok, Seq("c_custkey")).agg(count(lit(1)).as("cnt"))
+    },
+
+    Q("join_anti_count",
+      """SELECT COUNT(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
+      (s, d) =>
+        val ok = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+        Joins.anti(t(s, d, "customer"), ok, Seq("c_custkey")).agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- Ranking window: top-3 lineitems per supplier ----------------------
+    Q("window_rank",
+      """SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin) {
+      (s, d) => Windows.topNPerGroup(t(s, d, "lineitem"), Seq("l_suppkey"),
+        Seq(SortKey("l_extendedprice", asc = false), SortKey("l_orderkey"), SortKey("l_linenumber")), 3)
+        .select(col("l_suppkey"), col("rn").cast("long").as("rn"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // ---- lag/lead ----------------------------------------------------------
+    Q("window_lag",
+      """SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+        |l_orderkey, l_linenumber, l_extendedprice,
+        |lag(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC) AS lag_val
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, ship_ts, l_orderkey, l_linenumber, l_extendedprice""".stripMargin) {
+      // (l_orderkey, l_linenumber) is not unique — l_extendedprice completes
+      // the total order inside each partition so lag() is deterministic.
+      (s, d) =>
+        val base = t(s, d, "lineitem").filter(col("l_suppkey") <= 5)
+        Windows.withLag(base, Seq("l_suppkey"),
+          Seq(SortKey("l_shipdate"), SortKey("l_orderkey"), SortKey("l_linenumber"),
+            SortKey("l_extendedprice")),
+          "l_extendedprice")
+          .select(col("l_suppkey"), Det.fmtTs(col("l_shipdate")).as("ship_ts"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("lag_val"))
+          .orderBy(col("l_suppkey"), col("ship_ts"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+    },
+
+    // ---- Frame window: running total per customer --------------------------
+    Q("window_running_sum",
+      """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts, o_orderkey,
+        |o_totalprice,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, order_ts, o_orderkey""".stripMargin) {
+      (s, d) =>
+        val base = t(s, d, "orders").filter(col("o_custkey") <= 50)
+        Windows.runningSum(base, Seq("o_custkey"),
+          Seq(SortKey("o_orderdate"), SortKey("o_orderkey")), "o_totalprice")
+          .select(col("o_custkey"), Det.fmtTs(col("o_orderdate")).as("order_ts"),
+            col("o_orderkey"), col("o_totalprice"), col("running_sum"))
+          .orderBy(col("o_custkey"), col("order_ts"), col("o_orderkey"))
+    }
+  )
+}

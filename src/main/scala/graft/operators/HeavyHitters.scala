@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Heavy hitters (frequent elements).
+  *
+  * Reference analogs: `ref:P/sketches/FreqKSketch.java` (Misra-Gries
+  * candidates, paper §4.4) and `ref:P/sketches/ExactFreqSketch.java`
+  * (second exact pass over candidates). The UI then filters rows to/from
+  * the heavy set — a semi/anti-join against a literal list.
+  *
+  * Two implementations, cross-checked in tests:
+  *  - `exact`: groupBy(keys).count().filter(cnt >= threshold) — one shuffle
+  *    of (key, partialCount) pairs only (map-side combine), fine even at
+  *    100 TB when key cardinality is bounded;
+  *  - `graft.functions.MisraGriesAgg`: the faithful shuffle-free sketch for
+  *    unbounded-cardinality keys (candidates with lower-bound counts, no
+  *    false negatives above N/k).
+  */
+object HeavyHitters {
+
+  /** Exact heavy hitters over a key tuple: rows with count >= minCount,
+    * heaviest first (total order: cnt desc, then keys asc).
+    */
+  def exact(df: DataFrame, keys: Seq[String], minCount: Long,
+            limit: Int = 1000): DataFrame = {
+    val sort = col("cnt").desc +: keys.map(k => col(k).asc_nulls_first)
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(sort.toIndexedSeq: _*)
+      .limit(limit)
+  }
+
+  /** Relative-threshold variant: count >= eps * N, N computed inside the
+    * plan (broadcast scalar via cross join — no driver collect).
+    */
+  def exactRelative(df: DataFrame, keys: Seq[String], eps: Double,
+                    limit: Int = 1000): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total_n"))
+    val sort = col("cnt").desc +: keys.map(k => col(k).asc_nulls_first)
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= col("total_n") * lit(eps))
+      .drop("total_n")
+      .orderBy(sort.toIndexedSeq: _*)
+      .limit(limit)
+  }
+
+  /** Exact second pass over a candidate list (`ExactFreqSketch`):
+    * semi-join-style probe, returns exact counts for candidates only.
+    */
+  def exactProbe(df: DataFrame, key: String, candidates: Seq[Any]): DataFrame =
+    df.filter(col(key).isin(candidates: _*))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col(key).asc_nulls_first)
+
+  /** Filter the base table to (or away from) the heavy tuples — the UI's
+    * "view heavy rows as table" (semi/anti join against candidates).
+    */
+  def filterToHeavy(df: DataFrame, keys: Seq[String], minCount: Long,
+                    keep: Boolean = true): DataFrame = {
+    val heavy = df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(keys.map(col).toIndexedSeq: _*)
+    df.join(broadcast(heavy), keys, if (keep) "left_semi" else "left_anti")
+  }
+}

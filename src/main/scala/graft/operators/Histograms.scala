@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Histogram family — the reference's signature sketches.
+  *
+  * Reference analogs: `ref:P/sketches/HistogramSketch.java` (+
+  * `DoubleHistogramBuckets`, `StringHistogramBuckets`),
+  * `HeatmapSketch.java` / `Histogram2DSketch.java`,
+  * `Histogram3DSketch.java` (trellis), CDF per paper §4.1.
+  *
+  * Bucketing is explicit floor arithmetic (not `width_bucket`) so the
+  * DuckDB oracle can reproduce it bit-for-bit:
+  *   bucket = LEAST(CAST(FLOOR((x - lo)/step) AS INT), n-1),  step=(hi-lo)/n
+  * over rows with lo <= x <= hi. Missing and out-of-range rows are counted
+  * separately by `dataRange` (the reference tracks them as separate sketch
+  * fields).
+  *
+  * Scale: each histogram is one partial/final aggregation over at most
+  * n·m·k cells — no raw-row shuffle; identical to the reference's
+  * long[]-merge tree.
+  */
+object Histograms {
+
+  /** Equal-width bucket index for lo <= x <= hi (call after range filter). */
+  def bucket(c: Column, lo: Double, hi: Double, n: Int): Column = {
+    val step = (hi - lo) / n
+    least(floor((c - lit(lo)) / lit(step)).cast("int"), lit(n - 1))
+  }
+
+  /** 1-D equal-width histogram: (bucket, cnt), bucket ascending. */
+  def histogram1d(df: DataFrame, column: String, lo: Double, hi: Double, n: Int): DataFrame =
+    df.filter(col(column).between(lo, hi))
+      .groupBy(bucket(col(column), lo, hi, n).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+
+  /** String histogram: exact per-value counts (used for category axes;
+    * `StringHistogramBuckets` handles the too-many-values case via prefix
+    * boundaries — at Spark scale the groupBy+limit form covers both).
+    */
+  def histogramString(df: DataFrame, column: String, limit: Int = 1000): DataFrame =
+    df.groupBy(col(column).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("value").asc_nulls_first)
+      .limit(limit)
+
+  /** CDF at bucket resolution: histogram + running total (paper §4.1 —
+    * same sketch, prefix-summed at the root).
+    */
+  def cdf(df: DataFrame, column: String, lo: Double, hi: Double, n: Int): DataFrame = {
+    val h = histogram1d(df, column, lo, hi, n)
+    h.withColumn("cum_cnt",
+      sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
+  /** 2-D histogram (heatmap): (bx, by, cnt). */
+  def heatmap(df: DataFrame,
+              xCol: String, xLo: Double, xHi: Double, xN: Int,
+              yCol: String, yLo: Double, yHi: Double, yN: Int): DataFrame =
+    df.filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+      .groupBy(
+        bucket(col(xCol), xLo, xHi, xN).as("bx"),
+        bucket(col(yCol), yLo, yHi, yN).as("by"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bx"), col("by"))
+
+  /** Trellis: heatmap split by a categorical column (`Histogram3DSketch`). */
+  def trellis(df: DataFrame, splitCol: String,
+              xCol: String, xLo: Double, xHi: Double, xN: Int,
+              yCol: String, yLo: Double, yHi: Double, yN: Int): DataFrame =
+    df.filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+      .groupBy(
+        col(splitCol).as("split_val"),
+        bucket(col(xCol), xLo, xHi, xN).as("bx"),
+        bucket(col(yCol), yLo, yHi, yN).as("by"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("split_val").asc_nulls_first, col("bx"), col("by"))
+}

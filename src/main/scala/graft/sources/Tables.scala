@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source registry — SURVEY.md §7.1 layer 1.
+  *
+  * Reference analog: file discovery + load (`ref:P/maps/FindFilesMap.java`,
+  * `ref:P/maps/LoadFilesMap.java`) and the per-format loaders
+  * (`ref:P/storage/CsvFileLoader.java`, `OrcFileLoader.java`,
+  * `JsonFileLoader.java`, `JdbcDatabase.java`). Spark subsumes worker-side
+  * file listing, splits, and schema inference, so this layer is a thin
+  * registry: `open(sfDir, name)` for the fixture star schema, plus the
+  * generic format loaders for parity with the reference's source matrix.
+  *
+  * Scale note (100 TB): all loads are plain `spark.read` — partitioning is
+  * decided by the source (parquet row groups / `maxPartitionBytes`), filters
+  * and projections push down to the scan via Catalyst, and nothing here
+  * materializes data on the driver.
+  */
+object Tables {
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extraTables: Seq[String] = Seq("events", "documents", "embeddings")
+  val allTables: Seq[String] = starTables ++ extraTables
+
+  /** Open one fixture table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects;
+    * we read it as a long (legacy conf) and truncate to microseconds —
+    * the DuckDB oracle must truncate the same way (FIXTURES.md).
+    */
+  def open(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case other =>
+      spark.read.parquet(s"$sfDir/$other.parquet")
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` works. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // Generic loaders (reference source-matrix parity).
+  def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String,
+          header: Boolean = true, inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  // Sinks (`ref:P/storage/CsvFileWriter.java` — export current view).
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def exportParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Operator-level checks at sf0.001 — the reference's per-sketch unit-test
+  * layer (SURVEY.md §5): histogram bucket totals, NextK ordering/dedup,
+  * heavy-hitter guarantees, set-op algebra, filter pushdown shape.
+  */
+class CoreOpsSpec extends SparkSpec {
+
+  private lazy val li = Tables.open(spark, sf, "lineitem").cache()
+
+  test("entry returns a non-empty page") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and yields a well-formed result") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("histogram buckets partition the in-range rows") {
+    val total = li.filter(col("l_extendedprice").between(900, 105000)).count()
+    val h = Histograms.histogram1d(li, "l_extendedprice", 900.0, 105000.0, 40)
+    val sum = h.agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+    assert(sum == total)
+    val buckets = h.select("bucket").collect().map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b < 40))
+  }
+
+  test("cdf is monotone and ends at the in-range total") {
+    val c = Histograms.cdf(li, "l_extendedprice", 900.0, 105000.0, 40)
+      .select("cum_cnt").collect().map(_.getLong(0))
+    assert(c.zip(c.tail).forall { case (a, b) => a <= b })
+    assert(c.last == li.filter(col("l_extendedprice").between(900, 105000)).count())
+  }
+
+  test("NextK pages tile the table: page rows are distinct and ordered") {
+    val page = NextK.page(li, Seq(SortKey("l_shipdate"), SortKey("l_orderkey")), None, 50)
+      .collect()
+    assert(page.length == 50)
+    // parquet timestamp[ms] (no tz) loads as TIMESTAMP_NTZ => LocalDateTime
+    val keys = page.map { r =>
+      (r.getAs[java.time.LocalDateTime](0).toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getLong(1))
+    }
+    assert(keys.distinct.length == keys.length, "dedup failed")
+    assert(keys.sameElements(keys.sorted), "page not in order")
+  }
+
+  test("NextK counts sum to the number of covered physical rows") {
+    val page = NextK.page(li, Seq(SortKey("l_returnflag")), None, 10).collect()
+    val total = page.map(_.getAs[Long]("cnt")).sum
+    assert(total == li.count(), "3 flags => one page covers everything")
+  }
+
+  test("heavy hitters exact: no false negatives above threshold") {
+    val thresh = 5L
+    val got = HeavyHitters.exact(li, Seq("l_partkey"), thresh, 100000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = li.groupBy("l_partkey").count()
+      .filter(col("count") >= thresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth)
+  }
+
+  test("filterToHeavy keeps exactly the rows of heavy keys") {
+    val kept = HeavyHitters.filterToHeavy(li, Seq("l_partkey"), 5L).count()
+    val truth = li.groupBy("l_partkey").count().filter(col("count") >= 5)
+      .agg(sum("count")).head.getLong(0)
+    assert(kept == truth)
+  }
+
+  test("set-op views obey inclusion-exclusion") {
+    val a = col("l_quantity") > 45
+    val b = col("l_discount") >= 0.09
+    val nU = SetOps.unionView(li, a, b).count()
+    val nI = SetOps.intersectView(li, a, b).count()
+    val nA = li.filter(a).count()
+    val nB = li.filter(b).count()
+    assert(nU == nA + nB - nI)
+    assert(SetOps.minusView(li, a, b).count() == nA - nI)
+  }
+
+  test("rowAtLeast matches brute-force tuple comparison") {
+    val order = Seq(SortKey("l_returnflag"), SortKey("l_quantity", asc = false),
+      SortKey("l_orderkey"))
+    val start = Seq(lit("N"), lit(30.0), lit(500L))
+    val got = li.filter(Filters.rowAtLeast(order, start)).count()
+    val brute = li.collect().count { r =>
+      val rf = r.getAs[String]("l_returnflag")
+      val q = r.getAs[Double]("l_quantity")
+      val k = r.getAs[Long]("l_orderkey")
+      rf > "N" || (rf == "N" && (q < 30.0 || (q == 30.0 && k >= 500)))
+    }
+    assert(got == brute)
+  }
+
+  test("approx distinct is within rsd bounds of exact") {
+    val exact = li.select("l_partkey").distinct().count().toDouble
+    val approx = DistinctOps.approxDistinctCount(li, "l_partkey", 0.05)
+      .head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.2, s"approx=$approx exact=$exact")
+  }
+
+  test("resolution-aware sampling rate formula") {
+    assert(Sampling.resolutionRate(1000000000L, 40, 100) < 1.0)
+    assert(Sampling.resolutionRate(100L, 40, 100) == 1.0)
+    val r = Sampling.resolutionRate(2000000L, 40, 100, c = 5.0)
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+
+  // These two use `orders` (uncached) — the cached lineitem would satisfy
+  // the plan from InMemoryRelation and hide the scan.
+  test("filters push down to the parquet scan") {
+    val plan = Filters.range(Tables.open(spark, sf, "orders"), "o_totalprice", 1000, 2000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(o_totalprice"),
+      s"no pushdown evidence in plan:\n$plan")
+  }
+
+  test("projection prunes the read schema") {
+    val plan = Projections.project(Tables.open(spark, sf, "orders"),
+      Seq("o_orderkey", "o_totalprice"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"projection not pruned:\n$plan")
+  }
+}
