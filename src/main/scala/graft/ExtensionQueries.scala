@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.MisraGries
+import graft.QueryDefs._
+
+/** North-star extension operators (SURVEY.md §2.11 + training-data
+  * pipeline requirements): dedup (exact / Jaccard / MinHash-LSH / SimHash),
+  * embedding similarity search, text analysis, multimodal plumbing, and
+  * the Misra-Gries custom aggregate.
+  */
+object ExtensionQueries {
+
+  /** Shared DuckDB fragment: distinct word-bigram shingles per doc. */
+  private val sqlBigrams =
+    """SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(string_split_regex(trim(text), '\s+'))),
+      |    i -> list_extract(string_split_regex(trim(text), '\s+'), i) || ' ' ||
+      |         list_extract(string_split_regex(trim(text), '\s+'), i+1))) AS sh
+      |  FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Exact dedup (content hash) ----------------------------------------
+    Q("dedup_exact",
+      """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        |COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS n_dup_groups FROM (
+        |  SELECT sha256(text) AS content_hash, MIN(doc_id) AS rep_id,
+        |         COUNT(*) AS n_copies
+        |  FROM documents GROUP BY 1)""".stripMargin) {
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).as("n_docs"),
+          count(when(col("n_copies") > 1, 1)).as("n_dup_groups"))
+    },
+
+    // ---- N-gram (bigram) Jaccard near-dup pairs, exact ---------------------
+    Q("dedup_jaccard",
+      s"""WITH bg AS ($sqlBigrams),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+         |  FROM bg x JOIN bg y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(j, 6) AS jacc FROM (
+         |  SELECT d1, d2, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
+         |  FROM inter JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2)
+         |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin) {
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 2, 0.5)
+        .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ---- MinHash + LSH near-dup (scale path; verified vs exact in tests) ---
+    Q.noOracle("dedup_minhash_lsh") {
+      (s, d) => Dedup.minHashLSH(t(s, d, "documents"), "doc_id", "text")
+        .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ---- SimHash near-dup (Hamming ≤ 10) -----------------------------------
+    Q.noOracle("dedup_simhash") {
+      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ---- Embedding-cosine near-dup pairs -----------------------------------
+    Q("dedup_embedding",
+      """WITH c AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT d1, d2, sim FROM c WHERE sim >= 0.95 ORDER BY d1, d2""".stripMargin) {
+      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.95)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ---- Brute-force cosine top-k (ANN baseline) ---------------------------
+    Q("similarity_topk",
+      """WITH sims AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+        |SELECT q_id, n_id, sim, rk FROM (
+        |  SELECT q_id, n_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10)
+    },
+
+    // ---- LSH-bucketed ANN (scale path; recall vs brute force in tests) -----
+    Q.noOracle("similarity_lsh") {
+      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10)
+    },
+
+    // ---- Token count -------------------------------------------------------
+    Q("text_token_count",
+      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) => TextOps.tokenCount(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Corpus term frequencies (top 20) ----------------------------------
+    Q("text_term_freq",
+      """SELECT term, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, term ASC NULLS FIRST LIMIT 20""".stripMargin) {
+      (s, d) => TextOps.termFrequencies(t(s, d, "documents"), "text", 20)
+    },
+
+    // ---- Quality score -----------------------------------------------------
+    Q("text_quality",
+      """SELECT doc_id,
+        |CAST(len(toks) AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS BIGINT) * 1.0
+        |  / CAST(len(toks) AS BIGINT) AS stop_ratio,
+        |CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT) * 1.0
+        |  / CAST(len(toks) AS BIGINT) AS avg_token_len,
+        |length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text) AS punct_ratio
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Language-ID heuristic ---------------------------------------------
+    Q("text_lang_id",
+      """SELECT doc_id,
+        |CASE
+        |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','des'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS s_zh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => TextOps.languageId(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Shingle fingerprint ----------------------------------------------
+    Q("text_fingerprint",
+      s"""WITH bg AS ($sqlBigrams)
+         |SELECT doc_id, MIN(md5(sh)) AS min_shingle_hash, COUNT(*) AS n_shingles
+         |FROM bg GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) => TextOps.fingerprint(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Multimodal binary plumbing (bytes + hash; decode is STUBbed) ------
+    Q("multimodal_features",
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val assets = Multimodal.toAsset(t(s, d, "documents"), "doc_id", "text", "text/plain")
+        Multimodal.fakeDecodeFeatures(assets, "doc_id")
+          .select(col("doc_id"), col("n_bytes"), col("content_hash"))
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Misra-Gries sketch (k > distinct ⇒ counts exact ⇒ oracle-able) ----
+    Q("heavy_hitters_mg",
+      """SELECT l_returnflag AS value, cnt FROM (
+        |  SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+        |ORDER BY value ASC NULLS FIRST""".stripMargin) {
+      (s, d) => t(s, d, "lineitem")
+        .agg(MisraGries.sketch(col("l_returnflag"), 10).as("mg"))
+        .select(explode(col("mg")).as(Seq("value", "cnt")))
+        .orderBy(col("value").asc_nulls_first)
+    }
+  )
+}

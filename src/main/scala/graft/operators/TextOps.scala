@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus (north-star extension,
+  * SURVEY.md §2.11): tokenization, shingling, term frequencies, quality
+  * scoring, language-ID heuristic, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` / lambda higher-order
+  * functions — no UDF in the row loop; all aggregations are single-shuffle
+  * groupBys keyed by doc or term, which scale linearly at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens (regex split, trimmed). */
+  def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** Word n-gram shingle list over a token-array column. 1-based
+    * element_at matches DuckDB list_extract; the guard keeps short docs at
+    * an empty list (Spark's sequence(1, 0) would be DESCENDING, not empty).
+    */
+  def shingles(toksCol: Column, n: Int): Column = {
+    require(n >= 2)
+    when(size(toksCol) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toksCol) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toksCol, i + lit(k))): _*)))
+  }
+
+  /** (doc_id, shingle) distinct pairs for a text column — the shared input
+    * of Jaccard / MinHash / SimHash dedup.
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val t = tokens(col(textCol))
+    val sh = if (n == 1) t else shingles(t, n)
+    df.select(col(idCol), explode(sh).as("sh")).distinct()
+  }
+
+  /** Token count per document. */
+  def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+
+  /** Corpus-wide term frequencies, top `k`. */
+  def termFrequencies(df: DataFrame, textCol: String, k: Int = 20): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc_nulls_first)
+      .limit(k)
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** Quality heuristics: token count, stopword ratio, mean token length,
+    * punctuation ratio (training-data quality scoring).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val stopList = stopwords.map(lit).toIndexedSeq
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, x => x.isin(stopList: _*))).cast("long")
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val nonText = length(regexp_replace(col(textCol), "[a-z0-9 ]", ""))
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      (nStop * lit(1.0) / nTok).as("stop_ratio"),
+      (sumLen * lit(1.0) / nTok).as("avg_token_len"),
+      (nonText * lit(1.0) / length(col(textCol))).as("punct_ratio"))
+  }
+
+  /** Per-language stopword marker lists for the language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** N-gram/stopword-hit language ID: score each language by marker-token
+    * hits, argmax with a fixed tie-break order (first listed wins).
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df.select(col(idCol), t.as("toks"))) {
+      case (d, (lang, words)) =>
+        d.withColumn(s"s_$lang",
+          size(filter(col("toks"), x => x.isin(words.map(lit).toIndexedSeq: _*))))
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), rest) =>
+        if (i == langs.length - 1) rest
+        else {
+          val beats = langs.drop(i + 1)
+            .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+          when(beats, lit(lang)).otherwise(rest)
+        }
+    }
+    scored.select(col(idCol), pred.as("pred_lang"))
+  }
+
+  /** Shingle-set fingerprint: min-hash digest + cardinality per doc —
+    * cheap dedup fingerprint, SQL-mirrorable (md5-based).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    shingleSet(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(min(md5(col("sh"))).as("min_shingle_hash"),
+        count(lit(1)).as("n_shingles"))
+
+  /** Karp-Rabin rolling-hash winnowing fingerprint (library form, tested
+    * against the definition; not oracle-mirrorable — pure Scala, applied
+    * via a typed map for the rare consumer that needs positional
+    * fingerprints rather than the shingle digest above).
+    */
+  def winnow(tokens: IndexedSeq[String], k: Int, window: Int): Seq[Long] = {
+    if (tokens.length < k) return Seq.empty
+    val B = 1000000007L
+    val hashes = tokens.sliding(k).map { gram =>
+      gram.foldLeft(0L)((acc, t) => acc * B + t.hashCode.toLong)
+    }.toIndexedSeq
+    if (hashes.length <= window) Seq(hashes.min)
+    else hashes.sliding(window).map(_.min).toIndexedSeq.distinct
+  }
+}

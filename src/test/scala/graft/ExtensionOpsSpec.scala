@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Extension-operator checks: MinHash-LSH vs exact Jaccard, SimHash
+  * separation, ANN recall vs brute force, multimodal plumbing.
+  */
+class ExtensionOpsSpec extends SparkSpec {
+
+  private lazy val docs = sources.Tables.open(spark, sf, "documents").cache()
+  private lazy val emb = sources.Tables.open(spark, sf, "embeddings").cache()
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fixture has planted near-duplicates") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs at threshold 0.5") {
+    val lsh = Dedup.minHashLSH(docs, "doc_id", "text", 2, 8, 4, 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates exactly, so lsh ⊆ exact always; with 8×4
+    // bands recall at j≥0.8 is ~1, and the fixture pairs are j≥0.97.
+    assert(lsh.subsetOf(exactPairs), s"false positives: ${lsh.diff(exactPairs)}")
+    assert(lsh == exactPairs, s"missed: ${exactPairs.diff(lsh)}")
+  }
+
+  test("SimHash: planted pairs at small Hamming distance, background far") {
+    val ham = Dedup.simHashPairs(docs, "doc_id", "text", 2, 10)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted near-dup must fall within Hamming 10
+    assert(exactPairs.subsetOf(ham), s"missed planted: ${exactPairs.diff(ham)}")
+    // and the sketch should not drown in background pairs
+    assert(ham.size <= exactPairs.size * 3, s"too many background pairs: ${ham.size}")
+  }
+
+  test("exact dedup groups every doc exactly once") {
+    val g = Dedup.exact(docs, "doc_id", "text")
+      .agg(sum("n_copies")).head.getLong(0)
+    assert(g == docs.count())
+  }
+
+  test("LSH ANN recall@10 >= 0.6 vs brute force on the fixture") {
+    // fixture embeddings are near-random (top sims ~0.3) — the hardest
+    // regime for LSH; 16 tables × 4 bits gives ~0.85 expected recall there
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(1)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 6).as("c"))
+      .head.getDouble(0)
+    assert(one == 1.0)
+  }
+
+  test("language-ID picks the max-marker language with fixed tie-break") {
+    val out = TextOps.languageId(docs, "doc_id", "text").collect()
+    assert(out.length == docs.count())
+    assert(out.forall(r => Seq("en", "es", "de", "fr", "zh").contains(r.getString(1))))
+  }
+
+  test("quality score ratios are within [0,1]") {
+    val q = TextOps.qualityScore(docs, "doc_id", "text").collect()
+    assert(q.forall { r =>
+      val stop = r.getAs[Double]("stop_ratio")
+      val punct = r.getAs[Double]("punct_ratio")
+      stop >= 0 && stop <= 1 && punct >= 0 && punct <= 1
+    })
+  }
+
+  test("winnowing fingerprint is shift-stable on shared substrings") {
+    val a = "the quick brown fox jumps over the lazy dog again and again".split(" ").toIndexedSeq
+    val b = ("prefix words " + "the quick brown fox jumps over the lazy dog again and again").split(" ").toIndexedSeq
+    val fa = TextOps.winnow(a, 3, 4).toSet
+    val fb = TextOps.winnow(b, 3, 4).toSet
+    assert(fa.intersect(fb).nonEmpty, "no shared fingerprints for overlapping text")
+  }
+
+  test("multimodal plumbing: asset schema, features, frame samples") {
+    val assets = Multimodal.toAsset(docs, "doc_id", "text", "text/plain")
+    val schema = assets.schema("asset").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == Seq("uri", "mime", "data", "meta"))
+    val feats = Multimodal.fakeDecodeFeatures(assets, "doc_id")
+    assert(feats.filter(col("n_bytes") <= 0).count() == 0)
+    val frames = Multimodal.fakeFrameSample(assets, "doc_id", frames = 4)
+    assert(frames.count() == docs.count() * 4)
+    assert(frames.filter(octet_length(col("frame_bytes")) === 0).count() == 0)
+  }
+}
