@@ -76,8 +76,8 @@ object ExtensionQueries {
         |       * sqrt(list_sum(list_transform(range(1, 65),
         |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-        |SELECT d1, d2, sim FROM c WHERE sim >= 0.95 ORDER BY d1, d2""".stripMargin) {
-      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.95)
+        |SELECT d1, d2, sim FROM c WHERE sim >= 0.45 ORDER BY d1, d2""".stripMargin) {
+      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy(col("d1"), col("d2"))
     },
 

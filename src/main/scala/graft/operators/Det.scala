@@ -20,6 +20,13 @@ object Det {
   /** Order-independent exact sum, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(S)).cast("double")
 
+  /** High-precision variant for unit-magnitude values (dot products,
+    * similarities) where scale-6 truncation would be visible after
+    * rounding: DECIMAL(38,20) keeps 20 fractional digits.
+    */
+  def dsumHi(c: Column): Column =
+    sum(c.cast(DecimalType(38, 20))).cast("double")
+
   /** Windowed order-independent exact sum, returned as double. */
   def dsumOver(c: Column, w: WindowSpec): Column = sum(c.cast(S)).over(w).cast("double")
 

@@ -50,15 +50,16 @@ object Similarity {
   }
 
   /** Random-hyperplane signature (`bits` sign bits of projections onto
-    * fixed seeded Gaussian-ish directions).
+    * fixed seeded Gaussian directions). Each plane is a single array
+    * literal + one fold expression — plan size O(bits), not O(bits·dim).
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
     val bitCols = (0 until bits).map { b =>
-      val proj = (0 until dim)
-        .map(i => element_at(vec, i + 1).cast("double") * lit(planes(b)(i)))
-        .reduce(_ + _)
+      val plane = typedlit(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+      val proj = aggregate(
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
@@ -102,18 +103,65 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Tight-loop dot/norm kernels for the dense brute-force paths. A plain
+    * Scala UDF here beats both the lambda-fold (interpreted per element
+    * with boxing) and a posexplode/equi-join shape (materializes N²·dim
+    * rows): the loop compiles to primitive double arithmetic, and its
+    * sequential accumulation order matches the oracle's list_sum.
+    */
+  private val dotKernel = udf((a: Seq[Float], b: Seq[Float]) => {
+    var s = 0.0; var i = 0; val n = a.length
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
+  private val normKernel = udf((a: Seq[Float]) => {
+    var s = 0.0; var i = 0; val n = a.length
+    while (i < n) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  })
+
+  /** Spark round() semantics for a double (BigDecimal HALF_UP) — used by
+    * the partition kernel so its output is bit-identical to the
+    * expression-based paths and the oracle.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): all pairs
-    * with cosine ≥ threshold. Brute force; LSH variant available via
-    * lshTopK for scale.
+    * with cosine ≥ threshold.
+    *
+    * Dense-numeric brute force is the one place mapPartitions earns its
+    * keep (SURVEY.md §7.4 preference (d)): one side is broadcast as
+    * primitive arrays and each partition runs a compiled dot-product loop —
+    * no per-pair row materialization, no shuffle. Block-broadcast pattern:
+    * at scale the broadcast side is chunked (outer loop over blocks that
+    * fit executor memory); sub-quadratic alternative is `lshTopK`.
+    * Accumulation order matches the oracle's sequential list_sum.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val l = emb.select(col(idCol).as("d1"), col(vecCol).as("v1"))
-    val r = emb.select(col(idCol).as("d2"), col(vecCol).as("v2"))
-    l.crossJoin(r)
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(cosine(col("v1"), col("v2")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    def dotNorm(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val side = ds.collect() // block-broadcast side; chunk at scale
+    val norms = side.map { case (_, v) => math.sqrt(dotNorm(v, v)) }
+    val bc = spark.sparkContext.broadcast((side, norms))
+    ds.mapPartitions { it =>
+      val (others, oNorms) = bc.value
+      it.flatMap { case (d1, v1) =>
+        val n1 = math.sqrt(dotNorm(v1, v1))
+        others.iterator.zipWithIndex.collect {
+          case ((d2, v2), j) if d1 < d2 &&
+            round6(dotNorm(v1, v2) / (n1 * oNorms(j))) >= threshold =>
+            (d1, d2, round6(dotNorm(v1, v2) / (n1 * oNorms(j))))
+        }
+      }
+    }.toDF("d1", "d2", "sim")
   }
 }
