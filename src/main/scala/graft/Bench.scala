@@ -4,11 +4,39 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver → BENCH_r{N}.json; anchor = BASELINE.md §B).
+  *
+  * Harness fidelity rules:
+  *  - a warmup pass over the full query set at sf0.001 absorbs session /
+  *    codegen / parquet-reader startup before anything is timed;
+  *  - each query is forced through the `noop` sink, which evaluates every
+  *    output column (a `count()` would let Catalyst prune the projections
+  *    being measured);
+  *  - failures are reported as failures (-1 in the per-query map plus an
+  *    `errors` list), never as fast successes;
+  *  - the cache is cleared between queries so ops that `cache()` internal
+  *    stages can't leak memory pressure into later measurements.
   */
 object Bench {
+
+  private def force(spark: SparkSession, sfDir: String,
+                    name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    val t0 = System.nanoTime()
+    val r =
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
+    spark.catalog.clearCache()
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,16 +45,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    queries.foreach { case (n, fn) => force(spark, "/root/testdata/sf0.001", n, fn) } // warmup
+
+    val results = queries.map { case (name, fn) => name -> force(spark, sfDir, name, fn) }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

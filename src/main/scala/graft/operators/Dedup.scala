@@ -9,14 +9,15 @@ import graft.functions.SimHashAgg
   *
   * Scale design:
   *  - exact: one groupBy on a content hash — single shuffle of (hash, id);
-  *  - jaccardPairs: exact all-pairs via shared-shingle join — QUADRATIC in
-  *    colliding docs; correct baseline and the verifier for the LSH path,
-  *    not the 100 TB path itself;
+  *  - jaccardPairs: exact pairs via prefix-filtered set-similarity join —
+  *    candidates only on each doc's globally-rarest shingles, exact
+  *    verification on candidates; linear shuffles, no all-pairs blowup;
   *  - minHashLSH: signature (one groupBy) → band buckets (one groupBy) →
   *    candidate pairs (bucket-local join) → exact verify on candidates
-  *    only. Work is linear in corpus + candidates — this is the scale path;
+  *    only. Work is linear in corpus + candidates;
   *  - simHash: one 64-bit fingerprint per doc via a mergeable Aggregator;
-  *    near-dup ⇔ small Hamming distance, join-free per-doc cost.
+  *    near-dup ⇔ small Hamming distance; pairing via pigeonhole bit-bands
+  *    (bucket-local join, recall 1.0 at the given radius).
   */
 object Dedup {
 
@@ -29,17 +30,46 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** All-pairs exact n-gram Jaccard ≥ `threshold` via shared-shingle join.
-    * d1 < d2; output (d1, d2, jacc).
+  /** All-pairs exact n-gram Jaccard ≥ `threshold` — prefix-filtered
+    * set-similarity join (same results as a naive shared-shingle join,
+    * without its quadratic blowup on common shingles).
+    *
+    * Prefix filter (Chaudhuri/Bayardo/Xiao all-pairs similarity): order
+    * every doc's shingles by ascending global document frequency (ties by
+    * shingle). If J(x,y) ≥ t then |x∩y| ≥ t·max(|x|,|y|), and under any
+    * shared total order the ⌊(1-t)·|d|⌋+1 rarest shingles of x and of y
+    * must intersect — so candidate pairs join only on those rare prefix
+    * shingles (tiny fan-out by construction), and exact Jaccard is
+    * verified on candidates only. Everything is linear shuffles plus the
+    * candidate-local work.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val bg = TextOps.shingleSet(df, idCol, textCol, n).cache()
+    val dfreq = bg.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val ranked = bg.join(dfreq, Seq("sh"))
+      .select(col(idCol), col("sh"),
+        row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rk"),
+        count(lit(1)).over(byDoc).as("n_sh"))
+    val prefix = ranked
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + lit(1))
+    val cand = prefix.select(col(idCol).as("d1"), col("sh"))
+      .join(prefix.select(col(idCol).as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    verifyJaccard(bg, idCol, cand, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs against the
+    * full shingle sets; shared by the prefix-filter and LSH paths.
+    */
+  private def verifyJaccard(bg: DataFrame, idCol: String, cand: DataFrame,
+                            threshold: Double): DataFrame = {
     val sz = bg.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val x = bg.select(col(idCol).as("d1"), col("sh"))
     val y = bg.select(col(idCol).as("d2"), col("sh"))
-    val inter = x.join(y, Seq("sh"))
-      .filter(col("d1") < col("d2"))
+    val inter = cand.join(x, Seq("d1")).join(y, Seq("d2", "sh"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -85,19 +115,7 @@ object Dedup {
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .distinct()
-    // exact verify candidates only
-    val sz = bg.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val x = bg.select(col(idCol).as("d1"), col("sh"))
-    val y = bg.select(col(idCol).as("d2"), col("sh"))
-    val inter = cand.join(x, Seq("d1")).join(y, Seq("d2", "sh"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col(idCol).as("d1"), col("n_sh").as("n1")), Seq("d1"))
-      .join(sz.select(col(idCol).as("d2"), col("n_sh").as("n2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i"))).as("jacc"))
-      .filter(col("jacc") >= threshold)
+    verifyJaccard(bg, idCol, cand, threshold)
   }
 
   /** SimHash fingerprints: one 64-bit fingerprint per doc (mergeable
@@ -109,18 +127,36 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(SimHashAgg.simhash(xxhash64(col("sh"))).as("simhash"))
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. All-pairs on
-    * fingerprints (64 bits/doc — 8 bytes per doc makes even a broadcast
-    * all-pairs feasible far beyond what raw-text comparison allows; a
-    * banded prefix-bucket variant drops the quadratic term when needed).
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, exact, via
+    * pigeonhole banding. The 64-bit fingerprint is split into
+    * maxHamming+1 contiguous bit-bands; any pair within Hamming distance
+    * maxHamming differs in at most maxHamming bands, so it agrees exactly
+    * on at least one — candidates are therefore pairs colliding on
+    * (band, bits), a bucket-local equi join (never all-pairs), and the
+    * exact Hamming filter runs on candidates only. Recall is 1.0 by the
+    * pigeonhole argument; filtering power grows with bits-per-band, so
+    * small maxHamming values bucket hardest.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 2, maxHamming: Int = 10): DataFrame = {
     val fp = simHashFingerprints(df, idCol, textCol, n)
-    val l = fp.select(col(idCol).as("d1"), col("simhash").as("h1"))
-    val r = fp.select(col(idCol).as("d2"), col("simhash").as("h2"))
-    l.crossJoin(r)
-      .filter(col("d1") < col("d2"))
+    val nb = maxHamming + 1
+    val bandCols = (0 until nb).map { b =>
+      val lo = b * 64 / nb
+      val width = (b + 1) * 64 / nb - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val buckets = fp
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    buckets.as("l").join(buckets.as("r"), Seq("band", "bits"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"),
+        col("l.simhash").as("h1"), col("r.simhash").as("h2"))
+      .distinct()
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -103,7 +103,7 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** Tight-loop dot/norm kernels for the dense brute-force paths. A plain
+  /** Tight-loop dot/norm kernels for the dense pairwise path. A plain
     * Scala UDF here beats both the lambda-fold (interpreted per element
     * with boxing) and a posexplode/equi-join shape (materializes N²·dim
     * rows): the loop compiles to primitive double arithmetic, and its
@@ -120,48 +120,33 @@ object Similarity {
     math.sqrt(s)
   })
 
-  /** Spark round() semantics for a double (BigDecimal HALF_UP) — used by
-    * the partition kernel so its output is bit-identical to the
-    * expression-based paths and the oracle.
-    */
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): all pairs
-    * with cosine ≥ threshold.
+    * with cosine ≥ threshold — exact semantics.
     *
-    * Dense-numeric brute force is the one place mapPartitions earns its
-    * keep (SURVEY.md §7.4 preference (d)): one side is broadcast as
-    * primitive arrays and each partition runs a compiled dot-product loop —
-    * no per-pair row materialization, no shuffle. Block-broadcast pattern:
-    * at scale the broadcast side is chunked (outer loop over blocks that
-    * fit executor memory); sub-quadratic alternative is `lshTopK`.
-    * Accumulation order matches the oracle's sequential list_sum.
+    * Distributed block nested-loop: one side is hash-partitioned into
+    * `blocks` buckets on its id, the other is replicated to every bucket
+    * (explode over block ids), and the two meet in a plain equi shuffle
+    * join on the block id. Every unordered pair is examined exactly once
+    * (`d1 < d2`), nothing touches the driver, and no crossJoin enters the
+    * plan; per-pair work is the compiled dot kernel. Shuffle volume is
+    * blocks·N on the replicated side, so `blocks` should track cluster
+    * parallelism. The sub-quadratic path for looser thresholds is
+    * `lshTopK`.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val ds = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    def dotNorm(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val side = ds.collect() // block-broadcast side; chunk at scale
-    val norms = side.map { case (_, v) => math.sqrt(dotNorm(v, v)) }
-    val bc = spark.sparkContext.broadcast((side, norms))
-    ds.mapPartitions { it =>
-      val (others, oNorms) = bc.value
-      it.flatMap { case (d1, v1) =>
-        val n1 = math.sqrt(dotNorm(v1, v1))
-        others.iterator.zipWithIndex.collect {
-          case ((d2, v2), j) if d1 < d2 &&
-            round6(dotNorm(v1, v2) / (n1 * oNorms(j))) >= threshold =>
-            (d1, d2, round6(dotNorm(v1, v2) / (n1 * oNorms(j))))
-        }
-      }
-    }.toDF("d1", "d2", "sim")
+                     threshold: Double, blocks: Int = 32): DataFrame = {
+    val withNorm = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"), normKernel(col(vecCol)).as("nrm"))
+    val l = withNorm.select(
+      col("id").as("d1"), col("vec").as("v1"), col("nrm").as("n1"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
+    val r = withNorm.select(
+      col("id").as("d2"), col("vec").as("v2"), col("nrm").as("n2"),
+      pmod(col("id"), lit(blocks.toLong)).cast("int").as("blk"))
+    l.join(r, Seq("blk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dotKernel(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 }
