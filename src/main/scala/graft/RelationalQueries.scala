@@ -122,6 +122,79 @@ object RelationalQueries {
         Joins.anti(t(s, d, "customer"), ok, Seq("c_custkey")).agg(count(lit(1)).as("cnt"))
     },
 
+    // ---- Theta join: same-nation supplier pairs by account balance ---------
+    // Catalyst extracts the equi conjunct (nk1 = nk2) and plans a hash/SMJ
+    // join with the inequality as a residual filter — never a full
+    // nested-loop over the cross product.
+    Q("join_theta_count",
+      """SELECT COUNT(*) AS cnt FROM supplier a JOIN supplier b
+        |ON a.s_nationkey = b.s_nationkey AND a.s_acctbal > b.s_acctbal""".stripMargin) {
+      (s, d) =>
+        val sup = t(s, d, "supplier")
+        val a = sup.select(col("s_nationkey").as("nk1"), col("s_acctbal").as("b1"))
+        val b = sup.select(col("s_nationkey").as("nk2"), col("s_acctbal").as("b2"))
+        Joins.theta(a, b, col("nk1") === col("nk2") && col("b1") > col("b2"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- Range join: lineitems shipped within 60 days of the order ---------
+    Q("join_range_count",
+      """SELECT COUNT(*) AS cnt FROM lineitem l JOIN orders o
+        |ON l.l_orderkey = o.o_orderkey
+        |AND l.l_shipdate >= o.o_orderdate
+        |AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY""".stripMargin) {
+      (s, d) =>
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+        Joins.range(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"), ord,
+          Seq("l_orderkey"),
+          col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- UNION ALL of different tables (schema-aligned by name) ------------
+    Q("union_all_counts",
+      """SELECT src, COUNT(*) AS cnt, COUNT(mktsegment) AS n_seg FROM (
+        |  SELECT 'cust' AS src, c_mktsegment AS mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT 'supp' AS src, NULL AS mktsegment FROM supplier)
+        |GROUP BY src ORDER BY src""".stripMargin) {
+      (s, d) =>
+        val cust = t(s, d, "customer")
+          .select(lit("cust").as("src"), col("c_mktsegment").as("mktsegment"))
+        val supp = t(s, d, "supplier").select(lit("supp").as("src"))
+        SetOps.unionAll(cust, supp)
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("cnt"), count(col("mktsegment")).as("n_seg"))
+          .orderBy(col("src"))
+    },
+
+    // ---- As-of join: last click at or before each purchase, per user -------
+    // Right side deduped to one row per (user_id, ts) so the as-of winner
+    // is well-defined on both engines.
+    Q("join_asof",
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       p.event_id AS purchase_id, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.ts, purchase_id""".stripMargin) {
+      (s, d) =>
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"))
+          .select(col("user_id"), Det.fmtTs(col("ts")).as("purchase_ts"),
+            col("event_id").as("purchase_id"), col("asof_click_id").as("click_id"))
+          .orderBy(col("user_id"), col("ts"), col("purchase_id"))
+    },
+
     // ---- Ranking window: top-3 lineitems per supplier ----------------------
     Q("window_rank",
       """SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, l_orderkey, l_linenumber, l_extendedprice

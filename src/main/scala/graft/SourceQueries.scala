@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.QueryDefs._
+import graft.operators.Det
+
+/** Source-matrix coverage (SURVEY.md §2.2): export a fixture table through
+  * each non-parquet format, reload it with the generic loaders, and
+  * aggregate — the oracle runs the same aggregate on the ORIGINAL parquet,
+  * so a hash match proves the write→read round trip is lossless (schema
+  * inference included for CSV).
+  *
+  * Reference analogs: `ref:P/storage/CsvFileLoader.java` /
+  * `CsvFileWriter.java` (header + kind inference), `JsonFileLoader.java`,
+  * `OrcFileLoader.java`.
+  *
+  * Aggregates use order-independent decimal sums (Det.dsum), so the
+  * result is invariant to output-file partitioning.
+  */
+object SourceQueries {
+
+  /** Per-sf scratch dir so sf0.01 verify and sf0.1 bench don't collide. */
+  private def ioDir(sfDir: String, leaf: String): String =
+    s"/tmp/graft_io/${new java.io.File(sfDir).getName}/$leaf"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- CSV: header + schema inference round trip -------------------------
+    Q("source_csv_roundtrip",
+      s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "lineitem_csv")
+        Tables.exportCsv(
+          t(s, d, "lineitem").select("l_returnflag", "l_quantity"), out)
+        Tables.csv(s, out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+
+    // ---- JSON round trip ---------------------------------------------------
+    Q("source_json_roundtrip",
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "orders_json")
+        t(s, d, "orders").select("o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").json(out)
+        Tables.json(s, out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first)
+    },
+
+    // ---- ORC round trip ----------------------------------------------------
+    Q("source_orc_roundtrip",
+      s"""SELECT p_brand, COUNT(*) AS cnt, ${sqlDsum("p_retailprice")} AS sum_price
+         |FROM part GROUP BY 1 ORDER BY p_brand ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "part_orc")
+        t(s, d, "part").select("p_brand", "p_retailprice")
+          .write.mode("overwrite").orc(out)
+        Tables.orc(s, out)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("cnt"), Det.dsum(col("p_retailprice")).as("sum_price"))
+          .orderBy(col("p_brand").asc_nulls_first)
+    }
+  )
+}

@@ -15,7 +15,8 @@ import graft.sources.Tables
 object SparkEntry {
 
   private def catalogs: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all ++ EventQueries.all ++ ExtensionQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
+      ExtensionQueries.all ++ SourceQueries.all
 
   /** Flagship interactive session on sf0.001 (SURVEY.md §7.2): open
     * lineitem → brush filter (returnflag='R' ∧ quantity>25) → NextK page

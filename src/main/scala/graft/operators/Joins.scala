@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, last, lit}
 
 /** Joins — beyond the reference's surface (hiero never joins two tables;
   * its `zip` pairs views of one table — SURVEY.md §2.5), but required by
@@ -42,5 +43,42 @@ object Joins {
             rangeCond: Column): DataFrame = {
     val eq = equiKeys.map(k => left(k) === right(k)).reduceOption(_ && _)
     left.join(right, eq.map(_ && rangeCond).getOrElse(rangeCond))
+  }
+
+  /** As-of join (left outer): for every left row, attach `payload` columns
+    * from the latest right row with rightTs <= leftTs (inclusive) in the
+    * same `keys` group; null when no prior right row exists.
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` over a
+    * (keys)-partitioned window ordered by (ts, side) — a single shuffle on
+    * the keys, no join, no per-row probe, which is the plan that survives
+    * a 100× scale-up (an equi-join + filter + re-rank shape would shuffle
+    * the same data twice and materialize every candidate pair).
+    *
+    * Right rows should be unique per (keys, rightTs) — pre-aggregate ties
+    * away — otherwise which of the tied rows wins is unspecified.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lAligned = left.select(
+      Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+    val rAligned = right.select(
+      Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        keys.map(col) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(lAligned.unionByName(rAligned)) { (d, p) =>
+      d.withColumn(s"asof_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
   }
 }
