@@ -11,7 +11,47 @@ import graft.QueryDefs._
   */
 object CoreQueries {
 
+  /** Columns of the correlation-matrix / PCA sketches. */
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Oracle for `correlation_matrix`: the same exact-decimal moment sums
+    * and the same IEEE derivation as Stats.correlationMatrix, unpivoted to
+    * one row per (col_x, col_y) pair.
+    */
+  private def corrMatrixSql: String = {
+    val idx = corrCols.indices
+    val sums = corrCols.zipWithIndex.map { case (c, i) => s"${sqlDsum(c)} AS s_$i" }
+    val prods = for (i <- idx; j <- idx if i <= j)
+      yield s"${sqlDsum(s"${corrCols(i)}*${corrCols(j)}")} AS sp_${i}_$j"
+    val cells = for (i <- idx; j <- idx if i <= j) yield
+      s"""SELECT '${corrCols(i)}' AS col_x, '${corrCols(j)}' AS col_y,
+         |round((sp_${i}_$j - s_$i*s_$j/n) /
+         |  (sqrt(sp_${i}_$i - s_$i*s_$i/n) * sqrt(sp_${j}_$j - s_$j*s_$j/n)), 6) AS corr_val
+         |FROM m""".stripMargin
+    s"""WITH m AS (SELECT COUNT(*) AS n, ${(sums ++ prods).mkString(", ")} FROM lineitem)
+       |${cells.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- CorrMatrixSketch: full pairwise matrix, single pass ---------------
+    Q("correlation_matrix", corrMatrixSql) {
+      (s, d) => Stats.correlationMatrix(t(s, d, "lineitem"), corrCols)
+        .select(col("col_x"), col("col_y"), round(col("corr_val"), 6).as("corr_val"))
+        .orderBy(col("col_x"), col("col_y"))
+    },
+
+    // ---- PCA projection (moment sketch → driver eigen → codegen'd
+    // linear projection; eigenvector signs are impl-defined → no oracle,
+    // PCASpec pins the invariants) --------------------------------------
+    Q.noOracle("pca_projection") {
+      (s, d) => Stats.pcaProject(
+        t(s, d, "lineitem").filter(col("l_suppkey") <= 5), corrCols, 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("pc_0"), 6).as("pc_0"), round(col("pc_1"), 6).as("pc_1"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("pc_0"), col("pc_1"))
+    },
 
     // ---- SummarySketch: row count + presence -------------------------------
     Q("summary_count",

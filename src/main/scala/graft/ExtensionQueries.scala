@@ -191,6 +191,17 @@ object ExtensionQueries {
         .agg(MisraGries.sketch(col("l_returnflag"), 10).as("mg"))
         .select(explode(col("mg")).as(Seq("value", "cnt")))
         .orderBy(col("value").asc_nulls_first)
+    },
+
+    // ---- Misra-Gries over a tuple key (reference sketches schema subsets) --
+    Q("heavy_hitters_mg_tuple",
+      """SELECT l_returnflag || '|' || l_linestatus AS value, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY value ASC NULLS FIRST""".stripMargin) {
+      (s, d) => t(s, d, "lineitem")
+        .agg(MisraGries.sketchTuple(
+          Seq(col("l_returnflag"), col("l_linestatus")), 10, "|").as("mg"))
+        .select(explode(col("mg")).as(Seq("value", "cnt")))
+        .orderBy(col("value").asc_nulls_first)
     }
   )
 }

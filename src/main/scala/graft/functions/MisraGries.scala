@@ -1,8 +1,10 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{concat_ws, udaf}
 
 /** Misra-Gries heavy-hitters sketch as a typed Spark Aggregator.
   *
@@ -19,38 +21,46 @@ import org.apache.spark.sql.functions.udaf
   *  - merge: sum counts, then subtract the (k+1)-th largest count from all
   *    and drop non-positives (standard mergeable-summaries result).
   *
-  * Scale: this is the shuffle-free path for unbounded-cardinality keys —
-  * partial aggregation produces one ≤k-entry map per partition, merged on
-  * the driver/reducer like the reference's merge tree. The exact
-  * `HeavyHitters.exact` path shuffles (key, partialCount) pairs instead;
-  * tests cross-check the two.
+  * The buffer is a mutable hash map updated in place per row — the
+  * Aggregator runs as a TypedImperativeAggregate, so the object lives
+  * across updates and is only (kryo-)serialized at partial/final shuffle
+  * boundaries. Scale: this is the shuffle-free path for
+  * unbounded-cardinality keys — partial aggregation produces one
+  * ≤k-entry map per partition, merged like the reference's merge tree.
+  * The exact `HeavyHitters.exact` path shuffles (key, partialCount)
+  * pairs instead; tests cross-check the two.
   */
-class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+class MisraGries(k: Int)
+    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
   require(k > 0)
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], a: String): Map[String, Long] = {
-    val m = b.updatedWith(a) { c => Some(c.getOrElse(0L) + 1L) }
-    if (m.size <= k) m else compress(m)
+  override def reduce(b: mutable.HashMap[String, Long], a: String): mutable.HashMap[String, Long] = {
+    b(a) = b.getOrElse(a, 0L) + 1L
+    if (b.size > k) compress(b)
+    b
   }
 
-  override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
-    val m = b2.foldLeft(b1) { case (acc, (v, c)) =>
-      acc.updatedWith(v)(x => Some(x.getOrElse(0L) + c))
-    }
-    if (m.size <= k) m else compress(m)
+  override def merge(b1: mutable.HashMap[String, Long],
+                     b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    val (into, from) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+    from.foreach { case (v, c) => into(v) = into.getOrElse(v, 0L) + c }
+    if (into.size > k) compress(into)
+    into
   }
 
   /** Subtract the (k+1)-th largest count from every counter; drop ≤ 0. */
-  private def compress(m: Map[String, Long]): Map[String, Long] = {
-    val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-    m.collect { case (v, c) if c - d > 0 => v -> (c - d) }
+  private def compress(m: mutable.HashMap[String, Long]): Unit = {
+    val d = m.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
+    m.mapValuesInPlace((_, c) => c - d)
+    m.filterInPlace((_, c) => c > 0)
   }
 
-  override def finish(reduction: Map[String, Long]): Map[String, Long] = reduction
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def finish(reduction: mutable.HashMap[String, Long]): Map[String, Long] =
+    reduction.toMap
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
@@ -59,4 +69,14 @@ object MisraGries {
   /** Column form: mg_sketch(col) → map<string,bigint> of candidates. */
   def sketch(c: Column, k: Int): Column =
     udaf(new MisraGries(k), Encoders.STRING).apply(c)
+
+  /** Tuple-key form — the reference sketches multi-column rows
+    * (`ref:P/sketches/FreqKSketch.java` over a schema subset): the key is
+    * the separator-joined string rendering of the columns. `concat_ws`
+    * skips nulls, so null and empty-string tuple parts collide; callers
+    * needing null fidelity should pre-encode.
+    */
+  def sketchTuple(cols: Seq[Column], k: Int, sep: String = ""): Column =
+    udaf(new MisraGries(k), Encoders.STRING)
+      .apply(concat_ws(sep, cols.map(_.cast("string")): _*))
 }

@@ -93,6 +93,102 @@ object Stats {
       .select(col("p.col_x"), col("p.col_y"), col("p.corr_val"))
   }
 
+  /** Jacobi eigendecomposition of a small symmetric matrix (driver-side;
+    * the reference likewise eigendecomposes the merged moment matrix at
+    * the root — `ref:P/sketches/PCACorrelationSketch.java`, paper §4.5).
+    * Returns (eigenvalues desc, eigenvectors as rows in matching order).
+    * Pure Scala (no linear-algebra dependency); cyclic Jacobi converges
+    * quadratically for the ≤ tens-of-columns matrices this engine sees.
+    */
+  def symmetricEigen(m0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- 0 until n if i != j) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offDiag > 1e-22) {
+      for (p <- 0 until n - 1; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var i = 0
+        while (i < n) { // A ← A·R (columns p, q)
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+          i += 1
+        }
+        i = 0
+        while (i < n) { // A ← Rᵀ·A (rows p, q)
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+          i += 1
+        }
+        i = 0
+        while (i < n) { // V ← V·R (eigenvector accumulation)
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+          i += 1
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(j => -a(j)(j))
+    val vals = order.map(j => a(j)(j)).toArray
+    val vecs = order.map(j => Array.tabulate(n)(i => v(i)(j))).toArray
+    (vals, vecs)
+  }
+
+  /** PCA of the given numeric columns: one exact-moment aggregation pass
+    * (the sketch — a single small row leaves the cluster), covariance at
+    * the driver, Jacobi eigen. Returns (means, eigenvalues desc,
+    * components as rows).
+    */
+  def pcaComponents(df: DataFrame, columns: Seq[String])
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val k = columns.length
+    val aggs =
+      columns.map(c => Det.dsum(col(c).cast("double")).as(s"s_$c")) ++
+        (for (i <- 0 until k; j <- i until k)
+          yield Det.dsum(col(columns(i)).cast("double") * col(columns(j)).cast("double"))
+            .as(s"sp_${i}_$j")) :+ count(lit(1)).as("n")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n").toDouble
+    val s = columns.map(c => row.getAs[Double](s"s_$c")).toArray
+    val cov = Array.tabulate(k, k) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      (row.getAs[Double](s"sp_${a}_$b") - s(i) * s(j) / n) / (n - 1.0)
+    }
+    val (vals, vecs) = symmetricEigen(cov)
+    (s.map(_ / n), vals, vecs)
+  }
+
+  /** Project rows onto the top `nComponents` principal components —
+    * `LinearProjectionMap` fed by the PCA sketch, exactly the reference's
+    * PCA-to-screen path. The projection itself is codegen'd weighted
+    * column sums; only the k×k moment matrix ever reaches the driver.
+    */
+  def pcaProject(df: DataFrame, columns: Seq[String], nComponents: Int,
+                 outPrefix: String = "pc_"): DataFrame = {
+    val (means, _, vecs) = pcaComponents(df, columns)
+    val top = vecs.take(nComponents)
+    val projected = Projections.linearProjection(
+      df, columns, top.map(_.toSeq).toSeq, outPrefix)
+    top.zipWithIndex.foldLeft(projected) { case (d, (w, i)) =>
+      val offset = w.zip(means).map { case (wi, mi) => wi * mi }.sum
+      d.withColumn(s"$outPrefix$i", col(s"$outPrefix$i") - lit(offset))
+    }
+  }
+
   /** Per-category centroids of numeric columns — `CentroidsSketch`
     * (LAMP control points). avg = exact sum / count.
     */

@@ -87,6 +87,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty, "no shared fingerprints for overlapping text")
   }
 
+  test("Misra-Gries Spark aggregator in the sketch regime vs exact counts") {
+    // k=20 well below distinct l_partkey count — MG guarantee, not exact:
+    // every key with freq > N/(k+1) present; counts are lower bounds
+    // within N/(k+1). Cross-checks the Aggregator against the exact
+    // groupBy path on real distributed partitions.
+    val k = 20
+    val li = sources.Tables.open(spark, sf, "lineitem")
+    val n = li.count()
+    val exact = li.groupBy(col("l_partkey")).count().collect()
+      .map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val mg = li.agg(graft.functions.MisraGries
+        .sketch(col("l_partkey").cast("string"), k).as("mg"))
+      .select(explode(col("mg")).as(Seq("value", "cnt"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / (k + 1)
+    exact.foreach { case (v, c) =>
+      if (c > bound) assert(mg.contains(v), s"missed heavy key $v (freq $c > $bound)")
+    }
+    mg.foreach { case (v, c) =>
+      val t = exact.getOrElse(v, 0L)
+      assert(c <= t, s"overcount $v: $c > $t")
+      assert(c >= t - bound, s"undercount beyond bound for $v: $c < $t - $bound")
+    }
+  }
+
   test("multimodal plumbing: asset schema, features, frame samples") {
     val assets = Multimodal.toAsset(docs, "doc_id", "text", "text/plain")
     val schema = assets.schema("asset").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]

@@ -14,7 +14,7 @@ class MisraGriesSpec extends AnyFunSuite {
   private val k = 5
   private val alphabet = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
 
-  private def runPartitioned(xs: Seq[String], splits: Int): Map[String, Long] = {
+  private def runPartitioned(xs: Seq[String], splits: Int): collection.Map[String, Long] = {
     val mg = new MisraGries(k)
     val parts = if (splits <= 1) Seq(xs)
       else xs.grouped(math.max(1, xs.length / splits)).toSeq
@@ -65,12 +65,17 @@ class MisraGriesSpec extends AnyFunSuite {
   }
 
   test("merge is commutative on the result set") {
-    val rnd = new scala.util.Random(11L)
     val mg = new MisraGries(k)
-    (1 to 100).foreach { _ =>
-      val a = List.fill(100)(alphabet(rnd.nextInt(10))).foldLeft(mg.zero)(mg.reduce)
-      val b = List.fill(100)(alphabet(rnd.nextInt(10))).foldLeft(mg.zero)(mg.reduce)
-      assert(mg.merge(a, b) == mg.merge(b, a))
+    // merge may mutate its arguments (mutable buffer) — rebuild fresh
+    // buffers for each merge order from the same seeds
+    def build(seed: Long) = {
+      val rnd = new scala.util.Random(seed)
+      List.fill(100)(alphabet(rnd.nextInt(10))).foldLeft(mg.zero)(mg.reduce)
+    }
+    (1 to 100).foreach { i =>
+      val r1 = mg.merge(build(2L * i), build(2L * i + 1))
+      val r2 = mg.merge(build(2L * i + 1), build(2L * i))
+      assert(r1 == r2)
     }
   }
 
