@@ -53,6 +53,25 @@ object CoreQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("pc_0"), col("pc_1"))
     },
 
+    // ---- View/session layer: open → brush child → memoized sketch ---------
+    // The full interactive flow (object-id registry, lineage, job-grouped
+    // memoized sketch) producing a histogram the oracle can check; the
+    // sketch runs twice so the second call exercises the memo path.
+    Q("view_session_flow",
+      """SELECT LEAST(CAST(FLOOR((l_extendedprice - CAST(900 AS DOUBLE))/CAST(2602.5 AS DOUBLE)) AS INTEGER), 39) AS bucket,
+        |COUNT(*) AS cnt FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_extendedprice BETWEEN 900 AND 105000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        val session = new ViewSession(s)
+        val root = session.open("lineitem", t(s, d, "lineitem"))
+        val brushed = session.child(root, "brush")(_.filter(col("l_returnflag") === "R"))
+        def run() = session.sketch(brushed, "hist:l_extendedprice:40")(
+          Histograms.histogram1d(_, "l_extendedprice", 900.0, 105000.0, 40))
+        run()
+        run() // memo hit
+    },
+
     // ---- SummarySketch: row count + presence -------------------------------
     Q("summary_count",
       "SELECT COUNT(*) AS row_count, COUNT(l_extendedprice) AS present_count FROM lineitem") {

@@ -5,22 +5,32 @@ import graft.operators._
 import graft.QueryDefs._
 
 /** Event-time windowing over the `events` table (SURVEY.md §2.9): tumbling,
-  * sliding, and session windows in batch form. The same expressions run
-  * under Structured Streaming in graft.streaming (watermarked), exercised
-  * by tests — the batch results below are the correctness oracle for both.
+  * sliding, and session windows in batch form, plus the streaming twin of
+  * the tumbling query (`graft.streaming.StreamWindows` — readStream +
+  * watermark by file replay; StreamingSpec asserts stream ≡ batch for all
+  * three window shapes).
   *
   * `events.ts` is nanos in parquet; the Spark loader truncates to µs
   * (Tables.open), and the oracle mirrors with CAST(ts AS TIMESTAMP).
   */
 object EventQueries {
 
+  private val tumblingOracle =
+    s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
 
-    // ---- Tumbling 1h window ------------------------------------------------
-    Q("events_time_window",
-      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
-         |event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+    // ---- Tumbling window under Structured Streaming (same oracle as the
+    // batch query: the stream must converge to the identical result) ----
+    Q("events_stream_tumbling", tumblingOracle) {
+      (s, d) => graft.streaming.StreamWindows.tumbling(s, d)
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // ---- Tumbling 1h window (batch) ----------------------------------------
+    Q("events_time_window", tumblingOracle) {
       (s, d) => TimeWindows.tumbling(t(s, d, "events"), "ts", "1 hour", Seq("event_type"),
         Seq(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value")))
         .select(col("window_start"), col("event_type"), col("cnt"), col("sum_value"))

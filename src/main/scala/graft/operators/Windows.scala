@@ -54,7 +54,9 @@ object Windows {
 }
 
 /** Event-time windows over a timestamp column (batch form; the streaming
-  * form reuses the same expressions under readStream — graft.streaming).
+  * form reuses the same expressions under readStream + watermark —
+  * `graft.streaming.StreamWindows`, asserted stream ≡ batch by
+  * StreamingSpec).
   */
 object TimeWindows {
 

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Det, TimeWindows}
+import graft.streaming.StreamWindows
+
+/** Streaming ≡ batch equivalence (SURVEY.md §5): every streamed event-time
+  * window query replayed over the fixture parquet must produce exactly the
+  * batch result — the reference's parallel≡local invariant transplanted to
+  * the micro-batch axis.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  private lazy val events = sources.Tables.open(spark, sf, "events")
+
+  test("streamed tumbling windows equal batch") {
+    val batch = TimeWindows.tumbling(events, "ts", "1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value")))
+      .select("window_start", "event_type", "cnt", "sum_value")
+    val stream = StreamWindows.tumbling(spark, sf)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("streamed sliding windows equal batch") {
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("ws_epoch"), col("event_type"), col("cnt"))
+    val stream = StreamWindows.sliding(spark, sf)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("streamed session windows equal batch") {
+    val batch = TimeWindows.session(events, "ts", "30 minutes", Seq("user_id"),
+      Seq(count(lit(1)).as("cnt")))
+      .select("user_id", "session_start", "cnt")
+    val stream = StreamWindows.session(spark, sf)
+      .select("user_id", "session_start", "cnt")
+    assert(canon(stream) == canon(batch))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import graft.operators.Histograms
+
+/** View/session-layer checks: lineage, sketch memoization, job-group
+  * cancellation, progressive partials (the reference's interactive model).
+  */
+class ViewSpec extends SparkSpec {
+
+  private def newSession = new ViewSession(spark)
+
+  test("child views chain lineage and stay lazy over the parent plan") {
+    val s = newSession
+    val root = s.open("lineitem", sources.Tables.open(spark, sf, "lineitem"))
+    val brushed = s.child(root, "brush")(_.filter(col("l_returnflag") === "R"))
+    val zoomed = s.child(brushed, "zoom")(_.filter(col("l_quantity") > 25))
+    assert(s.lineage(zoomed) == List(root, brushed, zoomed))
+    assert(s(zoomed).df.count() > 0)
+    // purge of the middle view must not break the child (plan captured)
+    s.purge(brushed)
+    assert(s(zoomed).df.count() > 0)
+  }
+
+  test("sketch results are memoized per (view, op) and served without recompute") {
+    val s = newSession
+    var evals = 0
+    val root = s.open("lineitem", sources.Tables.open(spark, sf, "lineitem"))
+    def run() = s.sketch(root, "hist:l_extendedprice:40") { df =>
+      evals += 1
+      Histograms.histogram1d(df, "l_extendedprice", 900.0, 105000.0, 40)
+    }
+    val first = run().collect()
+    val second = run().collect()
+    assert(evals == 1, "op must evaluate once")
+    assert(s.memoHits == 1)
+    assert(first.toSeq == second.toSeq)
+    // a different view over the same data memoizes separately
+    val other = s.child(root, "id")(identity)
+    s.sketch(other, "hist:l_extendedprice:40") { df =>
+      evals += 1
+      Histograms.histogram1d(df, "l_extendedprice", 900.0, 105000.0, 40)
+    }
+    assert(evals == 2)
+  }
+
+  test("cancel(viewId) aborts a running sketch job") {
+    val s = newSession
+    val big = s.open("big", spark.range(40L * 1000 * 1000 * 1000).toDF("id"))
+    val fut = Future {
+      s.sketch(big, "slow-sum")(
+        _.agg(sum(sqrt(col("id").cast("double")) * col("id").cast("double"))))
+    }
+    Thread.sleep(2000) // let the job start
+    s.cancel(big)
+    val err = intercept[Exception](Await.result(fut, 60.seconds))
+    val msg = (err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(msg.contains("cancel"), s"expected cancellation, got: $msg")
+  }
+
+  test("progressive partials refine monotonically to the exact result") {
+    val s = newSession
+    val root = s.open("lineitem", sources.Tables.open(spark, sf, "lineitem"))
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Histograms.histogram1d(df, "l_extendedprice", 900.0, 105000.0, 40)
+    val merge = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      a.unionByName(b).groupBy("bucket").agg(sum("cnt").as("cnt")).orderBy("bucket")
+    val steps = s.progressive(root, 4, hist, merge).map { case (p, df) =>
+      (p, df.agg(sum("cnt")).head.getLong(0))
+    }.toList
+    assert(steps.map(_._1) == List(0.25, 0.5, 0.75, 1.0))
+    assert(steps.map(_._2) == steps.map(_._2).sorted, "partial totals must be monotone")
+    val exact = hist(s(root).df).agg(sum("cnt")).head.getLong(0)
+    assert(steps.last._2 == exact, "final partial equals the direct sketch")
+  }
+
+  test("resolution-aware sampling rate follows the paper's formula") {
+    val s = newSession
+    assert(s.samplingRate(1000L, 100, 40) == 1.0) // small data: no sampling
+    val r = s.samplingRate(100L * 1000 * 1000 * 1000, 100, 40)
+    assert(r > 0 && r < 0.01, s"big data must sample hard, got $r")
+    assert(s.samplingRate(0L, 100, 40) == 1.0)
+  }
+}
