@@ -47,7 +47,10 @@ object ExtensionQueries {
          |  SELECT d1, d2, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
          |  FROM inter JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2)
          |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin) {
-      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 2, 0.5)
+      // dense block-pair form: the fixture's ~900-bigram vocabulary defeats
+      // prefix filtering (every shingle is common); ExtensionOpsSpec
+      // asserts dense ≡ prefix-filtered on the same corpus
+      (s, d) => Dedup.jaccardPairsDense(t(s, d, "documents"), "doc_id", "text", 2, 0.5)
         .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc"))
         .orderBy(col("d1"), col("d2"))
     },

@@ -61,6 +61,62 @@ object Dedup {
     verifyJaccard(bg, idCol, cand, threshold)
   }
 
+  /** All-pairs exact n-gram Jaccard ≥ `threshold` — dense block-pair form.
+    *
+    * Exactly equivalent to `jaccardPairs`, built for corpora where prefix
+    * filtering cannot prune (small/shared vocabularies: every shingle is
+    * common, so candidate joins explode — the fixture corpus has ~900
+    * distinct bigrams across 5000 docs). Shingles are dictionary-encoded
+    * to ints (one tiny distinct + rank pass), each doc becomes one sorted
+    * int array, and a cogrouped block nested-loop (same shape as
+    * `Similarity.cosineDupPairs`) counts intersections with a linear
+    * merge over primitive arrays — no shuffle of candidate pairs at all.
+    * Pair cost is the irreducible N²/2 merges; for corpora too large for
+    * any all-pairs walk, `minHashLSH` is the sub-quadratic path and
+    * `jaccardPairs` the exact sub-quadratic path on diverse vocabularies.
+    */
+  def jaccardPairsDense(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2, threshold: Double = 0.5,
+                        blocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bg = TextOps.shingleSet(df, idCol, textCol, n).cache()
+    val dict = bg.select(col("sh")).distinct()
+      .withColumn("sh_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sh"))))
+    val docs = bg.join(dict, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("sh_id"))).as("ids"))
+      .select(col(idCol).cast("long"), col("ids"))
+      .as[(Long, Array[Int])]
+    def intersect(a: Array[Int], b: Array[Int]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    }
+    val replicated = docs.flatMap { case (id, ids) =>
+      Iterator.range(0, blocks).map(b => (b, id, ids))
+    }
+    val bucketed = docs.map { case (id, ids) => ((id % blocks).toInt.abs, id, ids) }
+    replicated.groupByKey(_._1).cogroup(bucketed.groupByKey(_._1)) { (_, ls, rs) =>
+      val right = rs.map { case (_, id, ids) => (id, ids) }.toArray
+      ls.flatMap { case (_, d1, ids1) =>
+        right.iterator.collect {
+          case (d2, ids2) if d1 < d2 && {
+            val i = intersect(ids1, ids2)
+            i.toDouble / (ids1.length + ids2.length - i) >= threshold
+          } =>
+            val i = intersect(ids1, ids2)
+            (d1, d2, i.toDouble / (ids1.length + ids2.length - i))
+        }
+      }
+    }.toDF("d1", "d2", "jacc")
+  }
+
   /** Exact-Jaccard verification of candidate (d1, d2) pairs against the
     * full shingle sets; shared by the prefix-filter and LSH paths.
     */

@@ -103,50 +103,53 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** Tight-loop dot/norm kernels for the dense pairwise path. A plain
-    * Scala UDF here beats both the lambda-fold (interpreted per element
-    * with boxing) and a posexplode/equi-join shape (materializes N²·dim
-    * rows): the loop compiles to primitive double arithmetic, and its
-    * sequential accumulation order matches the oracle's list_sum.
+  /** Spark round() semantics for a double (BigDecimal HALF_UP) — keeps the
+    * partition-kernel output bit-identical to the expression paths and the
+    * oracle's round().
     */
-  private val dotKernel = udf((a: Seq[Float], b: Seq[Float]) => {
-    var s = 0.0; var i = 0; val n = a.length
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
-  private val normKernel = udf((a: Seq[Float]) => {
-    var s = 0.0; var i = 0; val n = a.length
-    while (i < n) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(s)
-  })
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): all pairs
     * with cosine ≥ threshold — exact semantics.
     *
-    * Distributed block nested-loop: one side is hash-partitioned into
-    * `blocks` buckets on its id, the other is replicated to every bucket
-    * (explode over block ids), and the two meet in a plain equi shuffle
-    * join on the block id. Every unordered pair is examined exactly once
-    * (`d1 < d2`), nothing touches the driver, and no crossJoin enters the
-    * plan; per-pair work is the compiled dot kernel. Shuffle volume is
-    * blocks·N on the replicated side, so `blocks` should track cluster
-    * parallelism. The sub-quadratic path for looser thresholds is
-    * `lshTopK`.
+    * Distributed block nested-loop via cogroup: the corpus is
+    * hash-partitioned into `blocks` buckets on id; the other side is
+    * replicated to every bucket; cogrouping on the bucket id meets every
+    * unordered pair exactly once (`d1 < d2`). Inside each bucket the
+    * bucket-local rows are decoded to primitive float arrays ONCE and the
+    * pair loop is compiled double arithmetic — no per-pair row conversion,
+    * no crossJoin, nothing on the driver. Decode cost is N·(blocks+1)
+    * rows; pair cost is the irreducible N²/2 dot products. The
+    * sub-quadratic path for looser thresholds is `lshTopK`.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, blocks: Int = 32): DataFrame = {
-    val withNorm = emb.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("vec"), normKernel(col(vecCol)).as("nrm"))
-    val l = withNorm.select(
-      col("id").as("d1"), col("vec").as("v1"), col("nrm").as("n1"),
-      explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
-    val r = withNorm.select(
-      col("id").as("d2"), col("vec").as("v2"), col("nrm").as("n2"),
-      pmod(col("id"), lit(blocks.toLong)).cast("int").as("blk"))
-    l.join(r, Seq("blk"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(dotKernel(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0; val n = a.length
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val base = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val replicated = base.flatMap { case (id, v) =>
+      Iterator.range(0, blocks).map(b => (b, id, v))
+    }
+    val bucketed = base.map { case (id, v) =>
+      ((id % blocks).toInt.abs, id, v)
+    }
+    replicated.groupByKey(_._1).cogroup(bucketed.groupByKey(_._1)) { (_, ls, rs) =>
+      val right = rs.map { case (_, id, v) => (id, v, math.sqrt(dot(v, v))) }.toArray
+      ls.flatMap { case (_, d1, v1) =>
+        val n1 = math.sqrt(dot(v1, v1))
+        right.iterator.collect {
+          case (d2, v2, n2) if d1 < d2 &&
+            round6(dot(v1, v2) / (n1 * n2)) >= threshold =>
+            (d1, d2, round6(dot(v1, v2) / (n1 * n2)))
+        }
+      }
+    }.toDF("d1", "d2", "sim")
   }
 }

@@ -30,11 +30,17 @@ object TextOps {
 
   /** (doc_id, shingle) distinct pairs for a text column — the shared input
     * of Jaccard / MinHash / SimHash dedup.
+    *
+    * The token array is materialized as its own projection first: inlining
+    * `split()` into the shingle lambda would re-run the regex split for
+    * every `element_at` of every shingle (O(tokens²) splits per doc —
+    * higher-order functions evaluate interpreted, with no common-subexpr
+    * elimination inside the lambda).
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val t = tokens(col(textCol))
-    val sh = if (n == 1) t else shingles(t, n)
-    df.select(col(idCol), explode(sh).as("sh")).distinct()
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val sh = if (n == 1) col("__toks") else shingles(col("__toks"), n)
+    withToks.select(col(idCol), explode(sh).as("sh")).distinct()
   }
 
   /** Token count per document. */

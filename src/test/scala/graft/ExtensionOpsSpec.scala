@@ -20,6 +20,16 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(exactPairs.nonEmpty)
   }
 
+  test("dense block-pair Jaccard equals the prefix-filtered exact join") {
+    val dense = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+      .select(round(col("jacc"), 6).as("j"), col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(0))).toSet
+    val prefix = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .select(round(col("jacc"), 6).as("j"), col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(0))).toSet
+    assert(dense == prefix)
+  }
+
   test("MinHash-LSH finds exactly the exact-Jaccard pairs at threshold 0.5") {
     val lsh = Dedup.minHashLSH(docs, "doc_id", "text", 2, 8, 4, 0.5)
       .select("d1", "d2").collect()
