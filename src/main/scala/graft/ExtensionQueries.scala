@@ -50,22 +50,25 @@ object ExtensionQueries {
       // dense block-pair form: the fixture's ~900-bigram vocabulary defeats
       // prefix filtering (every shingle is common); ExtensionOpsSpec
       // asserts dense ≡ prefix-filtered on the same corpus
-      (s, d) => Dedup.jaccardPairsDense(t(s, d, "documents"), "doc_id", "text", 2, 0.5)
-        .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc"))
-        .orderBy(col("d1"), col("d2"))
+      (s, d) => sortSmall(
+        Dedup.jaccardPairsDense(t(s, d, "documents"), "doc_id", "text", 2, 0.5)
+          .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc")),
+        col("d1"), col("d2"))
     },
 
     // ---- MinHash + LSH near-dup (scale path; verified vs exact in tests) ---
     Q.noOracle("dedup_minhash_lsh") {
-      (s, d) => Dedup.minHashLSH(t(s, d, "documents"), "doc_id", "text")
-        .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc"))
-        .orderBy(col("d1"), col("d2"))
+      (s, d) => sortSmall(
+        Dedup.minHashLSH(t(s, d, "documents"), "doc_id", "text")
+          .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc")),
+        col("d1"), col("d2"))
     },
 
     // ---- SimHash near-dup (Hamming ≤ 10) -----------------------------------
     Q.noOracle("dedup_simhash") {
-      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("d1"), col("d2"))
+      (s, d) => sortSmall(
+        Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text"),
+        col("d1"), col("d2"))
     },
 
     // ---- Embedding-cosine near-dup pairs -----------------------------------
@@ -80,8 +83,9 @@ object ExtensionQueries {
         |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |SELECT d1, d2, sim FROM c WHERE sim >= 0.45 ORDER BY d1, d2""".stripMargin) {
-      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
-        .orderBy(col("d1"), col("d2"))
+      (s, d) => sortSmall(
+        Similarity.cosineDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45),
+        col("d1"), col("d2"))
     },
 
     // ---- Brute-force cosine top-k (ANN baseline) ---------------------------

@@ -23,6 +23,16 @@ object Q {
 object QueryDefs {
   def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.open(s, dir, name)
 
+  /** Total-order sort for a SMALL result of an EXPENSIVE pipeline.
+    * A plain orderBy inserts a range-partitioning exchange whose bounds
+    * sampling job executes the whole child plan a second time; collapsing
+    * to one partition first (shuffle boundary — upstream parallelism is
+    * preserved) sorts the few output rows in place with a single
+    * execution.
+    */
+  def sortSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Exact-decimal sum fragment for oracle SQL (mirror of Det.dsum). */
   def sqlDsum(exprSql: String): String =
     s"CAST(SUM(CAST($exprSql AS DECIMAL(30,6))) AS DOUBLE)"

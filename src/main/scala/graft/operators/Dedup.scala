@@ -66,30 +66,26 @@ object Dedup {
     * Exactly equivalent to `jaccardPairs`, built for corpora where prefix
     * filtering cannot prune (small/shared vocabularies: every shingle is
     * common, so candidate joins explode — the fixture corpus has ~900
-    * distinct bigrams across 5000 docs). Shingles are dictionary-encoded
-    * to ints (one tiny distinct + rank pass), each doc becomes one sorted
-    * int array, and a cogrouped block nested-loop (same shape as
-    * `Similarity.cosineDupPairs`) counts intersections with a linear
-    * merge over primitive arrays — no shuffle of candidate pairs at all.
-    * Pair cost is the irreducible N²/2 merges; for corpora too large for
-    * any all-pairs walk, `minHashLSH` is the sub-quadratic path and
-    * `jaccardPairs` the exact sub-quadratic path on diverse vocabularies.
+    * distinct bigrams across 5000 docs). Each doc becomes one sorted
+    * array of 64-bit shingle hashes (no global dictionary, so nothing
+    * needs a global pass), and a block nested-loop counts intersections
+    * with a linear merge over primitive arrays — no shuffle of candidate
+    * pairs at all. Pair cost is the irreducible N²/2 merges; for corpora
+    * too large for any all-pairs walk, `minHashLSH` is the sub-quadratic
+    * path and `jaccardPairs` the exact sub-quadratic path on diverse
+    * vocabularies.
     */
   def jaccardPairsDense(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, threshold: Double = 0.5,
-                        blocks: Int = 32): DataFrame = {
+                        blocks: Int = 128): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bg = TextOps.shingleSet(df, idCol, textCol, n).cache()
-    val dict = bg.select(col("sh")).distinct()
-      .withColumn("sh_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("sh"))))
-    val docs = bg.join(dict, Seq("sh"))
+    val docs = TextOps.shingleSet(df, idCol, textCol, n)
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("sh_id"))).as("ids"))
+      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("ids"))
       .select(col(idCol).cast("long"), col("ids"))
-      .as[(Long, Array[Int])]
-    def intersect(a: Array[Int], b: Array[Int]): Int = {
+      .as[(Long, Array[Long])]
+    def intersect(a: Array[Long], b: Array[Long]): Int = {
       var i = 0; var j = 0; var c = 0
       while (i < a.length && j < b.length) {
         if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
@@ -98,20 +94,35 @@ object Dedup {
       }
       c
     }
-    val replicated = docs.flatMap { case (id, ids) =>
-      Iterator.range(0, blocks).map(b => (b, id, ids))
+    // one emit per (doc, block): every doc is a probe ("left") in every
+    // block and a build ("right") row in its own block only — a single
+    // upstream evaluation. The pair loop is CPU-bound on tiny bytes, so
+    // the shuffle uses an EXPLICIT partition count (exempt from AQE
+    // partition coalescing, which would fold the whole quadratic loop
+    // into one task by byte-size heuristics).
+    val tagged = docs.flatMap { case (id, ids) =>
+      val own = (id % blocks).toInt.abs
+      Iterator.range(0, blocks).map(b => (b, b == own, id, ids))
     }
-    val bucketed = docs.map { case (id, ids) => ((id % blocks).toInt.abs, id, ids) }
-    replicated.groupByKey(_._1).cogroup(bucketed.groupByKey(_._1)) { (_, ls, rs) =>
-      val right = rs.map { case (_, id, ids) => (id, ids) }.toArray
-      ls.flatMap { case (_, d1, ids1) =>
-        right.iterator.collect {
-          case (d2, ids2) if d1 < d2 && {
-            val i = intersect(ids1, ids2)
-            i.toDouble / (ids1.length + ids2.length - i) >= threshold
-          } =>
-            val i = intersect(ids1, ids2)
-            (d1, d2, i.toDouble / (ids1.length + ids2.length - i))
+    tagged.repartition(blocks, col("_1")).mapPartitions { it =>
+      val byBlock = scala.collection.mutable.LongMap
+        .empty[(scala.collection.mutable.ArrayBuffer[(Long, Array[Long])],
+                scala.collection.mutable.ArrayBuffer[(Long, Array[Long])])]
+      it.foreach { case (b, isOwn, id, ids) =>
+        val e = byBlock.getOrElseUpdate(b,
+          (scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
+        e._1 += ((id, ids)); if (isOwn) e._2 += ((id, ids))
+      }
+      byBlock.valuesIterator.flatMap { case (left, right) =>
+        left.iterator.flatMap { case (d1, ids1) =>
+          right.iterator.collect {
+            case (d2, ids2) if d1 < d2 && {
+              val i = intersect(ids1, ids2)
+              i.toDouble / (ids1.length + ids2.length - i) >= threshold
+            } =>
+              val i = intersect(ids1, ids2)
+              (d1, d2, i.toDouble / (ids1.length + ids2.length - i))
+          }
         }
       }
     }.toDF("d1", "d2", "jacc")

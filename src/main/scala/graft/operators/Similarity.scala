@@ -124,7 +124,7 @@ object Similarity {
     * sub-quadratic path for looser thresholds is `lshTopK`.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, blocks: Int = 32): DataFrame = {
+                     threshold: Double, blocks: Int = 128): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -134,20 +134,30 @@ object Similarity {
     }
     val base = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    val replicated = base.flatMap { case (id, v) =>
-      Iterator.range(0, blocks).map(b => (b, id, v))
+    // one emit per (vector, block): probe everywhere, build in own block —
+    // single upstream evaluation; explicit partition count keeps AQE from
+    // coalescing the CPU-bound pair loop (see Dedup.jaccardPairsDense)
+    val tagged = base.flatMap { case (id, v) =>
+      val own = (id % blocks).toInt.abs
+      Iterator.range(0, blocks).map(b => (b, b == own, id, v))
     }
-    val bucketed = base.map { case (id, v) =>
-      ((id % blocks).toInt.abs, id, v)
-    }
-    replicated.groupByKey(_._1).cogroup(bucketed.groupByKey(_._1)) { (_, ls, rs) =>
-      val right = rs.map { case (_, id, v) => (id, v, math.sqrt(dot(v, v))) }.toArray
-      ls.flatMap { case (_, d1, v1) =>
-        val n1 = math.sqrt(dot(v1, v1))
-        right.iterator.collect {
-          case (d2, v2, n2) if d1 < d2 &&
-            round6(dot(v1, v2) / (n1 * n2)) >= threshold =>
-            (d1, d2, round6(dot(v1, v2) / (n1 * n2)))
+    tagged.repartition(blocks, col("_1")).mapPartitions { it =>
+      val byBlock = scala.collection.mutable.LongMap
+        .empty[(scala.collection.mutable.ArrayBuffer[(Long, Array[Float])],
+                scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)])]
+      it.foreach { case (b, isOwn, id, v) =>
+        val e = byBlock.getOrElseUpdate(b,
+          (scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
+        e._1 += ((id, v)); if (isOwn) e._2 += ((id, v, math.sqrt(dot(v, v))))
+      }
+      byBlock.valuesIterator.flatMap { case (left, right) =>
+        left.iterator.flatMap { case (d1, v1) =>
+          val n1 = math.sqrt(dot(v1, v1))
+          right.iterator.collect {
+            case (d2, v2, n2) if d1 < d2 &&
+              round6(dot(v1, v2) / (n1 * n2)) >= threshold =>
+              (d1, d2, round6(dot(v1, v2) / (n1 * n2)))
+          }
         }
       }
     }.toDF("d1", "d2", "sim")
