@@ -42,6 +42,23 @@ object CoreQueries {
         .orderBy(col("col_x"), col("col_y"))
     },
 
+    // ---- LAMP projection (control points = per-category centroids on a
+    // circle; per-row orthogonal Procrustes — LampSpec pins fixed-point
+    // and kernel-parity invariants; not SQL-expressible → rows-only) -----
+    Q.noOracle("lamp_projection") {
+      (s, d) =>
+        val li = t(s, d, "lineitem")
+        val ctrls = Lamp.centroidControls(li, "l_returnflag",
+          Seq("l_quantity", "l_extendedprice"))
+        Lamp.project(
+          li.filter(col("l_suppkey") <= 5)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+          Seq("l_quantity", "l_extendedprice"), ctrls)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("lamp_x"), 6).as("lamp_x"), round(col("lamp_y"), 6).as("lamp_y"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("lamp_x"), col("lamp_y"))
+    },
+
     // ---- PCA projection (moment sketch → driver eigen → codegen'd
     // linear projection; eigenvector signs are impl-defined → no oracle,
     // PCASpec pins the invariants) --------------------------------------
