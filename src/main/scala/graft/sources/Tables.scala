@@ -44,6 +44,23 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
 
+  // Worker-side table cache (`ref:P/dataset/LocalDataSet.java` keeps loaded
+  // columns resident; `manage` purges them). Keyed by (sfDir, table);
+  // MEMORY_AND_DISK so a 100 TB working set degrades to disk instead of
+  // OOM — strictly better than the reference's RAM-only residency.
+  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Open a fixture table through the persistent cache registry. */
+  def openCached(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cached.getOrElseUpdate((sfDir, name),
+      open(spark, sfDir, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Evict one table (or all with name = null) — the `manage` purge path. */
+  def purgeCached(sfDir: String, name: String = null): Unit = {
+    val keys = cached.keys.filter { case (d, n) => d == sfDir && (name == null || n == name) }
+    keys.foreach { k => cached.remove(k).foreach(_.unpersist()) }
+  }
+
   // Generic loaders (reference source-matrix parity).
   def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 

@@ -89,4 +89,56 @@ object StreamWindows {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), Det.fmtTs(col("w.start")).as("session_start"), col("cnt")),
       "session")
+
+  /** Custom stateful aggregation (SURVEY.md §2.9 stateful row):
+    * per-user event counts + max event time held in explicit
+    * `mapGroupsWithState` state — the escape hatch for stream logic the
+    * built-in windows can't express. State is one small record per key,
+    * merged across micro-batches by the state store.
+    */
+  def statefulUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val stream = eventsStream(spark, sfDir)
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+    val counted = stream
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val (c0, m0) = state.getOption.getOrElse((0L, Long.MinValue))
+          var c = c0; var m = m0
+          rows.foreach { case (_, eid) => c += 1; if (eid > m) m = eid }
+          state.update((c, m))
+          (user, c, m)
+      }
+      .toDF("user_id", "cnt", "max_event_id")
+    val name = s"graft_stream_stateful_${nameSeq.incrementAndGet()}"
+    val q = counted.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(); q.stop()
+    // update mode appends one row per key per batch — keep the last
+    spark.table(name).groupBy("user_id")
+      .agg(max("cnt").as("cnt"), max("max_event_id").as("max_event_id"))
+  }
+
+  /** Watermarked streaming dedup (late-data handling): duplicates of
+    * `event_id` arriving within the watermark across micro-batches are
+    * dropped by state-store lookup; rows later than the watermark would
+    * be discarded outright.
+    */
+  def dedupByIdStream(spark: SparkSession, dir: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    runToResult(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one file per micro-batch → real cross-batch state
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(Det.fmtTs(col("window.start")).as("window_start"), col("cnt")),
+      "dedup")
 }

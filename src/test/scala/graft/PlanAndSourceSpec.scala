@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Physical-plan shape assertions (the plans that must survive a 100x
+  * scale-up) and source-matrix unit checks.
+  */
+class PlanAndSourceSpec extends SparkSpec {
+
+  test("dimension joins broadcast the dimension side") {
+    val li = Tables.open(spark, sf, "lineitem")
+    val part = Tables.open(spark, sf, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plan = Joins.withDim(li, part, Seq("l_partkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+  }
+
+  test("dense pair queries contain no cartesian or nested-loop join") {
+    Seq(
+      Dedup.jaccardPairsDense(Tables.open(spark, sf, "documents"), "doc_id", "text"),
+      Similarity.cosineDupPairs(Tables.open(spark, sf, "embeddings"), "vec_id", "embedding", 0.45),
+      Dedup.simHashPairs(Tables.open(spark, sf, "documents"), "doc_id", "text"))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"all-pairs shape leaked into plan:\n${plan.take(2000)}")
+      }
+  }
+
+  test("theta join extracts the equi conjunct (no nested loop)") {
+    val sup = Tables.open(spark, sf, "supplier")
+    val a = sup.select(col("s_nationkey").as("nk1"), col("s_acctbal").as("b1"))
+    val b = sup.select(col("s_nationkey").as("nk2"), col("s_acctbal").as("b2"))
+    val plan = Joins.theta(a, b, col("nk1") === col("nk2") && col("b1") > col("b2"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"theta join fell back to nested loop:\n$plan")
+  }
+
+  test("CSV loader infers header names and column kinds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_infer").toString
+    Tables.exportCsv(
+      Tables.open(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag").limit(100), dir)
+    val back = Tables.csv(spark, dir)
+    assert(back.columns.toSeq == Seq("l_orderkey", "l_quantity", "l_returnflag"))
+    val kinds = back.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(kinds("l_orderkey") == "integer" || kinds("l_orderkey") == "long",
+      s"orderkey inferred as ${kinds("l_orderkey")}")
+    assert(kinds("l_quantity") == "double")
+    assert(kinds("l_returnflag") == "string")
+    assert(back.count() == 100)
+  }
+
+  test("cached-table registry persists once and purges on demand") {
+    Tables.purgeCached(sf)
+    val a = Tables.openCached(spark, sf, "nation")
+    val b = Tables.openCached(spark, sf, "nation")
+    assert(a eq b, "second open must hit the registry")
+    assert(a.storageLevel.useMemory, "registry table must be persisted")
+    Tables.purgeCached(sf, "nation")
+    assert(!a.storageLevel.useMemory, "purge must unpersist")
+    val c = Tables.openCached(spark, sf, "nation")
+    assert(!(a eq c), "purge must evict the registry entry")
+    Tables.purgeCached(sf)
+  }
+}

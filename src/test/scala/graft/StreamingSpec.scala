@@ -33,6 +33,30 @@ class StreamingSpec extends SparkSpec {
     assert(canon(stream) == canon(batch))
   }
 
+  test("stateful mapGroupsWithState counts equal batch aggregation") {
+    val batch = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), max(col("event_id")).as("max_event_id"))
+    val stream = StreamWindows.statefulUserCounts(spark, sf)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("watermarked streaming dedup drops cross-batch duplicates") {
+    // two copies of the events file, one per micro-batch: every event is a
+    // late-arriving duplicate in batch 2 and must be dropped by the
+    // watermark state store
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("copy1.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("copy2.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamed = StreamWindows.dedupByIdStream(spark, dir.toString, schema)
+    val batch = events.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(operators.Det.fmtTs(col("window.start")).as("window_start"), col("cnt"))
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streamed session windows equal batch") {
     val batch = TimeWindows.session(events, "ts", "30 minutes", Seq("user_id"),
       Seq(count(lit(1)).as("cnt")))
