@@ -123,6 +123,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE-ish subword token count (regex segmentation) ------------------
+    Q("text_token_count_bpe",
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) => TextOps.bpeTokenCount(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Multimodal frame sampling (STUB decoder, real plumbing) -----------
+    Q("multimodal_frames",
+      """SELECT doc_id, frame_no,
+        |md5(substring(text, CAST(trunc(frame_no * (strlen(text) / 4.0)) AS INTEGER) + 1, 16)) AS frame_hash
+        |FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) f(frame_no)
+        |ORDER BY doc_id, frame_no""".stripMargin) {
+      (s, d) =>
+        val assets = Multimodal.toAsset(t(s, d, "documents"), "doc_id", "text", "text/plain")
+        Multimodal.fakeFrameSample(assets, "doc_id")
+          .select(col("doc_id"), col("frame_no"),
+            md5(col("frame_bytes").cast("string")).as("frame_hash"))
+          .orderBy(col("doc_id"), col("frame_no"))
+    },
+
     // ---- Corpus term frequencies (top 20) ----------------------------------
     Q("text_term_freq",
       """SELECT term, COUNT(*) AS cnt FROM (

@@ -47,6 +47,18 @@ object TextOps {
   def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
 
+  /** BPE-ish regex segmentation: runs of letters, runs of digits, and
+    * single other non-space characters — the shape of a GPT-style
+    * pre-tokenizer, shared verbatim with the DuckDB oracle.
+    */
+  val bpePattern: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Subword-ish token count per document (regex segmentation). */
+  def bpeTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
   /** Corpus-wide term frequencies, top `k`. */
   def termFrequencies(df: DataFrame, textCol: String, k: Int = 20): DataFrame =
     df.select(explode(tokens(col(textCol))).as("term"))
