@@ -115,6 +115,12 @@ object ExtensionQueries {
         col("vec_id") < 5, 10)
     },
 
+    // ---- IVF coarse-quantizer ANN (scale path #2; recall-tested) -----------
+    Q.noOracle("similarity_ivf") {
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, nlist = 16, nprobe = 8)
+    },
+
     // ---- Token count -------------------------------------------------------
     Q("text_token_count",
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

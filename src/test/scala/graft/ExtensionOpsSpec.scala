@@ -67,6 +67,16 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF ANN recall@10 >= 0.5 vs brute force with half the buckets probed") {
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10,
+      nlist = 16, nprobe = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(1)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 6).as("c"))
