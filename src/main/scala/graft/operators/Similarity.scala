@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in doubles. */
+  /** Sequential-fold dot product of two float-array columns, in doubles —
+    * the dependency-free baseline form (interpreted lambda evaluation).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -27,6 +29,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd cosine via the native `FloatVectorDot` Catalyst expression
+    * (same sequential double accumulation, so bit-identical to `cosine`
+    * and the oracle; VectorExprsSpec asserts parity). Callers must
+    * `VectorExprs.register(spark)` first — the top-k entry points below
+    * do.
+    */
+  private def cosineNative(a: Column, b: Column): Column = {
+    import graft.functions.VectorExprs.fdot
+    fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b)))
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors (excluding self).
     * Output: (q_id, n_id, sim rounded to 6, rk). Ordered by the rounded
@@ -34,13 +47,14 @@ object Similarity {
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryPred: Column, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val q = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val sims = q.crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
@@ -79,6 +93,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, dim: Int = 64, bits: Int = 4,
               tables: Int = 16, seed: Long = 42L): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val sigs = (0 until tables).map { l =>
       struct(lit(l).as("tbl"),
         hyperplaneSignature(col(vecCol), dim, bits, seed + 1000L * l).as("bucket"))
@@ -94,7 +109,7 @@ object Similarity {
     val cv = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val sims = cand.join(qv, Seq("q_id")).join(cv, Seq("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
@@ -117,6 +132,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb.select(col(idCol).cast("long"), col(vecCol))
@@ -162,7 +178,7 @@ object Similarity {
     val sims = queries.join(corpus, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
