@@ -105,6 +105,18 @@ object RelationalQueries {
           .orderBy(col("p_brand").asc_nulls_first)
     },
 
+    // ---- Salted join (explicit skew mitigation; same result as plain) ------
+    Q("join_salted_brand",
+      """SELECT p_brand, COUNT(*) AS cnt FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        val part = t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        Joins.saltedEqui(t(s, d, "lineitem"), part, Seq("l_partkey"), "l_orderkey", 8)
+          .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("p_brand").asc_nulls_first)
+    },
+
     // ---- Semi / anti joins -------------------------------------------------
     Q("join_semi_count",
       """SELECT COUNT(*) AS cnt FROM customer c

@@ -45,6 +45,26 @@ object Joins {
     left.join(right, eq.map(_ && rangeCond).getOrElse(rangeCond))
   }
 
+  /** Salted equi join for skewed fact keys: the fact side gets a
+    * deterministic salt derived from a high-cardinality column, the
+    * (small) right side is replicated across all `salts` buckets, and the
+    * join key becomes (key, salt) — a single hot key now spreads over
+    * `salts` reducers instead of one. Result is exactly the plain join.
+    * AQE's skew-join splitting covers sort-merge joins adaptively; this
+    * is the explicit form for when the skew is known up front (e.g. a
+    * null-heavy or celebrity key at 100 TB).
+    */
+  def saltedEqui(fact: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltCol: String, salts: Int = 16,
+                 how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, lit, pmod, sequence, xxhash64}
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltCol)), lit(salts.toLong)).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedRight, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** As-of join (left outer): for every left row, attach `payload` columns
     * from the latest right row with rightTs <= leftTs (inclusive) in the
     * same `keys` group; null when no prior right row exists.

@@ -30,6 +30,19 @@ class PlanAndSourceSpec extends SparkSpec {
       }
   }
 
+  test("salted equi join equals the plain join and spreads the key space") {
+    val li = Tables.open(spark, sf, "lineitem")
+    val part = Tables.open(spark, sf, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(part, Seq("l_partkey"))
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Joins.saltedEqui(li, part, Seq("l_partkey"), "l_orderkey", salts = 8)
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("theta join extracts the equi conjunct (no nested loop)") {
     val sup = Tables.open(spark, sf, "supplier")
     val a = sup.select(col("s_nationkey").as("nk1"), col("s_acctbal").as("b1"))
