@@ -78,6 +78,15 @@ object Tables {
            props: java.util.Properties = new java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Persist a table bucketed+sorted on a join key. Two tables bucketed
+    * the same way co-locate their join: the sort-merge join needs no
+    * shuffle and no sort (plan-asserted in tests) — the 100 TB recipe for
+    * repeatedly-joined fact tables.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   // Sinks (`ref:P/storage/CsvFileWriter.java` — export current view).
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -53,6 +53,30 @@ class PlanAndSourceSpec extends SparkSpec {
       s"theta join fell back to nested loop:\n$plan")
   }
 
+  test("bucketed tables sort-merge join with no shuffle and no sort") {
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.writeBucketed(
+        Tables.open(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", 8)
+      Tables.writeBucketed(
+        Tables.open(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey", 8)
+      val bl = spark.table("b_lineitem")
+      val bo = spark.table("b_orders")
+      val joined = bl.join(bo, bl("l_orderkey") === bo("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == bl.count(), "every lineitem joins its order")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("CSV loader infers header names and column kinds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_infer").toString
     Tables.exportCsv(
