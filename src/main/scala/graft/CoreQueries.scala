@@ -144,6 +144,19 @@ object CoreQueries {
       (s, d) => Histograms.histogramString(t(s, d, "lineitem"), "l_returnflag")
     },
 
+    // ---- String histogram over boundary prefixes (StringHistogramBuckets) -
+    Q("histogram_string_ranges",
+      """SELECT CASE
+        |  WHEN c_name >= 'Customer#000001000' THEN 2
+        |  WHEN c_name >= 'Customer#000000500' THEN 1
+        |  WHEN c_name >= 'Customer#000000100' THEN 0
+        |  ELSE -1 END AS bucket, COUNT(*) AS cnt
+        |FROM customer WHERE c_name IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) => Histograms.histogramStringRanges(t(s, d, "customer"), "c_name",
+        Seq("Customer#000000100", "Customer#000000500", "Customer#000001000"))
+    },
+
     // ---- HeatmapSketch (2-D histogram) ------------------------------------
     Q("heatmap_2d",
       """SELECT LEAST(CAST(FLOOR((l_quantity - CAST(0 AS DOUBLE))/CAST(5.0 AS DOUBLE)) AS INTEGER), 9) AS bx,

@@ -41,6 +41,40 @@ object Histograms {
     * `StringHistogramBuckets` handles the too-many-values case via prefix
     * boundaries — at Spark scale the groupBy+limit form covers both).
     */
+  /** String histogram over boundary prefixes — the reference's
+    * `StringHistogramBuckets` (`ref:P/sketches/StringHistogramBuckets.java`):
+    * bucket i holds values in [boundaries(i), boundaries(i+1)), the last
+    * bucket is unbounded above; values below boundaries(0) land in
+    * bucket -1. A single codegen'd CASE chain — one pass, one tiny
+    * groupBy.
+    */
+  def histogramStringRanges(df: DataFrame, column: String,
+                            boundaries: Seq[String]): DataFrame = {
+    val c = col(column)
+    // ascending fold: the final expression tests the HIGHEST boundary
+    // outermost, so each value lands in the last bucket it clears
+    val bucketExpr = boundaries.indices.foldLeft(lit(-1)) { (rest, i) =>
+      when(c >= boundaries(i), lit(i)).otherwise(rest)
+    }
+    df.filter(c.isNotNull)
+      .groupBy(bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Sampled 1-D histogram (paper §4.1 resolution-aware approximation):
+    * seeded row sample, counts scaled back by 1/rate. Statistically
+    * indistinguishable from exact at pixel resolution once rate ≥
+    * pixelHeight²·buckets/N (Chernoff argument; bound-tested).
+    */
+  def histogram1dSampled(df: DataFrame, column: String, lo: Double, hi: Double,
+                         n: Int, rate: Double, seed: Long = 42L): DataFrame =
+    df.sample(rate, seed)
+      .filter(col(column) >= lo && col(column) <= hi)
+      .groupBy(bucket(col(column), lo, hi, n).as("bucket"))
+      .agg((count(lit(1)) / rate).cast("long").as("cnt"))
+      .orderBy(col("bucket"))
+
   def histogramString(df: DataFrame, column: String, limit: Int = 1000): DataFrame =
     df.groupBy(col(column).as("value"))
       .agg(count(lit(1)).as("cnt"))

@@ -38,6 +38,34 @@ class CoreOpsSpec extends SparkSpec {
     assert(buckets.forall(b => b >= 0 && b < 40))
   }
 
+  test("sampled histogram tracks exact within the resolution bound") {
+    // paper §4.1: at rate ≥ pixelHeight²·buckets/N the sampled histogram is
+    // visually exact; assert every scaled bucket within 4·sqrt(expected)
+    // of truth (loose Chernoff envelope, seeded sample → deterministic)
+    val li = sources.Tables.open(spark, sf, "lineitem")
+    val exact = Histograms.histogram1d(li, "l_extendedprice", 900.0, 105000.0, 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sampled = Histograms
+      .histogram1dSampled(li, "l_extendedprice", 900.0, 105000.0, 20, rate = 0.5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (b, cnt) =>
+      val est = sampled.getOrElse(b, 0L).toDouble
+      assert(math.abs(est - cnt) <= 4 * math.sqrt(cnt.toDouble / 0.5) + 8,
+        s"bucket $b: est=$est exact=$cnt")
+    }
+  }
+
+  test("string-range histogram partitions all non-null rows") {
+    val cust = sources.Tables.open(spark, sf, "customer")
+    val h = Histograms.histogramStringRanges(cust, "c_name",
+      Seq("Customer#000000100", "Customer#000000500"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == cust.filter(col("c_name").isNotNull).count())
+    // boundary membership spot check
+    val below = cust.filter(col("c_name") < "Customer#000000100").count()
+    assert(h.getOrElse(-1, 0L) == below)
+  }
+
   test("cdf is monotone and ends at the in-range total") {
     val c = Histograms.cdf(li, "l_extendedprice", 900.0, 105000.0, 40)
       .select("cum_cnt").collect().map(_.getLong(0))
