@@ -48,6 +48,56 @@ object RelationalQueries {
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // ---- TPC-H Q6-style forecast revenue (pure filter + agg) ---------------
+    Q("q6_forecast_revenue",
+      s"""SELECT ${sqlDsum("l_extendedprice*l_discount")} AS revenue FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) {
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(Det.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // ---- TPC-H Q5-style local-supplier volume (six-way join) ---------------
+    // Catalyst/CBO plan: region→nation broadcast down the dimension chain,
+    // fact-fact joins shuffled on their keys; the c_nationkey = s_nationkey
+    // residual rides the supplier join.
+    Q("q5_local_supplier_volume",
+      s"""SELECT n_name, ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name ASC""".stripMargin) {
+      (s, d) =>
+        val nations = Joins.withDim(
+          t(s, d, "nation"),
+          t(s, d, "region").filter(col("r_name") === "ASIA")
+            .select(col("r_regionkey").as("n_regionkey")),
+          Seq("n_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = Joins.withDim(
+          t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey").as("n_nationkey")),
+          nations, Seq("n_nationkey"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey").as("s_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        li.join(Joins.withDim(ord, cust, Seq("o_custkey")), Seq("o_orderkey"))
+          .join(broadcast(sup.select(col("s_suppkey"), col("n_nationkey"), col("n_name"))),
+            Seq("s_suppkey"))
+          .filter(col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(Det.dsum(col("rev")).as("revenue"))
+          .orderBy(col("revenue").desc_nulls_last, col("n_name").asc)
+    },
+
     // ---- ROLLUP ------------------------------------------------------------
     Q("rollup_counts",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
