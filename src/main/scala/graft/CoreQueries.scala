@@ -344,6 +344,50 @@ object CoreQueries {
         .orderBy(col("event_id")).limit(1000)
     },
 
+    // ---- SQL-text interface (registerAll + spark.sql) ----------------------
+    Q("sql_interface",
+      """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+        |WHERE o_totalprice > 100000 GROUP BY 1
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        sources.Tables.registerAll(s, d)
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+            |WHERE o_totalprice > 100000 GROUP BY 1
+            |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ---- JSON struct parse (from_json with schema; beyond key extract) -----
+    Q("json_struct_parse",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin) {
+      (s, d) => t(s, d, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("j.k").as("k_val"), (col("j.k") % 10).as("k_mod"))
+        .orderBy(col("event_id")).limit(1000)
+    },
+
+    // ---- Date/time function family -----------------------------------------
+    Q("datetime_functions",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+        |COUNT(*) AS cnt,
+        |strftime(MIN(date_trunc('month', o_orderdate)), '%Y-%m-%d %H:%M:%S') AS month_start
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, d) => t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          // Spark dayofweek: 1=Sunday..7=Saturday; ISO dow: 1=Monday..7=Sunday
+          (pmod(dayofweek(col("o_orderdate")) + lit(5), lit(7)) + lit(1)).as("dow_iso"))
+        .agg(count(lit(1)).as("cnt"),
+          Det.fmtTs(min(date_trunc("month", col("o_orderdate")))).as("month_start"))
+        .orderBy(col("yr"), col("mo"), col("dow_iso"))
+    },
+
     // ---- Set operations on two selections of one table ---------------------
     Q("set_ops_counts",
       """SELECT COUNT(CASE WHEN l_quantity > 45 OR l_discount >= 0.09 THEN 1 END) AS n_union,
