@@ -147,42 +147,59 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
-  /** Deterministic MinHash signature: numHashes independent hashes via
-    * seed-perturbed xxhash64(shingle, seed+i), min per doc. One groupBy
-    * over (doc, shingle); avoids ANSI-mode overflow that an affine
-    * (a*h+b) family would hit.
-    */
-  def minHashSignatures(shingleSet: DataFrame, idCol: String,
-                        numHashes: Int, seed: Long = 42L): DataFrame = {
-    val mins = (0 until numHashes).map { i =>
-      min(xxhash64(col("sh"), lit(seed + i))).as(s"mh_$i")
-    }
-    shingleSet.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-  }
-
   /** MinHash + LSH banding: candidate pairs whose signatures collide in at
     * least one band, then exact-Jaccard verification of candidates only.
     *
     * numHashes = bands * rowsPerBand. Collision prob for similarity s is
     * 1-(1-s^rowsPerBand)^bands (e.g. 32 = 8×4: s=0.8 → 0.93, s=0.2 → 0.013).
+    *
+    * Plan shape: ONE groupBy folds each doc to its sorted shingle-hash
+    * array; minhashes derive map-side from that array (array_min over a
+    * rehash lambda — no second shuffle of shingles); candidates come from
+    * the band-bucket self-join; verification joins only the (small)
+    * candidate set back to the per-doc arrays and counts the exact
+    * intersection with a linear merge.
     */
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val bg = TextOps.shingleSet(df, idCol, textCol, n).cache()
-    val sig = minHashSignatures(bg, idCol, bands * rowsPerBand, seed)
-    // band signature = hash of its rowsPerBand minhashes
+    val docs = TextOps.shingleSet(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("ids"))
+      .cache()
+    // band signature = hash of the band's rowsPerBand min-rehashes,
+    // computed per row from the hash array (map-side only)
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bsig"))
+      val mins = (0 until rowsPerBand).map { r =>
+        val s = seed + (b * rowsPerBand + r)
+        array_min(transform(col("ids"), x => xxhash64(x, lit(s))))
+      }
+      struct(lit(b).as("band"), xxhash64(mins: _*).as("bsig"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    val buckets = docs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
     val cand = buckets.as("l").join(buckets.as("r"), Seq("band", "bsig"))
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .distinct()
-    verifyJaccard(bg, idCol, cand, threshold)
+    val interCount = udf((a: Seq[Long], b: Seq[Long]) => {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    })
+    cand
+      .join(docs.select(col(idCol).as("d1"), col("ids").as("ids1")), Seq("d1"))
+      .join(docs.select(col(idCol).as("d2"), col("ids").as("ids2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        interCount(col("ids1"), col("ids2")).as("i"),
+        size(col("ids1")).as("n1"), size(col("ids2")).as("n2"))
+      .select(col("d1"), col("d2"),
+        (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
   }
 
   /** SimHash fingerprints: one 64-bit fingerprint per doc (mergeable
