@@ -18,17 +18,22 @@ object SparkEntry {
     CoreQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
       ExtensionQueries.all ++ SourceQueries.all
 
-  /** Flagship interactive session on sf0.001 (SURVEY.md §7.2): open
-    * lineitem → brush filter (returnflag='R' ∧ quantity>25) → NextK page
-    * under (l_shipdate, l_orderkey). Driver smoke-checks rows > 0.
+  /** Flagship interactive session on sf0.001 (SURVEY.md §7.2), driven
+    * through the View layer exactly as a UI would: open lineitem → brush
+    * child view (returnflag='R' ∧ quantity>25) → NextK page sketch under
+    * (l_shipdate, l_orderkey), memoized under the view's job group.
+    * Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
-    val li = Tables.open(spark, sfDir, "lineitem")
-    val brushed = Filters.equality(li, "l_returnflag", "R")
-      .filter(col("l_quantity") > 25)
-    NextK.page(brushed,
-      Seq(SortKey("l_shipdate"), SortKey("l_orderkey")), None, 20)
+    val session = new ViewSession(spark)
+    val root = session.open("lineitem", Tables.open(spark, sfDir, "lineitem"))
+    val brushed = session.child(root, "brush") { df =>
+      Filters.equality(df, "l_returnflag", "R").filter(col("l_quantity") > 25)
+    }
+    session.sketch(brushed, "nextk:l_shipdate,l_orderkey:20") { df =>
+      NextK.page(df, Seq(SortKey("l_shipdate"), SortKey("l_orderkey")), None, 20)
+    }
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
