@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Missing-value semantics (SURVEY.md §1.2): the reference tracks a
+  * missing mask per column and every sketch counts missing separately —
+  * here that is Spark null + count(col) vs count(*). These tests pin the
+  * null behavior of the core sketches on a synthetic null-bearing table
+  * (the fixture tables are fully populated, so this coverage can't come
+  * from the oracle queries).
+  */
+class NullHandlingSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "a"), (2L, null, "b"), (3L, 30.0, null),
+      (4L, null, null), (5L, 50.0, "a"), (6L, 20.0, "b"))
+      .toDF("id", "x", "s")
+  }
+
+  test("basic stats separate present and missing counts") {
+    val r = Stats.basicStats(df, "x").head()
+    assert(r.getAs[Long]("cnt") == 4)
+    assert(r.getAs[Long]("missing_count") == 2)
+    assert(r.getAs[Double]("min_val") == 10.0 && r.getAs[Double]("max_val") == 50.0)
+    assert(r.getAs[Double]("avg_val") == 27.5)
+  }
+
+  test("data range ignores nulls for min/max but counts them") {
+    val r = Stats.dataRange(df, "s").head()
+    assert(r.getAs[Long]("present_count") == 4 && r.getAs[Long]("missing_count") == 2)
+  }
+
+  test("equality filter can match missing explicitly") {
+    assert(Filters.equality(df, "s", null, matchMissing = true).count() == 2)
+    assert(Filters.equality(df, "s", "a").count() == 2)
+  }
+
+  test("histogram drops out-of-domain nulls rather than miscounting them") {
+    val h = Histograms.histogram1d(df, "x", 0.0, 100.0, 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == 4, "only present values land in buckets")
+  }
+
+  test("string-range histogram keeps null out of every bucket") {
+    val h = Histograms.histogramStringRanges(df, "s", Seq("a", "b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == 4)
+    assert(h(0) == 2 && h(1) == 2)
+  }
+
+  test("distinct and heavy-hitter counts treat null as a real key") {
+    // reference semantics: missing is a countable category in menus
+    val counts = df.groupBy("s").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(counts(None) == 2)
+    val dv = DistinctOps.distinctValues(df, "s").collect()
+    assert(dv.length == 3, "null appears as its own distinct value")
+  }
+
+  test("NextK orders null keys first and pages past them") {
+    val page = NextK.page(df, Seq(SortKey("s"), SortKey("id")), None, 10).collect()
+    assert(page.length == 6)
+    assert(page.take(2).forall(_.isNullAt(0)), "nulls-first ordering")
+  }
+}

@@ -92,6 +92,20 @@ class PlanAndSourceSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.open(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("l_returnflag"),
+      s"no partition pruning evidence:\n$plan")
+    val full = Tables.open(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R").count()
+    assert(filtered.count() == full)
+  }
+
   test("cached-table registry persists once and purges on demand") {
     Tables.purgeCached(sf)
     val a = Tables.openCached(spark, sf, "nation")
