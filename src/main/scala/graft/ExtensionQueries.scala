@@ -217,6 +217,52 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- End-to-end corpus-cleaning pipeline (the training-data flow) ------
+    // quality gate → exact dedup (keep min-id representative) → near-dup
+    // removal (drop the larger id of every Jaccard≥0.5 pair) → corpus
+    // stats. Every stage is one of the catalog operators; the oracle
+    // replays the identical pipeline in SQL.
+    Q("pipeline_clean_corpus",
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |quality AS (SELECT doc_id, text, n_tokens FROM toks WHERE n_tokens >= 20),
+         |reps AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)),
+         |survivors AS (
+         |  SELECT q.doc_id, q.text, q.n_tokens FROM quality q
+         |  JOIN reps r ON q.doc_id = r.doc_id),
+         |bg AS (
+         |  SELECT DISTINCT doc_id, UNNEST(list_transform(range(1, len(string_split_regex(trim(text), '\\s+'))),
+         |    i -> list_extract(string_split_regex(trim(text), '\\s+'), i) || ' ' ||
+         |         list_extract(string_split_regex(trim(text), '\\s+'), i+1))) AS sh
+         |  FROM survivors),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+         |  FROM bg x JOIN bg y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |neardup AS (
+         |  SELECT DISTINCT d2 FROM inter
+         |  JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2
+         |  WHERE i*1.0/(sx.n_sh + sy.n_sh - i) >= 0.5),
+         |clean AS (SELECT * FROM survivors WHERE doc_id NOT IN (SELECT d2 FROM neardup))
+         |SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM clean""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val withTok = docs.join(
+          TextOps.tokenCount(docs, "doc_id", "text"), Seq("doc_id"))
+        val quality = withTok.filter(col("n_tokens") >= 20)
+        val reps = Dedup.exact(quality, "doc_id", "text")
+          .select(col("rep_id").as("doc_id"))
+        val survivors = Joins.semi(quality, reps, Seq("doc_id"))
+        val nearDupLosers = Dedup.jaccardPairsDense(survivors, "doc_id", "text", 2, 0.5)
+          .select(col("d2").as("doc_id")).distinct()
+        Joins.anti(survivors, nearDupLosers, Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // ---- Misra-Gries sketch (k > distinct ⇒ counts exact ⇒ oracle-able) ----
     Q("heavy_hitters_mg",
       """SELECT l_returnflag AS value, cnt FROM (

@@ -44,6 +44,22 @@ object Multimodal {
       (abs(xxhash64(col("asset.data"))) % 1920).cast("int").as("fake_width"),
       (abs(xxhash64(col("asset.data"), lit(1))) % 1080).cast("int").as("fake_height"))
 
+  /** STUB resize: deterministic byte-domain downsample standing in for an
+    * image resize — keeps every k-th byte so the output length tracks the
+    * requested target (real impl: decoder + resampler batch function with
+    * this exact signature and output schema).
+    */
+  def fakeResize(df: DataFrame, idCol: String, targetBytes: Int = 64): DataFrame =
+    df.select(col(idCol), col("asset.data").as("data"))
+      .select(col(idCol),
+        expr(s"""
+          | CASE WHEN octet_length(data) <= $targetBytes THEN data
+          | ELSE array_join(transform(
+          |   sequence(0, $targetBytes - 1),
+          |   i -> substring(data, cast(i * (octet_length(data) / $targetBytes) as int) + 1, 1)), '')
+          | END""".stripMargin).cast("binary").as("resized_bytes"),
+        octet_length(col("data")).cast("long").as("orig_bytes"))
+
   /** STUB frame-sample: take `frames` evenly-spaced byte windows of
     * `frameBytes` as stand-in video frames (real impl: decoder over
     * mapPartitions with the same output schema).

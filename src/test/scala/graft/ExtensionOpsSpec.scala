@@ -141,5 +141,13 @@ class ExtensionOpsSpec extends SparkSpec {
     val frames = Multimodal.fakeFrameSample(assets, "doc_id", frames = 4)
     assert(frames.count() == docs.count() * 4)
     assert(frames.filter(octet_length(col("frame_bytes")) === 0).count() == 0)
+    val resized = Multimodal.fakeResize(assets, "doc_id", targetBytes = 32)
+    assert(resized.count() == docs.count())
+    assert(resized.filter(col("orig_bytes") > 32 &&
+      octet_length(col("resized_bytes")) =!= 32).count() == 0,
+      "large payloads must downsample to exactly the target size")
+    assert(resized.filter(col("orig_bytes") <= 32 &&
+      octet_length(col("resized_bytes")) =!= col("orig_bytes")).count() == 0,
+      "small payloads pass through")
   }
 }
