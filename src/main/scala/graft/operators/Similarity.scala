@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   *  - `cosineTopK`: brute-force queries × corpus — correct baseline; cost
   *    |Q|·N·dim, fine when |Q| is small or as the verifier;
   *  - `lshTopK`: random-hyperplane LSH buckets + exact re-rank inside the
-  *    probed buckets — the scale path (candidates ≪ N per query).
+  *    probed buckets — sub-quadratic scale path #1;
+  *  - `ivfTopK`: inverted-file coarse quantizer (centroid buckets,
+  *    nprobe-limited search) — sub-quadratic scale path #2;
+  *  - `cosineDupPairs`: exact all-pairs ≥ threshold via a block
+  *    nested-loop over primitive arrays (when exactness is the ask).
   *
-  * All dot products are sequential left-to-right folds over doubles so the
-  * DuckDB oracle (list_sum of per-dim products) reproduces them bitwise.
+  * Every dot product — fold expression, native `FloatVectorDot` codegen
+  * expression, or partition kernel — accumulates sequentially
+  * left-to-right in doubles, so the DuckDB oracle (list_sum of per-dim
+  * products) reproduces results bitwise.
   */
 object Similarity {
 
