@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Joins}
+
+/** Randomized brute-force parity for the two subtlest operators:
+  * prefix-filtered / dense Jaccard joins vs an in-memory model over
+  * random corpora (small vocabularies force shingle collisions), and the
+  * as-of join vs a per-row scan model (ties, inclusivity, missing
+  * matches). The reference's parallel ≡ local discipline, applied to the
+  * operators whose correctness arguments are least obvious.
+  */
+class RandomizedParitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def bruteJaccard(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long, Double)] = {
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toIndexedSeq
+      if (toks.length < 2) Set.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    (for {
+      (d1, s1) <- sets; (d2, s2) <- sets if d1 < d2
+      i = (s1 & s2).size
+      j = i.toDouble / (s1.size + s2.size - i) if j >= threshold
+    } yield (d1, d2, math.rint(j * 1e6) / 1e6)).toSet
+  }
+
+  test("prefix-filtered and dense Jaccard equal brute force on random corpora") {
+    val rnd = new scala.util.Random(31L)
+    (1 to 5).foreach { trial =>
+      val vocabSize = 4 + rnd.nextInt(12) // tiny vocab → heavy collisions
+      val vocab = Vector.tabulate(vocabSize)(i => s"w$i")
+      val docs = (0L until (15 + rnd.nextInt(25)).toLong).map { id =>
+        val len = 1 + rnd.nextInt(12) // includes docs too short to shingle
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocabSize))).mkString(" ")
+      }
+      val expected = bruteJaccard(docs, 0.5)
+      val df = docs.toDF("doc_id", "text")
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.select(col("d1"), col("d2"), round(col("jacc"), 6).as("j")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(canon(Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.5)) == expected,
+        s"prefix-filter diverged on trial $trial")
+      assert(canon(Dedup.jaccardPairsDense(df, "doc_id", "text", 2, 0.5, blocks = 7)) == expected,
+        s"dense diverged on trial $trial")
+    }
+  }
+
+  test("as-of join equals a per-row scan model with ties and gaps") {
+    val rnd = new scala.util.Random(41L)
+    (1 to 5).foreach { trial =>
+      val users = 1 + rnd.nextInt(4)
+      val left = (0 until 30).map { i =>
+        (i.toLong, rnd.nextInt(users).toLong, rnd.nextInt(50).toLong) // (id, key, ts)
+      }
+      val right = (0 until 20).map { i =>
+        (100L + i, rnd.nextInt(users).toLong, rnd.nextInt(50).toLong)
+      }
+      // dedup right per (key, ts) keeping max id — the documented contract
+      val rightDedup = right.groupBy(r => (r._2, r._3)).values
+        .map(g => g.maxBy(_._1)).toSeq
+      val expected = left.map { case (lid, key, ts) =>
+        val cands = rightDedup.filter(r => r._2 == key && r._3 <= ts)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      val lDf = left.toDF("lid", "k", "ts")
+      val rDf = rightDedup.toDF("rid", "k", "ts")
+      val out = Joins.asOf(lDf, rDf, Seq("k"), "ts", "ts", Seq("rid")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(out == expected, s"as-of diverged on trial $trial")
+    }
+  }
+}
