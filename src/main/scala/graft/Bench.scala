@@ -31,7 +31,9 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM or other fatal JVM error must abort the
+        // whole bench rather than poison every later measurement
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           None
       }

@@ -120,8 +120,12 @@ final class ViewSession(spark: SparkSession) {
   /** Progressive partial results: run `sketchOp` on each of `batches`
     * disjoint partition slices, folding partials with the monoid `merge`
     * — each step yields (progress, refined result), the reference's
-    * `Observable[PartialResult]` as an iterator. Cost is one pass total
-    * (each partition is read once across all batches).
+    * `Observable[PartialResult]` as an iterator. Each partial is
+    * materialized (sketch results are small by contract), so the running
+    * merge never re-executes earlier slices; each step does scan the
+    * source and keep its 1/batches share — the partition-id filter bounds
+    * per-step WORK, not I/O (per-file batch enumeration would bound both,
+    * at the cost of bypassing the view's logical plan).
     */
   def progressive(id: ViewId, batches: Int,
                   sketchOp: DataFrame => DataFrame,
@@ -130,7 +134,9 @@ final class ViewSession(spark: SparkSession) {
     val tagged = views(id).df.withColumn("__batch", pmod(spark_partition_id(), lit(batches)))
     var acc: Option[DataFrame] = None
     (0 until batches).iterator.map { i =>
-      val slice = sketchOp(tagged.filter(col("__batch") === i).drop("__batch"))
+      val sliceResult = sketchOp(tagged.filter(col("__batch") === i).drop("__batch"))
+      val rows = sliceResult.collect()
+      val slice = spark.createDataFrame(java.util.Arrays.asList(rows: _*), sliceResult.schema)
       acc = Some(acc.fold(slice)(a => merge(a, slice)))
       ((i + 1).toDouble / batches, acc.get)
     }

@@ -63,7 +63,9 @@ object Dedup {
 
   /** All-pairs exact n-gram Jaccard ≥ `threshold` — dense block-pair form.
     *
-    * Exactly equivalent to `jaccardPairs`, built for corpora where prefix
+    * Same pair set as `jaccardPairs` (ids must be NUMERIC — they are cast
+    * to long for block routing and emitted as longs), built for corpora
+    * where prefix
     * filtering cannot prune (small/shared vocabularies: every shingle is
     * common, so candidate joins explode — the fixture corpus has ~900
     * distinct bigrams across 5000 docs). Each doc becomes one sorted

@@ -50,6 +50,8 @@ object Histograms {
     */
   def histogramStringRanges(df: DataFrame, column: String,
                             boundaries: Seq[String]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be ascending — a later smaller boundary would shadow earlier buckets")
     val c = col(column)
     // ascending fold: the final expression tests the HIGHEST boundary
     // outermost, so each value lands in the last bucket it clears

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, last, lit}
+import org.apache.spark.sql.functions.{broadcast, col, last, lit, struct}
 
 /** Joins — beyond the reference's surface (hiero never joins two tables;
   * its `zip` pairs views of one table — SURVEY.md §2.5), but required by
@@ -57,6 +57,11 @@ object Joins {
   def saltedEqui(fact: DataFrame, right: DataFrame, keys: Seq[String],
                  saltCol: String, salts: Int = 16,
                  how: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched right row once PER SALT
+    // (the right side is replicated) — only fact-preserving joins are sound
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross").contains(how.toLowerCase),
+      s"saltedEqui replicates the right side; '$how' would duplicate unmatched right rows")
     import org.apache.spark.sql.functions.{explode, lit, pmod, sequence, xxhash64}
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(col(saltCol)), lit(salts.toLong)).cast("int"))
@@ -75,30 +80,37 @@ object Joins {
     * a 100× scale-up (an equi-join + filter + re-rank shape would shuffle
     * the same data twice and materialize every candidate pair).
     *
+    * The payload travels as ONE struct per right row, so the `ignoreNulls`
+    * marker only distinguishes right rows from left rows — a right row
+    * whose payload VALUES are null still wins (and all payload columns
+    * always come from the same right row).
+    *
     * Right rows should be unique per (keys, rightTs) — pre-aggregate ties
     * away — otherwise which of the tied rows wins is unspecified.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))
     val lAligned = left.select(
-      Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+      Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__p")) ++
         keys.map(col) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+        leftCols.filterNot(keys.contains).map(col): _*)
     val rAligned = right.select(
-      Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__p")) ++
         keys.map(col) ++
         leftCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(lAligned.unionByName(rAligned)) { (d, p) =>
-      d.withColumn(s"asof_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+    lAligned.unionByName(rAligned)
+      .withColumn("__best", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__best.$p").as(s"asof_$p")): _*)
   }
 }

@@ -50,10 +50,18 @@ object Tables {
   // OOM — strictly better than the reference's RAM-only residency.
   private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  /** Open a fixture table through the persistent cache registry. */
-  def openCached(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cached.getOrElseUpdate((sfDir, name),
+  /** Open a fixture table through the persistent cache registry. An
+    * external `spark.catalog.clearCache()` unpersists the data without
+    * touching this registry, so re-pin entries whose storage level was
+    * lost. Entries are per-session-lifetime: purge on session restart.
+    */
+  def openCached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = cached.getOrElseUpdate((sfDir, name),
       open(spark, sfDir, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   /** Evict one table (or all with name = null) — the `manage` purge path. */
   def purgeCached(sfDir: String, name: String = null): Unit = {

@@ -40,7 +40,9 @@ object StreamWindows {
   /** Drive a streaming aggregation to completion over all available input
     * (Trigger.AvailableNow) and return the final result from the memory
     * sink. Complete output mode: the sink holds the full aggregate, the
-    * watermark still exercises the state-store path.
+    * watermark still exercises the state-store path. The (small) result
+    * is copied out and the sink's temp view dropped, so repeated
+    * invocations don't accumulate materialized tables on the driver.
     */
   def runToResult(stream: DataFrame, label: String): DataFrame = {
     val spark = stream.sparkSession
@@ -52,7 +54,10 @@ object StreamWindows {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.table(name)
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
   }
 
   /** Tumbling windows, streamed: counts + exact value sums per
@@ -118,9 +123,15 @@ object StreamWindows {
     val q = counted.writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(); q.stop()
-    // update mode appends one row per key per batch — keep the last
-    spark.table(name).groupBy("user_id")
+    // update mode appends one row per key per batch — keep the last, then
+    // drop the sink view so repeated runs don't accumulate driver state
+    val sink = spark.table(name)
+    val latest = sink.groupBy("user_id")
       .agg(max("cnt").as("cnt"), max("max_event_id").as("max_event_id"))
+    val rows = latest.collect()
+    val schema = latest.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Watermarked streaming dedup (late-data handling): duplicates of

@@ -49,6 +49,15 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("as-of join: a latest right row with NULL payload wins (not skipped)") {
+    val left = Seq((1L, 1L, 10L)).toDF("lid", "k", "ts")
+    val right = Seq((7L: java.lang.Long, 1L, 2L), (null.asInstanceOf[java.lang.Long], 1L, 5L))
+      .toDF("rid", "k", "ts")
+    val out = Joins.asOf(left, right, Seq("k"), "ts", "ts", Seq("rid")).head()
+    assert(out.isNullAt(3),
+      "the ts=5 right row (rid=NULL) is the latest match; its null payload must not be skipped for the older rid=7")
+  }
+
   test("as-of join equals a per-row scan model with ties and gaps") {
     val rnd = new scala.util.Random(41L)
     (1 to 5).foreach { trial =>

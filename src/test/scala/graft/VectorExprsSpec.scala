@@ -35,6 +35,18 @@ class VectorExprsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_fdot"), s"no codegen span:\n$plan")
   }
 
+  test("fdot returns null on length mismatch, matching the fold") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val r = df.select(
+      VectorExprs.fdot(col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("fold")).head()
+    assert(r.isNullAt(0), "native must refuse a ragged pair")
+    assert(r.isNullAt(1), "fold baseline also yields null")
+  }
+
   test("fdot is null-safe") {
     VectorExprs.register(spark)
     val row = emb.limit(1)
