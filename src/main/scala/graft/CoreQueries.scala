@@ -206,6 +206,29 @@ object CoreQueries {
       (s, d) => HeavyHitters.exactProbe(t(s, d, "lineitem"), "l_returnflag", Seq("R", "N"))
     },
 
+    // ---- ExactFreqSketch over tuple candidates -----------------------------
+    Q("heavy_probe_tuples",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |WHERE (l_returnflag, l_linestatus) IN (('R','F'), ('N','O'))
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+      (s, d) => HeavyHitters.exactProbeTuples(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Seq(Seq("R", "F"), Seq("N", "O")))
+    },
+
+    // ---- GROUPING SETS (beyond cube/rollup: arbitrary group combinations) --
+    Q("grouping_sets_counts",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
     // ---- Distinct count (exact) --------------------------------------------
     Q("distinct_count",
       "SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem") {

@@ -58,6 +58,21 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col(key).asc_nulls_first)
 
+  /** Tuple-key exact probe — the reference probes multi-column row
+    * candidates (`ExactFreqSketch` over a schema subset): candidates are
+    * value tuples in `keys` order, matched via an in-set struct predicate
+    * (codegen'd; no join, one shuffle of matching rows only).
+    */
+  def exactProbeTuples(df: DataFrame, keys: Seq[String],
+                       candidates: Seq[Seq[Any]]): DataFrame = {
+    val keyStruct = struct(keys.map(col): _*)
+    val lits = candidates.map(t => struct(t.map(lit): _*))
+    df.filter(keyStruct.isin(lits: _*))
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(keys.map(k => col(k).asc_nulls_first).toIndexedSeq: _*)
+  }
+
   /** Filter the base table to (or away from) the heavy tuples — the UI's
     * "view heavy rows as table" (semi/anti join against candidates).
     */
