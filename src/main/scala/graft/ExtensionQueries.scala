@@ -255,7 +255,9 @@ object ExtensionQueries {
         val quality = withTok.filter(col("n_tokens") >= 20)
         val reps = Dedup.exact(quality, "doc_id", "text")
           .select(col("rep_id").as("doc_id"))
-        val survivors = Joins.semi(quality, reps, Seq("doc_id"))
+        // survivors feeds BOTH the near-dup pair generation and the final
+        // anti-join — cache so the quality+dedup pipeline runs once
+        val survivors = Joins.semi(quality, reps, Seq("doc_id")).cache()
         val nearDupLosers = Dedup.jaccardPairsDense(survivors, "doc_id", "text", 2, 0.5)
           .select(col("d2").as("doc_id")).distinct()
         Joins.anti(survivors, nearDupLosers, Seq("doc_id"))
