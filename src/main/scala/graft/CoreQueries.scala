@@ -28,7 +28,9 @@ object CoreQueries {
          |round((sp_${i}_$j - s_$i*s_$j/n) /
          |  (sqrt(sp_${i}_$i - s_$i*s_$i/n) * sqrt(sp_${j}_$j - s_$j*s_$j/n)), 6) AS corr_val
          |FROM m""".stripMargin
-    s"""WITH m AS (SELECT COUNT(*) AS n, ${(sums ++ prods).mkString(", ")} FROM lineitem)
+    val notNull = corrCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    s"""WITH m AS (SELECT COUNT(*) AS n, ${(sums ++ prods).mkString(", ")}
+       |FROM lineitem WHERE $notNull)
        |${cells.mkString("\nUNION ALL\n")}
        |ORDER BY col_x, col_y""".stripMargin
   }
@@ -106,7 +108,7 @@ object CoreQueries {
     // ---- BasicColStatSketch (exact-moment mean/stddev) ---------------------
     Q("basic_stats",
       s"""SELECT cnt, missing_count, min_val, max_val, s1/cnt AS avg_val,
-         |sqrt((s2 - s1*s1/cnt)/(cnt-1)) AS stddev_val FROM (
+         |CASE WHEN cnt > 1 THEN sqrt((s2 - s1*s1/cnt)/(cnt-1)) END AS stddev_val FROM (
          |  SELECT COUNT(l_extendedprice) AS cnt,
          |         COUNT(*) - COUNT(l_extendedprice) AS missing_count,
          |         MIN(l_extendedprice) AS min_val, MAX(l_extendedprice) AS max_val,
@@ -444,7 +446,8 @@ object CoreQueries {
         |         CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
         |         CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
         |         CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
-        |  FROM lineitem)""".stripMargin) {
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)""".stripMargin) {
       (s, d) => Stats.correlation(t(s, d, "lineitem"), "l_quantity", "l_extendedprice")
     },
 

@@ -22,8 +22,8 @@ import graft.functions.SimHashAgg
 object Dedup {
 
   /** Exact dedup: one representative (min id) per identical text + the
-    * duplicate count. Content-hash groupBy; never shuffles the text itself
-    * when `hashOnly` (ship sha2(text) not text — at 100 TB this matters).
+    * duplicate count. Content-hash groupBy — only (sha2, id) pairs are
+    * shuffled, never the text itself (at 100 TB this matters).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), sha2(col(textCol), 256).as("content_hash"))
@@ -52,8 +52,11 @@ object Dedup {
       .select(col(idCol), col("sh"),
         row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rk"),
         count(lit(1)).over(byDoc).as("n_sh"))
+    // epsilon guards double truncation: (1-t) is inexact for most t (e.g.
+    // 1-0.8 = 0.19999…), and a prefix one element short can MISS a
+    // qualifying pair; erring one element long never can
     val prefix = ranked
-      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + lit(1))
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)) + lit(1))
     val cand = prefix.select(col(idCol).as("d1"), col("sh"))
       .join(prefix.select(col(idCol).as("d2"), col("sh")), Seq("sh"))
       .filter(col("d1") < col("d2"))
@@ -99,35 +102,34 @@ object Dedup {
     // one emit per (doc, block): every doc is a probe ("left") in every
     // block and a build ("right") row in its own block only — a single
     // upstream evaluation. The pair loop is CPU-bound on tiny bytes, so
-    // the shuffle uses an EXPLICIT partition count (exempt from AQE
-    // partition coalescing, which would fold the whole quadratic loop
-    // into one task by byte-size heuristics).
+    // it is partitioned by an identity BlockPartition (one block per
+    // task; AQE's byte-size coalescing would fold the whole quadratic
+    // loop into one task).
     val tagged = docs.flatMap { case (id, ids) =>
       val own = (id % blocks).toInt.abs
       Iterator.range(0, blocks).map(b => (b, b == own, id, ids))
     }
-    tagged.repartition(blocks, col("_1")).mapPartitions { it =>
-      val byBlock = scala.collection.mutable.LongMap
-        .empty[(scala.collection.mutable.ArrayBuffer[(Long, Array[Long])],
-                scala.collection.mutable.ArrayBuffer[(Long, Array[Long])])]
-      it.foreach { case (b, isOwn, id, ids) =>
-        val e = byBlock.getOrElseUpdate(b,
-          (scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
-        e._1 += ((id, ids)); if (isOwn) e._2 += ((id, ids))
-      }
-      byBlock.valuesIterator.flatMap { case (left, right) =>
+    val paired = tagged.rdd
+      .map(t => (t._1, t))
+      .partitionBy(BlockPartition(blocks)) // exactly one block per task
+      .values
+      .mapPartitions { it =>
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        it.foreach { case (_, isOwn, id, ids) =>
+          left += ((id, ids)); if (isOwn) right += ((id, ids))
+        }
         left.iterator.flatMap { case (d1, ids1) =>
-          right.iterator.collect {
-            case (d2, ids2) if d1 < d2 && {
+          right.iterator.flatMap { case (d2, ids2) =>
+            if (d1 < d2) {
               val i = intersect(ids1, ids2)
-              i.toDouble / (ids1.length + ids2.length - i) >= threshold
-            } =>
-              val i = intersect(ids1, ids2)
-              (d1, d2, i.toDouble / (ids1.length + ids2.length - i))
+              val j = i.toDouble / (ids1.length + ids2.length - i)
+              if (j >= threshold) Iterator.single((d1, d2, j)) else Iterator.empty
+            } else Iterator.empty
           }
         }
       }
-    }.toDF("d1", "d2", "jacc")
+    spark.createDataFrame(paired).toDF("d1", "d2", "jacc")
   }
 
   /** Exact-Jaccard verification of candidate (d1, d2) pairs against the

@@ -75,21 +75,26 @@ object Filters {
     * (`ref:P/table/filters/RowComparisonFilterDescription.java`). Encoded
     * as the OR-of-ANDs boolean expansion so it stays a pushable predicate
     * (struct comparison would block parquet pushdown).
+    *
+    * Null-safe under the canonical null placement (ASC→NULLS FIRST,
+    * DESC→NULLS LAST): equality prefixes use `<=>`, and the strict
+    * comparisons spell out where nulls sort — a plain `>`/`<` would
+    * silently drop null-keyed rows from every page.
     */
   def rowAtLeast(order: Seq[SortKey], start: Seq[Column]): Column = {
     require(order.length == start.length, "order/start arity mismatch")
-    // (k1 gt s1) OR (k1 = s1 AND k2 gt s2) OR ... OR (all equal-or-final >=)
+    // strictly after `v` in sort order, null-aware
+    def after(k: SortKey, v: Column): Column = {
+      val c = col(k.name)
+      if (k.asc) when(v.isNull, c.isNotNull).otherwise(c > v) // nulls first
+      else when(v.isNull, lit(false)).otherwise(c < v || c.isNull) // nulls last
+    }
     val n = order.length
     val disjuncts = (0 until n).map { i =>
-      val eqPrefix = (0 until i).map(j => col(order(j).name) === start(j))
+      val eqPrefix = (0 until i).map(j => col(order(j).name) <=> start(j))
       val cmp =
-        if (i == n - 1) {
-          if (order(i).asc) col(order(i).name) >= start(i)
-          else col(order(i).name) <= start(i)
-        } else {
-          if (order(i).asc) col(order(i).name) > start(i)
-          else col(order(i).name) < start(i)
-        }
+        if (i == n - 1) after(order(i), start(i)) || (col(order(i).name) <=> start(i))
+        else after(order(i), start(i))
       (eqPrefix :+ cmp).reduce(_ && _)
     }
     disjuncts.reduce(_ || _)

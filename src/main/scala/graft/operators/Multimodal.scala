@@ -49,16 +49,18 @@ object Multimodal {
     * requested target (real impl: decoder + resampler batch function with
     * this exact signature and output schema).
     */
-  def fakeResize(df: DataFrame, idCol: String, targetBytes: Int = 64): DataFrame =
+  def fakeResize(df: DataFrame, idCol: String, targetBytes: Int = 64): DataFrame = {
+    // concat of BINARY substrings stays in the byte domain end to end —
+    // array_join would coerce through UTF-8 strings and corrupt any byte
+    // >= 0x80 into replacement characters
+    val sampled = concat((0 until targetBytes).map(i =>
+      expr(s"substring(data, cast($i * (octet_length(data) / $targetBytes) as int) + 1, 1)")): _*)
     df.select(col(idCol), col("asset.data").as("data"))
       .select(col(idCol),
-        expr(s"""
-          | CASE WHEN octet_length(data) <= $targetBytes THEN data
-          | ELSE array_join(transform(
-          |   sequence(0, $targetBytes - 1),
-          |   i -> substring(data, cast(i * (octet_length(data) / $targetBytes) as int) + 1, 1)), '')
-          | END""".stripMargin).cast("binary").as("resized_bytes"),
+        when(octet_length(col("data")) <= targetBytes, col("data"))
+          .otherwise(sampled).as("resized_bytes"),
         octet_length(col("data")).cast("long").as("orig_bytes"))
+  }
 
   /** STUB frame-sample: take `frames` evenly-spaced byte windows of
     * `frameBytes` as stand-in video frames (real impl: decoder over

@@ -104,9 +104,12 @@ object Similarity {
       struct(lit(l).as("tbl"),
         hyperplaneSignature(col(vecCol), dim, bits, seed + 1000L * l).as("bucket"))
     }
+    // queryPred is applied to the ORIGINAL frame (it may reference any emb
+    // column), then the filtered queries are signature-tagged separately
     val tagged = emb.select(col(idCol), explode(array(sigs: _*)).as("tb"))
       .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val q = tagged.filter(queryPred).select(col(idCol).as("q_id"), col("tbl"), col("bucket"))
+    val q = emb.filter(queryPred).select(col(idCol), explode(array(sigs: _*)).as("tb"))
+      .select(col(idCol).as("q_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val c = tagged.select(col(idCol).as("n_id"), col("tbl"), col("bucket"))
     val cand = q.join(c, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -141,8 +144,9 @@ object Similarity {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val spark = emb.sparkSession
     import spark.implicits._
-    val base = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
+    // the Lloyd pass never uses ids — ship vectors only (and stay agnostic
+    // to the id type, unlike a cast-to-long of string ids)
+    val vecs = emb.select(col(vecCol)).as[Array[Float]]
     def l2(a: Array[Float], c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
@@ -161,8 +165,8 @@ object Similarity {
       .collect().map(_.map(_.toDouble))
     // one Lloyd pass: mean of each centroid's assigned vectors
     val refined: Array[Array[Double]] = {
-      val sums = base
-        .map { case (_, v) => (nearest(v, init), v.map(_.toDouble), 1L) }
+      val sums = vecs
+        .map(v => (nearest(v, init), v.map(_.toDouble), 1L))
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
           (a._1, a._2.zip(b._2).map { case (x, y) => x + y }, a._3 + b._3)
@@ -225,31 +229,32 @@ object Similarity {
     val base = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
     // one emit per (vector, block): probe everywhere, build in own block —
-    // single upstream evaluation; explicit partition count keeps AQE from
-    // coalescing the CPU-bound pair loop (see Dedup.jaccardPairsDense)
+    // single upstream evaluation; identity BlockPartition gives one block
+    // per task and sidesteps AQE coalescing (see Dedup.jaccardPairsDense)
     val tagged = base.flatMap { case (id, v) =>
       val own = (id % blocks).toInt.abs
       Iterator.range(0, blocks).map(b => (b, b == own, id, v))
     }
-    tagged.repartition(blocks, col("_1")).mapPartitions { it =>
-      val byBlock = scala.collection.mutable.LongMap
-        .empty[(scala.collection.mutable.ArrayBuffer[(Long, Array[Float])],
-                scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)])]
-      it.foreach { case (b, isOwn, id, v) =>
-        val e = byBlock.getOrElseUpdate(b,
-          (scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
-        e._1 += ((id, v)); if (isOwn) e._2 += ((id, v, math.sqrt(dot(v, v))))
-      }
-      byBlock.valuesIterator.flatMap { case (left, right) =>
+    val paired = tagged.rdd
+      .map(t => (t._1, t))
+      .partitionBy(BlockPartition(blocks))
+      .values
+      .mapPartitions { it =>
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, isOwn, id, v) =>
+          left += ((id, v)); if (isOwn) right += ((id, v, math.sqrt(dot(v, v))))
+        }
         left.iterator.flatMap { case (d1, v1) =>
           val n1 = math.sqrt(dot(v1, v1))
-          right.iterator.collect {
-            case (d2, v2, n2) if d1 < d2 &&
-              round6(dot(v1, v2) / (n1 * n2)) >= threshold =>
-              (d1, d2, round6(dot(v1, v2) / (n1 * n2)))
+          right.iterator.flatMap { case (d2, v2, n2) =>
+            if (d1 < d2) {
+              val sim = round6(dot(v1, v2) / (n1 * n2))
+              if (sim >= threshold) Iterator.single((d1, d2, sim)) else Iterator.empty
+            } else Iterator.empty
           }
         }
       }
-    }.toDF("d1", "d2", "sim")
+    spark.createDataFrame(paired).toDF("d1", "d2", "sim")
   }
 }

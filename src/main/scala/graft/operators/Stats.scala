@@ -50,17 +50,21 @@ object Stats {
     agg.select(
       col("cnt"), col("missing_count"), col("min_val"), col("max_val"),
       (col("s1") / col("cnt")).as("avg_val"),
-      sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - lit(1)))
+      // sample stddev is undefined below 2 observations — NULL, not NaN/∞
+      when(col("cnt") > 1,
+        sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - lit(1))))
         .as("stddev_val"))
   }
 
   /** Pearson correlation of two numeric columns from exact moment sums —
-    * one cell of the reference's `CorrMatrixSketch`.
+    * one cell of the reference's `CorrMatrixSketch`. Rows with a missing
+    * value in EITHER column are excluded up front (listwise deletion), so
+    * every moment is computed over the same population.
     */
   def correlation(df: DataFrame, xName: String, yName: String): DataFrame = {
     val x = col(xName).cast("double")
     val y = col(yName).cast("double")
-    val m = df.agg(
+    val m = df.filter(col(xName).isNotNull && col(yName).isNotNull).agg(
       count(lit(1)).as("n"),
       Det.dsum(x).as("sx"), Det.dsum(y).as("sy"),
       Det.dsum(x * y).as("sxy"),
@@ -73,9 +77,12 @@ object Stats {
   }
 
   /** Full correlation matrix over numeric columns (pairwise, single pass).
-    * Output: one row per (col_x, col_y) pair, x ≤ y.
+    * Output: one row per (col_x, col_y) pair, x ≤ y. Listwise deletion:
+    * a row missing ANY of the columns is excluded, keeping every moment
+    * on one consistent population.
     */
-  def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def correlationMatrix(df0: DataFrame, columns: Seq[String]): DataFrame = {
+    val df = df0.filter(columns.map(col(_).isNotNull).reduce(_ && _))
     val aggs = columns.map(c => Det.dsum(col(c).cast("double")).as(s"s_$c")) ++
       columns.map(c => Det.dsum(col(c).cast("double") * col(c).cast("double")).as(s"ss_$c")) ++
       (for (i <- columns.indices; j <- columns.indices if i <= j)
@@ -153,8 +160,9 @@ object Stats {
     * the driver, Jacobi eigen. Returns (means, eigenvalues desc,
     * components as rows).
     */
-  def pcaComponents(df: DataFrame, columns: Seq[String])
+  def pcaComponents(df0: DataFrame, columns: Seq[String])
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val df = df0.filter(columns.map(col(_).isNotNull).reduce(_ && _))
     val k = columns.length
     val aggs =
       columns.map(c => Det.dsum(col(c).cast("double")).as(s"s_$c")) ++

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens (regex split, trimmed). */
+  /** Whitespace tokens (regex split, trimmed). Note: a blank/whitespace
+    * string yields [""], one empty token — deliberately NOT filtered,
+    * because DuckDB's string_split_regex has the identical semantics and
+    * the oracle contract mirrors expressions, not intentions.
+    */
   def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
 
   /** Word n-gram shingle list over a token-array column. 1-based

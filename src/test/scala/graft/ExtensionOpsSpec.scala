@@ -150,4 +150,24 @@ class ExtensionOpsSpec extends SparkSpec {
       octet_length(col("resized_bytes")) =!= col("orig_bytes")).count() == 0,
       "small payloads pass through")
   }
+
+  test("resize preserves non-ASCII bytes exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val payload = Array.tabulate(100)(i => (i * 37 + 128).toByte) // high bytes
+    val raw = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, payload)),
+      StructType(Seq(StructField("doc_id", LongType), StructField("data", BinaryType))))
+    val assets = raw.select(col("doc_id"),
+      struct(lit("mem://1").as("uri"), lit("application/octet-stream").as("mime"),
+        col("data").as("data"),
+        org.apache.spark.sql.functions.map().as("meta")).as("asset"))
+    val out = Multimodal.fakeResize(assets, "doc_id", targetBytes = 16)
+      .head().getAs[Array[Byte]]("resized_bytes")
+    assert(out.length == 16)
+    out.zipWithIndex.foreach { case (b, i) =>
+      val src = (i * (100 / 16.0)).toInt // fractional stride, truncated
+      assert(b == payload(src), s"byte $i corrupted: $b vs ${payload(src)}")
+    }
+  }
 }

@@ -60,6 +60,26 @@ class NullHandlingSpec extends SparkSpec {
     assert(dv.length == 3, "null appears as its own distinct value")
   }
 
+  test("rowAtLeast matches a brute-force model on null-bearing keys") {
+    // canonical order: asc → nulls first, desc → nulls last
+    val rows = df.select("id", "x", "s").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.getString(2))))
+    def ordKey(t: (Long, Option[Double], Option[String])) =
+      (t._3.isDefined, t._3.getOrElse(""), // s asc nulls first
+       t._2.isEmpty, -t._2.getOrElse(0.0), // x desc nulls last
+       t._1)
+    val sorted = rows.sortBy(ordKey)
+    val order = Seq(SortKey("s"), SortKey("x", asc = false), SortKey("id"))
+    sorted.zipWithIndex.foreach { case (start, idx) =>
+      val got = df.filter(Filters.rowAtLeast(order,
+        Seq(lit(start._3.orNull), lit(start._2.map(Double.box).orNull), lit(start._1))))
+        .count()
+      assert(got == rows.length - idx,
+        s"start=$start expected ${rows.length - idx} rows, got $got")
+    }
+  }
+
   test("NextK orders null keys first and pages past them") {
     val page = NextK.page(df, Seq(SortKey("s"), SortKey("id")), None, 10).collect()
     assert(page.length == 6)
