@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.functions.MisraGries
@@ -11,6 +12,31 @@ import graft.QueryDefs._
   * the Misra-Gries custom aggregate.
   */
 object ExtensionQueries {
+
+  /** The end-to-end corpus-cleaning flow: quality gate → exact dedup (keep
+    * min-id representative) → near-dup removal (drop the larger id of
+    * every qualifying pair) → corpus stats. `nearDupPairs` maps the
+    * survivor frame to (d1, d2, …) pairs — inject `Dedup.minHashLSH` for
+    * the sub-quadratic scale path (the catalog default) or
+    * `Dedup.jaccardPairsDense` as the exact oracle twin (tests assert the
+    * two pipelines agree on the fixture, where LSH recall is 1.0).
+    */
+  def cleanCorpus(docs: DataFrame, nearDupPairs: DataFrame => DataFrame,
+                  scope: CacheScope = CacheScope.session): DataFrame = {
+    val withTok = docs.join(
+      TextOps.tokenCount(docs, "doc_id", "text"), Seq("doc_id"))
+    val quality = withTok.filter(col("n_tokens") >= 20)
+    val reps = Dedup.exact(quality, "doc_id", "text")
+      .select(col("rep_id").as("doc_id"))
+    // survivors feeds BOTH the near-dup pair generation and the final
+    // anti-join — pin so the quality+dedup pipeline runs once
+    val survivors = scope.pin(Joins.semi(quality, reps, Seq("doc_id")))
+    val nearDupLosers = nearDupPairs(survivors)
+      .select(col("d2").as("doc_id")).distinct()
+    Joins.anti(survivors, nearDupLosers, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
 
   /** Shared DuckDB fragment: distinct word-bigram shingles per doc. */
   private val sqlBigrams =
@@ -218,10 +244,11 @@ object ExtensionQueries {
     },
 
     // ---- End-to-end corpus-cleaning pipeline (the training-data flow) ------
-    // quality gate → exact dedup (keep min-id representative) → near-dup
-    // removal (drop the larger id of every Jaccard≥0.5 pair) → corpus
-    // stats. Every stage is one of the catalog operators; the oracle
-    // replays the identical pipeline in SQL.
+    // Every stage is one of the catalog operators; the oracle replays the
+    // identical pipeline in SQL with an EXACT near-dup stage, while the
+    // Spark side runs the sub-quadratic MinHash-LSH stage — they agree
+    // because LSH verifies exact Jaccard on candidates and its recall on
+    // the fixture corpus is 1.0 (asserted in ExtensionOpsSpec).
     Q("pipeline_clean_corpus",
       s"""WITH toks AS (
          |  SELECT doc_id, text, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
@@ -248,21 +275,8 @@ object ExtensionQueries {
          |clean AS (SELECT * FROM survivors WHERE doc_id NOT IN (SELECT d2 FROM neardup))
          |SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM clean""".stripMargin) {
-      (s, d) =>
-        val docs = t(s, d, "documents")
-        val withTok = docs.join(
-          TextOps.tokenCount(docs, "doc_id", "text"), Seq("doc_id"))
-        val quality = withTok.filter(col("n_tokens") >= 20)
-        val reps = Dedup.exact(quality, "doc_id", "text")
-          .select(col("rep_id").as("doc_id"))
-        // survivors feeds BOTH the near-dup pair generation and the final
-        // anti-join — cache so the quality+dedup pipeline runs once
-        val survivors = Joins.semi(quality, reps, Seq("doc_id")).cache()
-        val nearDupLosers = Dedup.jaccardPairsDense(survivors, "doc_id", "text", 2, 0.5)
-          .select(col("d2").as("doc_id")).distinct()
-        Joins.anti(survivors, nearDupLosers, Seq("doc_id"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("total_tokens"))
+      (s, d) => cleanCorpus(t(s, d, "documents"),
+        sv => Dedup.minHashLSH(sv, "doc_id", "text", n = 2, threshold = 0.5))
     },
 
     // ---- Misra-Gries sketch (k > distinct ⇒ counts exact ⇒ oracle-able) ----

@@ -44,8 +44,9 @@ object Dedup {
     * candidate-local work.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val bg = TextOps.shingleSet(df, idCol, textCol, n).cache()
+                   n: Int = 2, threshold: Double = 0.5,
+                   scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    val bg = scope.pin(TextOps.shingleSet(df, idCol, textCol, n))
     val dfreq = bg.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val ranked = bg.join(dfreq, Seq("sh"))
@@ -166,11 +167,11 @@ object Dedup {
     */
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,
-                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val docs = TextOps.shingleSet(df, idCol, textCol, n)
+                 threshold: Double = 0.5, seed: Long = 42L,
+                 scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    val docs = scope.pin(TextOps.shingleSet(df, idCol, textCol, n)
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("ids"))
-      .cache()
+      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("ids")))
     // band signature = hash of the band's rowsPerBand min-rehashes,
     // computed per row from the hash array (map-side only)
     val bandCols = (0 until bands).map { b =>

@@ -50,6 +50,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ham.size <= exactPairs.size * 3, s"too many background pairs: ${ham.size}")
   }
 
+  test("cleaning pipeline: LSH near-dup stage ≡ exact dense stage on the fixture") {
+    // the catalog query ships the sub-quadratic MinHash-LSH stage while the
+    // DuckDB oracle replays exact near-dup SQL — this is the parity that
+    // keeps the hash green (VERDICT r3 item 1)
+    CacheScope.scoped { sc =>
+      val viaLsh = ExtensionQueries.cleanCorpus(docs,
+        sv => Dedup.minHashLSH(sv, "doc_id", "text", n = 2, threshold = 0.5, scope = sc),
+        sc).collect().toSeq
+      val viaDense = ExtensionQueries.cleanCorpus(docs,
+        sv => Dedup.jaccardPairsDense(sv, "doc_id", "text", 2, 0.5),
+        sc).collect().toSeq
+      assert(viaLsh == viaDense)
+    }
+  }
+
+  test("catalog pipeline query plan has no quadratic block-NLJ stage") {
+    val q = ExtensionQueries.all.find(_.name == "pipeline_clean_corpus").get
+    val plan = q.fn(spark, sf).queryExecution.optimizedPlan.toString
+    // the dense block-pair path enters the plan as an ExistingRDD scan;
+    // the LSH pipeline is pure DataFrame operators
+    assert(!plan.contains("ExistingRDD"), s"quadratic stage leaked into:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("CacheScope.scoped releases every pin") {
+    docs.count() // materialize the spec-level cache before snapshotting
+    val before = spark.sparkContext.getPersistentRDDs.size
+    CacheScope.scoped { sc =>
+      Dedup.minHashLSH(docs, "doc_id", "text", scope = sc).count()
+      assert(spark.sparkContext.getPersistentRDDs.size > before, "pin did not persist")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before, "scope leaked a pin")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = Dedup.exact(docs, "doc_id", "text")
       .agg(sum("n_copies")).head.getLong(0)
