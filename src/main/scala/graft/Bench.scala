@@ -54,7 +54,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_ONLY: comma-separated query names — time just those
+    // (iteration aid; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (n, fn) => force(spark, "/root/testdata/sf0.001", n, fn) } // warmup
 
     val pass1 = queries.map { case (name, fn) => name -> force(spark, sfDir, name, fn) }

@@ -83,7 +83,7 @@ object Dedup {
     */
   def jaccardPairsDense(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, threshold: Double = 0.5,
-                        blocks: Int = 128): DataFrame = {
+                        groups: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val docs = TextOps.shingleSet(df, idCol, textCol, n)
@@ -100,36 +100,14 @@ object Dedup {
       }
       c
     }
-    // one emit per (doc, block): every doc is a probe ("left") in every
-    // block and a build ("right") row in its own block only — a single
-    // upstream evaluation. The pair loop is CPU-bound on tiny bytes, so
-    // it is partitioned by an identity BlockPartition (one block per
-    // task; AQE's byte-size coalescing would fold the whole quadratic
-    // loop into one task).
-    val tagged = docs.flatMap { case (id, ids) =>
-      val own = (id % blocks).toInt.abs
-      Iterator.range(0, blocks).map(b => (b, b == own, id, ids))
+    // triangle blocking (see TriangleBlocks): each doc ships to its
+    // bucket's `groups` block-pair tasks, intersections run as linear
+    // merges over primitive arrays inside each task
+    val paired = TriangleBlocks.allPairs(docs.rdd, groups) { (d1, ids1, d2, ids2) =>
+      val i = intersect(ids1, ids2)
+      val j = i.toDouble / (ids1.length + ids2.length - i)
+      if (j >= threshold) Some((d1, d2, j)) else None
     }
-    val paired = tagged.rdd
-      .map(t => (t._1, t))
-      .partitionBy(BlockPartition(blocks)) // exactly one block per task
-      .values
-      .mapPartitions { it =>
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        it.foreach { case (_, isOwn, id, ids) =>
-          left += ((id, ids)); if (isOwn) right += ((id, ids))
-        }
-        left.iterator.flatMap { case (d1, ids1) =>
-          right.iterator.flatMap { case (d2, ids2) =>
-            if (d1 < d2) {
-              val i = intersect(ids1, ids2)
-              val j = i.toDouble / (ids1.length + ids2.length - i)
-              if (j >= threshold) Iterator.single((d1, d2, j)) else Iterator.empty
-            } else Iterator.empty
-          }
-        }
-      }
     spark.createDataFrame(paired).toDF("d1", "d2", "jacc")
   }
 

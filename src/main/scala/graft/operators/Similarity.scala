@@ -207,18 +207,16 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): all pairs
     * with cosine ≥ threshold — exact semantics.
     *
-    * Distributed block nested-loop via cogroup: the corpus is
-    * hash-partitioned into `blocks` buckets on id; the other side is
-    * replicated to every bucket; cogrouping on the bucket id meets every
-    * unordered pair exactly once (`d1 < d2`). Inside each bucket the
-    * bucket-local rows are decoded to primitive float arrays ONCE and the
-    * pair loop is compiled double arithmetic — no per-pair row conversion,
-    * no crossJoin, nothing on the driver. Decode cost is N·(blocks+1)
-    * rows; pair cost is the irreducible N²/2 dot products. The
+    * Triangle-blocked distributed pair loop (see TriangleBlocks): vectors
+    * are decoded to primitive float arrays once (norm precomputed per
+    * row, not per task), shipped to their bucket's `groups` block-pair
+    * tasks, and the pair loop is compiled double arithmetic — no per-pair
+    * row conversion, no crossJoin, nothing on the driver. Shuffle cost is
+    * N·groups rows; pair cost is the irreducible N²/2 dot products. The
     * sub-quadratic path for looser thresholds is `lshTopK`.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, blocks: Int = 128): DataFrame = {
+                     threshold: Double, groups: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -226,35 +224,15 @@ object Similarity {
       while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
-    val base = emb.select(col(idCol).cast("long"), col(vecCol))
+    val withNorm = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    // one emit per (vector, block): probe everywhere, build in own block —
-    // single upstream evaluation; identity BlockPartition gives one block
-    // per task and sidesteps AQE coalescing (see Dedup.jaccardPairsDense)
-    val tagged = base.flatMap { case (id, v) =>
-      val own = (id % blocks).toInt.abs
-      Iterator.range(0, blocks).map(b => (b, b == own, id, v))
+      .rdd
+      .map { case (id, v) => (id, (v, math.sqrt(dot(v, v)))) }
+    val paired = TriangleBlocks.allPairs(withNorm, groups) { (d1, p1, d2, p2) =>
+      val (v1, n1) = p1; val (v2, n2) = p2
+      val sim = round6(dot(v1, v2) / (n1 * n2))
+      if (sim >= threshold) Some((d1, d2, sim)) else None
     }
-    val paired = tagged.rdd
-      .map(t => (t._1, t))
-      .partitionBy(BlockPartition(blocks))
-      .values
-      .mapPartitions { it =>
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        it.foreach { case (_, isOwn, id, v) =>
-          left += ((id, v)); if (isOwn) right += ((id, v, math.sqrt(dot(v, v))))
-        }
-        left.iterator.flatMap { case (d1, v1) =>
-          val n1 = math.sqrt(dot(v1, v1))
-          right.iterator.flatMap { case (d2, v2, n2) =>
-            if (d1 < d2) {
-              val sim = round6(dot(v1, v2) / (n1 * n2))
-              if (sim >= threshold) Iterator.single((d1, d2, sim)) else Iterator.empty
-            } else Iterator.empty
-          }
-        }
-      }
     spark.createDataFrame(paired).toDF("d1", "d2", "sim")
   }
 }

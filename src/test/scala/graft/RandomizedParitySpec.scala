@@ -44,7 +44,7 @@ class RandomizedParitySpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(canon(Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.5)) == expected,
         s"prefix-filter diverged on trial $trial")
-      assert(canon(Dedup.jaccardPairsDense(df, "doc_id", "text", 2, 0.5, blocks = 7)) == expected,
+      assert(canon(Dedup.jaccardPairsDense(df, "doc_id", "text", 2, 0.5, groups = 3)) == expected,
         s"dense diverged on trial $trial")
     }
   }
