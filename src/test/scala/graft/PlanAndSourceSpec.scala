@@ -106,6 +106,28 @@ class PlanAndSourceSpec extends SparkSpec {
     assert(filtered.count() == full)
   }
 
+  test("JDBC round trip: write a slice to embedded Derby, load, aggregate") {
+    // Derby ships on the Spark classpath; an embedded file DB is the same
+    // spark.read.jdbc path a networked warehouse would use, minus the wire
+    val db = java.nio.file.Files.createTempDirectory("graft_derby").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val slice = Tables.open(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag").limit(500)
+    slice.write.mode("overwrite").jdbc(url, "li_slice", props)
+    val back = Tables.jdbc(spark, url, "li_slice", props)
+    assert(back.columns.map(_.toLowerCase).toSeq ==
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))
+    val agg = back.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exp = slice.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(agg == exp, "JDBC round trip must preserve every group")
+  }
+
   test("cached-table registry persists once and purges on demand") {
     Tables.purgeCached(sf)
     val a = Tables.openCached(spark, sf, "nation")
