@@ -117,24 +117,29 @@ final class ViewSession(spark: SparkSession) {
   def cancel(id: ViewId): Unit =
     spark.sparkContext.cancelJobGroup(jobGroup(id))
 
-  /** Progressive partial results: run `sketchOp` on each of `batches`
-    * disjoint partition slices, folding partials with the monoid `merge`
-    * — each step yields (progress, refined result), the reference's
-    * `Observable[PartialResult]` as an iterator. Each partial is
-    * materialized (sketch results are small by contract), so the running
-    * merge never re-executes earlier slices; each step does scan the
-    * source and keep its 1/batches share — the partition-id filter bounds
-    * per-step WORK, not I/O (per-file batch enumeration would bound both,
-    * at the cost of bypassing the view's logical plan).
+  /** Progressive partial results: the view's largest file-backed scan is
+    * enumerated into `batches` disjoint FILE slices (deterministic: sorted
+    * file list, round-robin — see FileSlices); `sketchOp` runs per slice
+    * and the monoid `merge` folds partials into a refining result — each
+    * step yields (progress, refined result), the reference's
+    * `Observable[PartialResult]` as an iterator. A sliced plan LISTS only
+    * its own files, so each step bounds both work and I/O at ~1/batches
+    * of the source (`ref:P/dataset/ParallelDataSet.java` streams partials
+    * from per-leaf work the same way). File membership is stable across
+    * steps by construction, unlike partition-id slicing, which can
+    * migrate rows between re-executions when the plan contains a
+    * round-robin repartition, a sample, or an AQE-replanned shuffle.
+    * Partials are materialized (sketch results are small by contract), so
+    * the running merge never re-executes earlier slices. Views with no
+    * file-backed scan are rejected.
     */
   def progressive(id: ViewId, batches: Int,
                   sketchOp: DataFrame => DataFrame,
                   merge: (DataFrame, DataFrame) => DataFrame): Iterator[(Double, DataFrame)] = {
-    require(batches > 0)
-    val tagged = views(id).df.withColumn("__batch", pmod(spark_partition_id(), lit(batches)))
+    val slices = graft.plans.FileSlices.slices(views(id).df, batches)
     var acc: Option[DataFrame] = None
-    (0 until batches).iterator.map { i =>
-      val sliceResult = sketchOp(tagged.filter(col("__batch") === i).drop("__batch"))
+    slices.iterator.zipWithIndex.map { case (sliceDf, i) =>
+      val sliceResult = sketchOp(sliceDf)
       val rows = sliceResult.collect()
       val slice = spark.createDataFrame(java.util.Arrays.asList(rows: _*), sliceResult.schema)
       acc = Some(acc.fold(slice)(a => merge(a, slice)))

@@ -78,6 +78,45 @@ class ViewSpec extends SparkSpec {
     assert(steps.last._2 == exact, "final partial equals the direct sketch")
   }
 
+  test("progressive slices bound per-step I/O to their own files") {
+    val s = newSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_prog").toString
+    sources.Tables.open(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val root = s.open("li8", spark.read.parquet(dir))
+    val brushed = s.child(root, "brush")(_.filter(col("l_quantity") > 10))
+    val slices = graft.plans.FileSlices.slices(s(brushed).df, 4)
+    val perStep = slices.map(_.inputFiles.toSet)
+    assert(perStep.forall(_.size == 2), s"8 files over 4 batches, got ${perStep.map(_.size)}")
+    assert(perStep.reduce(_ ++ _).size == 8, "slices must cover every file")
+    assert(perStep.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty },
+      "slices must be disjoint")
+    assert(slices.map(_.count()).sum == s(brushed).df.count(),
+      "slice scans must partition the view's rows exactly")
+  }
+
+  test("progressive over a dimension join slices only the fact scan") {
+    val s = newSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_prog_join").toString
+    sources.Tables.open(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+      .repartition(6).write.mode("overwrite").parquet(dir)
+    val orders = sources.Tables.open(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val root = s.open("li_join",
+      spark.read.parquet(dir).join(broadcast(orders), Seq("l_orderkey")))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    val merge = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      a.unionByName(b).groupBy("o_orderpriority").agg(sum("cnt").as("cnt"))
+    val steps = s.progressive(root, 3, sketch, merge).toList
+    assert(steps.map(_._1) == List(1.0 / 3, 2.0 / 3, 1.0))
+    val got = steps.last._2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = sketch(s(root).df).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, "merged partials over fact slices must equal the direct sketch")
+  }
+
   test("resolution-aware sampling rate follows the paper's formula") {
     val s = newSession
     assert(s.samplingRate(1000L, 100, 40) == 1.0) // small data: no sampling
