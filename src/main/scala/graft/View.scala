@@ -42,10 +42,18 @@ final case class ViewNode(id: ViewId, df: DataFrame, parent: Option[ViewId], op:
   * §3), so memoizing collected rows on the driver is the same discipline
   * as the reference's root node; bulk data never leaves the cluster.
   */
-final class ViewSession(spark: SparkSession) {
+final class ViewSession(spark: SparkSession, memoCap: Int = 256) {
 
   private val views = TrieMap.empty[ViewId, ViewNode]
-  private val memo = TrieMap.empty[(ViewId, String), (org.apache.spark.sql.types.StructType, Array[Row])]
+  // LRU with a hard cap: sketch results are small by contract, but a
+  // long-lived session accumulates one entry per UI gesture — bound it
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(ViewId, String), (org.apache.spark.sql.types.StructType, Array[Row])](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(ViewId, String), (org.apache.spark.sql.types.StructType, Array[Row])]): Boolean =
+        size() > memoCap
+    })
   private val seq = new AtomicLong(0)
   private val memoHitCount = new AtomicLong(0)
 
@@ -87,17 +95,31 @@ final class ViewSession(spark: SparkSession) {
     */
   def purge(id: ViewId): Unit = {
     views.remove(id)
-    memo.keys.filter(_._1 == id).foreach(memo.remove)
+    memo.synchronized {
+      memo.keySet.removeIf(_._1 == id)
+    }
   }
 
   /** Number of memoized sketch results served without recompute. */
   def memoHits: Long = memoHitCount.get()
 
-  /** Run a sketch (small-result aggregation) for a view, memoized by
-    * `opKey`, under the view's job group so `cancel(id)` aborts it.
+  /** Number of memoized sketch results currently held. */
+  def memoSize: Int = memo.size()
+
+  /** Run a sketch (small-result aggregation) for a view, under the view's
+    * job group so `cancel(id)` aborts it. Memoized by (view, opKey, the
+    * CANONICALIZED PLAN of op(view)): `op` is always applied (plan
+    * building is milliseconds; no data moves), so reusing an opKey with a
+    * different op can never serve a stale result — the plan fingerprint
+    * diverges and both entries coexist. Entries are LRU-evicted past
+    * `memoCap` (the driver-resident memo cannot grow without bound in a
+    * long session).
     */
   def sketch(id: ViewId, opKey: String)(op: DataFrame => DataFrame): DataFrame = {
-    memo.get((id, opKey)) match {
+    val result = op(views(id).df)
+    val fingerprint = result.queryExecution.analyzed.canonicalized.hashCode()
+    val key = (id, s"$opKey#${fingerprint.toHexString}")
+    Option(memo.get(key)) match {
       case Some((schema, rows)) =>
         memoHitCount.incrementAndGet()
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -105,9 +127,8 @@ final class ViewSession(spark: SparkSession) {
         val sc = spark.sparkContext
         sc.setJobGroup(jobGroup(id), s"view=${id.value} op=$opKey", interruptOnCancel = true)
         try {
-          val result = op(views(id).df)
           val rows = result.collect()
-          memo.put((id, opKey), (result.schema, rows))
+          memo.put(key, (result.schema, rows))
           spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
         } finally sc.clearJobGroup()
     }

@@ -72,9 +72,14 @@ object MisraGries {
 
   /** Tuple-key form — the reference sketches multi-column rows
     * (`ref:P/sketches/FreqKSketch.java` over a schema subset): the key is
-    * the separator-joined string rendering of the columns. `concat_ws`
-    * skips nulls, so null and empty-string tuple parts collide; callers
-    * needing null fidelity should pre-encode.
+    * the separator-joined string rendering of the columns. Two caveats
+    * on the string encoding: (1) `concat_ws` skips nulls, so null and
+    * empty-string tuple parts collide; (2) a part CONTAINING the
+    * separator injects false tuple boundaries — under sep="|",
+    * ("a|b", "c") and ("a", "b|c") render identically. The default
+    * separator is the non-printable \u0001 (absent from fixture data);
+    * callers choosing a printable separator, or needing null fidelity,
+    * must pre-encode (escape or length-prefix) the parts.
     */
   def sketchTuple(cols: Seq[Column], k: Int, sep: String = ""): Column =
     udaf(new MisraGries(k), Encoders.STRING)

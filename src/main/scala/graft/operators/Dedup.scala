@@ -84,6 +84,7 @@ object Dedup {
   def jaccardPairsDense(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, threshold: Double = 0.5,
                         groups: Int = 16): DataFrame = {
+    requireIntegralId(df, idCol, "jaccardPairsDense")
     val spark = df.sparkSession
     import spark.implicits._
     val docs = TextOps.shingleSet(df, idCol, textCol, n)
@@ -109,6 +110,20 @@ object Dedup {
       if (j >= threshold) Some((d1, d2, j)) else None
     }
     spark.createDataFrame(paired).toDF("d1", "d2", "jacc")
+  }
+
+  /** The dense/block pair paths cast ids to long for block routing; a
+    * non-numeric id would cast to null (decoded as 0), silently collapse
+    * every doc onto id 0, and return an empty result — fail fast instead.
+    */
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val t = df.schema(idCol).dataType
+    val ok = t match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"$op requires an integral id column for block routing; '$idCol' is $t")
   }
 
   /** Exact-Jaccard verification of candidate (d1, d2) pairs against the

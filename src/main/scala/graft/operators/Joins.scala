@@ -87,9 +87,15 @@ object Joins {
     *
     * Right rows should be unique per (keys, rightTs) — pre-aggregate ties
     * away — otherwise which of the tied rows wins is unspecified.
+    *
+    * NULL join keys never match (SQL ASOF equality semantics): null-keyed
+    * right rows are dropped up front — without that, the window's
+    * partition-by would group null keys together and null-keyed left rows
+    * would adopt null-keyed right payloads.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val rightNonNull = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
     val leftCols = left.columns.toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))
@@ -98,7 +104,7 @@ object Joins {
         lit(null).cast(payloadType).as("__p")) ++
         keys.map(col) ++
         leftCols.filterNot(keys.contains).map(col): _*)
-    val rAligned = right.select(
+    val rAligned = rightNonNull.select(
       Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         struct(payload.map(col): _*).as("__p")) ++
         keys.map(col) ++

@@ -217,6 +217,7 @@ object Similarity {
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, groups: Int = 16): DataFrame = {
+    Dedup.requireIntegralId(emb, idCol, "cosineDupPairs")
     val spark = emb.sparkSession
     import spark.implicits._
     def dot(a: Array[Float], b: Array[Float]): Double = {

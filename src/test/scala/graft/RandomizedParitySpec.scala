@@ -49,6 +49,17 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("as-of join never matches NULL keys (SQL ASOF equality semantics)") {
+    val left = Seq((1L, Option.empty[Long], 10L), (2L, Option(1L), 10L))
+      .toDF("lid", "k", "ts")
+    val right = Seq((7L, Option.empty[Long], 5L), (8L, Option(1L), 5L))
+      .toDF("rid", "k", "ts")
+    val out = Joins.asOf(left, right, Seq("k"), "ts", "ts", Seq("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(2L) == Some(8L), "non-null key must match normally")
+    assert(out(1L) == None, "a null-keyed left row must never adopt a null-keyed right payload")
+  }
+
   test("as-of join: a latest right row with NULL payload wins (not skipped)") {
     val left = Seq((1L, 1L, 10L)).toDF("lid", "k", "ts")
     val right = Seq((7L: java.lang.Long, 1L, 2L), (null.asInstanceOf[java.lang.Long], 1L, 5L))

@@ -28,24 +28,44 @@ class ViewSpec extends SparkSpec {
 
   test("sketch results are memoized per (view, op) and served without recompute") {
     val s = newSession
-    var evals = 0
+    val touched = spark.sparkContext.longAccumulator("rows-touched")
+    val bump = udf((x: Double) => { touched.add(1L); x })
     val root = s.open("lineitem", sources.Tables.open(spark, sf, "lineitem"))
     def run() = s.sketch(root, "hist:l_extendedprice:40") { df =>
-      evals += 1
-      Histograms.histogram1d(df, "l_extendedprice", 900.0, 105000.0, 40)
+      Histograms.histogram1d(
+        df.withColumn("l_extendedprice", bump(col("l_extendedprice"))),
+        "l_extendedprice", 900.0, 105000.0, 40)
     }
     val first = run().collect()
+    val afterFirst = touched.value
+    assert(afterFirst > 0, "first call must scan the data")
     val second = run().collect()
-    assert(evals == 1, "op must evaluate once")
+    assert(touched.value == afterFirst, "memo hit must not touch any row")
     assert(s.memoHits == 1)
     assert(first.toSeq == second.toSeq)
-    // a different view over the same data memoizes separately
-    val other = s.child(root, "id")(identity)
-    s.sketch(other, "hist:l_extendedprice:40") { df =>
-      evals += 1
-      Histograms.histogram1d(df, "l_extendedprice", 900.0, 105000.0, 40)
+  }
+
+  test("sketch memo keys on the op's plan — a reused opKey cannot serve stale results") {
+    val s = newSession
+    val root = s.open("nation", sources.Tables.open(spark, sf, "nation"))
+    val a = s.sketch(root, "count")(_.agg(count(lit(1)).as("n"))).head.getLong(0)
+    val b = s.sketch(root, "count")(
+      _.filter(col("n_regionkey") === 0).agg(count(lit(1)).as("n"))).head.getLong(0)
+    assert(a != b, "same opKey + different op must compute, not replay the memo")
+    assert(s.memoHits == 0)
+    assert(s.memoSize == 2)
+  }
+
+  test("sketch memo evicts least-recently-used entries past the cap") {
+    val s = new ViewSession(spark, memoCap = 3)
+    val root = s.open("nation", sources.Tables.open(spark, sf, "nation"))
+    (0 to 3).foreach { k =>
+      s.sketch(root, s"q$k")(_.filter(col("n_nationkey") > k).agg(count(lit(1)).as("n")))
     }
-    assert(evals == 2)
+    assert(s.memoSize == 3, "cap must bound the memo")
+    // q0 was evicted (oldest); q3 is still resident
+    s.sketch(root, "q3")(_.filter(col("n_nationkey") > 3).agg(count(lit(1)).as("n")))
+    assert(s.memoHits == 1)
   }
 
   test("cancel(viewId) aborts a running sketch job") {
