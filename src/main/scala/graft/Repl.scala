@@ -1,0 +1,121 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, PrintStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Histograms, NextK, SortKey, Stats}
+import graft.sources.Tables
+
+/** Minimal line-oriented surface over ViewSession — SURVEY §7.1's promised
+  * v1 CLI/REPL (the reference fronts the same verbs over RPC,
+  * `ref:W/RpcObjectManager.java`; here a human drives them directly).
+  * Every verb maps 1:1 onto a session call: views are ids, bulk data
+  * never reaches the driver, sketches are memoized/cancellable through
+  * the session's own machinery.
+  */
+object Repl {
+
+  private val help: String =
+    """verbs:
+      |  open <table>                           register a fixture table as a root view
+      |  filter <view> <sql predicate>          child view (lazy; shares parent plan)
+      |  project <view> <col,col,...>           child view with selected columns
+      |  histogram <view> <col> <lo> <hi> <n>   bucketed counts (sketch, memoized)
+      |  summary <view> <col>                   count/min/max/moments (sketch)
+      |  topk <view> <col> <k>                  k smallest rows by col
+      |  nextk <view> <col> <k> [start]         next-k distinct page from start value
+      |  lineage <view>                         root-to-leaf chain of a view
+      |  views                                  list registered views
+      |  memo                                   sketch-memo stats
+      |  cancel <view>                          abort the view's running jobs
+      |  purge <view>                           drop a view and its memoized sketches
+      |  help | quit""".stripMargin
+
+  /** Drive the session from `in`, writing results to `out` — the main
+    * wires stdin/stdout; tests wire scripted buffers.
+    */
+  def run(spark: SparkSession, sfDir: String, in: BufferedReader, out: PrintStream): Unit = {
+    val session = new ViewSession(spark)
+    out.println(s"graft> tables at $sfDir — 'help' lists verbs")
+    var line = in.readLine()
+    while (line != null) {
+      val cmd = line.trim
+      if (cmd == "quit" || cmd == "exit") return
+      if (cmd.nonEmpty) {
+        try out.println(eval(spark, session, sfDir, cmd))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            out.println(s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+        }
+      }
+      line = in.readLine()
+    }
+  }
+
+  /** One command → one printed result (exposed for scripted tests). */
+  def eval(spark: SparkSession, s: ViewSession, sfDir: String, cmd: String): String = {
+    def df(vid: String): DataFrame = s(ViewId(vid)).df
+    cmd.split("\\s+").toList match {
+      case "help" :: Nil => help
+      case "open" :: table :: Nil =>
+        s"view ${s.open(table, Tables.open(spark, sfDir, table)).value}"
+      case "filter" :: vid :: rest if rest.nonEmpty =>
+        s"view ${s.child(ViewId(vid), "filter")(_.filter(expr(rest.mkString(" ")))).value}"
+      case "project" :: vid :: cols :: Nil =>
+        s"view ${s.child(ViewId(vid), "project")(_.select(cols.split(",").toIndexedSeq.map(col): _*)).value}"
+      case "histogram" :: vid :: c :: lo :: hi :: n :: Nil =>
+        render(s.sketch(ViewId(vid), s"hist:$c:$lo:$hi:$n")(
+          Histograms.histogram1d(_, c, lo.toDouble, hi.toDouble, n.toInt)))
+      case "summary" :: vid :: c :: Nil =>
+        render(s.sketch(ViewId(vid), s"summary:$c")(Stats.basicStats(_, c)))
+      case "topk" :: vid :: c :: k :: Nil =>
+        render(s.sketch(ViewId(vid), s"topk:$c:$k")(
+          NextK.topK(_, Seq(SortKey(c)), k.toInt)))
+      case "nextk" :: vid :: c :: k :: rest if rest.size <= 1 =>
+        render(s.sketch(ViewId(vid), s"nextk:$c:$k:${rest.mkString}")(d =>
+          NextK.page(d, Seq(SortKey(c)),
+            rest.headOption.map(v => Seq(lit(v).cast(d.schema(c).dataType))), k.toInt)))
+      case "lineage" :: vid :: Nil =>
+        s.lineage(ViewId(vid)).map(_.value).mkString(" -> ")
+      case "views" :: Nil =>
+        if (s.allViews.isEmpty) "(none)" else s.allViews.map(_.value).mkString("\n")
+      case "memo" :: Nil =>
+        s"entries=${s.memoSize} hits=${s.memoHits}"
+      case "cancel" :: vid :: Nil =>
+        s.cancel(ViewId(vid)); s"cancelled jobs of $vid"
+      case "purge" :: vid :: Nil =>
+        s.purge(ViewId(vid)); s"purged $vid"
+      case other =>
+        s"unknown command: ${other.mkString(" ")} ('help' lists verbs)"
+    }
+  }
+
+  /** Fixed small render — sketch results are small by contract. */
+  private def render(result: DataFrame, max: Int = 50): String = {
+    val rows = result.limit(max).collect()
+    val header = result.columns.mkString("\t")
+    (header +: rows.toSeq.map(_.toSeq.map {
+      case null => "NULL"
+      case v    => v.toString
+    }.mkString("\t"))).mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, sfDir, new BufferedReader(new InputStreamReader(System.in)), System.out)
+    finally spark.stop()
+  }
+}

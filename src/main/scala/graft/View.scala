@@ -79,6 +79,9 @@ final class ViewSession(spark: SparkSession, memoCap: Int = 256) {
 
   def apply(id: ViewId): ViewNode = views(id)
 
+  /** All registered view ids (ordered by id string). */
+  def allViews: Seq[ViewId] = views.keys.toSeq.sortBy(_.value)
+
   /** Root-to-leaf lineage chain of a view. */
   def lineage(id: ViewId): List[ViewId] = {
     @annotation.tailrec

@@ -1,0 +1,54 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+/** Drives the REPL main loop with a scripted stdin, asserting each verb
+  * round-trips through the ViewSession (open → filter → sketches →
+  * lineage → purge → error handling).
+  */
+class ReplSpec extends SparkSpec {
+
+  private def script(lines: String*): String = {
+    val in = new BufferedReader(new StringReader(lines.mkString("\n")))
+    val bytes = new ByteArrayOutputStream()
+    val out = new PrintStream(bytes, true, "UTF-8")
+    Repl.run(spark, sf, in, out)
+    bytes.toString("UTF-8")
+  }
+
+  test("scripted session: open, filter, sketches, lineage, purge") {
+    val out = script(
+      "open nation",
+      "filter nation-1 n_regionkey = 0",
+      "histogram filter-2 n_nationkey 0 25 5",
+      "histogram filter-2 n_nationkey 0 25 5", // memo hit
+      "summary nation-1 n_nationkey",
+      "topk nation-1 n_name 3",
+      "nextk nation-1 n_name 3",
+      "nextk nation-1 n_name 3 M",
+      "lineage filter-2",
+      "views",
+      "memo",
+      "purge filter-2",
+      "views",
+      "bogus verb",
+      "filter nation-99 n_regionkey = 0",
+      "quit")
+    assert(out.contains("view nation-1"), out)
+    assert(out.contains("view filter-2"), out)
+    assert(out.contains("bucket\tcnt"), s"histogram header missing:\n$out")
+    assert(out.contains("hits=1"), s"second histogram must be a memo hit:\n$out")
+    assert(out.contains("nation-1 -> filter-2"), out)
+    assert(out.contains("unknown command: bogus"), out)
+    assert(out.contains("error:"), "a missing view id must report, not crash")
+    val afterPurge = out.linesIterator.toSeq
+    assert(afterPurge.count(_.trim == "filter-2") == 1,
+      s"filter-2 listed once before purge, absent after:\n$out")
+  }
+
+  test("nextk pages advance from the start row") {
+    val out = script("open nation", "nextk nation-1 n_name 3", "quit")
+    val firstPage = out.linesIterator.dropWhile(!_.startsWith("n_name")).drop(1).take(3).toSeq
+    assert(firstPage.size == 3 && firstPage.forall(_.split("\t").length == 2), out)
+  }
+}
