@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for the float-vector dot product — the hot
   * scalar of every similarity path (SURVEY.md §2.11). A lambda-fold
@@ -78,16 +78,138 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native nearest-centroid assignment for the IVF coarse quantizer: the
+  * `nprobe` centroid indices nearest (L2) to a float vector, ascending by
+  * (distance, index) — index order breaks ties, matching a stable sort
+  * over distances. The centroid matrix rides the plan as a foldable
+  * literal (sketch-sized: nlist·dim doubles) and is decoded ONCE into a
+  * primitive double[][] shared by all rows via a codegen reference
+  * object; the per-row work is a pure primitive loop inside whole-stage
+  * codegen — no row-boundary boxing, unlike a Scala UDF.
+  *
+  * Distances iterate the VECTOR's length (same contract as the Lloyd-pass
+  * kernel); a vector longer than the centroids is a caller error and
+  * throws. A null vector or null element yields NULL.
+  */
+case class NearestCentroids(vec: Expression, centroidsExpr: Expression, nprobeExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = centroidsExpr
+  override def third: Expression = nprobeExpr
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    vec.dataType match {
+      case ArrayType(FloatType, _) =>
+      case t => return TypeCheckFailure(s"$prettyName needs array<float> vectors, got ${t.simpleString}")
+    }
+    centroidsExpr.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) if centroidsExpr.foldable =>
+      case t => return TypeCheckFailure(
+        s"$prettyName needs a foldable array<array<double>> centroid matrix, got ${t.simpleString}")
+    }
+    nprobeExpr.dataType match {
+      case IntegerType if nprobeExpr.foldable =>
+      case t => return TypeCheckFailure(s"$prettyName needs a foldable int nprobe, got ${t.simpleString}")
+    }
+    TypeCheckSuccess
+  }
+
+  private lazy val centroids: Array[Array[Double]] = {
+    val ad = centroidsExpr.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  private lazy val nprobe: Int = nprobeExpr.eval(null).asInstanceOf[Int]
+
+  /** Shared by eval and the generated code (via reference object). */
+  def pick(a: Array[Float]): Array[Int] = {
+    val nlist = centroids.length
+    val d = new Array[Double](nlist)
+    var j = 0
+    while (j < nlist) {
+      val c = centroids(j)
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
+      d(j) = s; j += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val picked = new Array[Int](k)
+    val used = new Array[Boolean](nlist)
+    var t = 0
+    while (t < k) {
+      var best = -1; var bd = Double.MaxValue; var jj = 0
+      while (jj < nlist) {
+        if (!used(jj) && d(jj) < bd) { bd = d(jj); best = jj }
+        jj += 1
+      }
+      used(best) = true; picked(t) = best; t += 1
+    }
+    picked
+  }
+
+  override def nullSafeEval(v: Any, c: Any, p: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val a = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      a(i) = x.getFloat(i); i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(pick(a))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val self = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val a = ctx.freshName("a")
+      s"""
+         |int $n = $v.numElements();
+         |float[] $a = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $a[$i] = $v.getFloat($i);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = new $gad($self.pick($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(vec = f, centroidsExpr = s, nprobeExpr = t)
+}
+
 object VectorExprs {
-  /** Register graft_fdot in the session's function registry (idempotent —
-    * createOrReplace semantics, cheap enough to call per query build).
+  /** Register the native vector functions in the session's registry
+    * (idempotent — createOrReplace semantics, cheap enough to call per
+    * query build).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fdot",
       (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_centroids",
+      (exprs: Seq[Expression]) => NearestCentroids(exprs.head, exprs(1), exprs(2)),
+      "built-in")
+  }
 
   /** Column form (resolves against the registry at analysis time). */
   def fdot(a: Column, b: Column): Column = call_function("graft_fdot", a, b)
+
+  /** The `nprobe` nearest centroid indices for each vector (ascending by
+    * distance, ties to the lower index).
+    */
+  def nearestCentroids(v: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    call_function("graft_nearest_centroids", v,
+      org.apache.spark.sql.functions.typedlit(centroids),
+      org.apache.spark.sql.functions.lit(nprobe))
 }

@@ -175,16 +175,17 @@ object Similarity {
         .collect().toMap
       Array.tabulate(init.length)(i => sums.getOrElse(i, init(i)))
     }
-    val bucketOf = udf((v: Seq[Float]) => nearest(v.toArray, refined))
-    val probesOf = udf((v: Seq[Float]) => {
-      val a = v.toArray
-      refined.indices.sortBy(i => l2(a, refined(i))).take(nprobe)
-    })
+    // assignment + probing are the native NearestCentroids expression
+    // (codegen'd primitive loops; the centroid matrix decodes once per
+    // task, not per row) — selection order matches `nearest`/a stable
+    // sort: ascending (distance, index)
+    val cs: Seq[Seq[Double]] = refined.toSeq.map(_.toSeq)
+    import graft.functions.VectorExprs.nearestCentroids
     val corpus = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("bucket", bucketOf(col("n_vec")))
+      .withColumn("bucket", element_at(nearestCentroids(col("n_vec"), cs, 1), 1))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("bucket", explode(probesOf(col("q_vec"))))
+      .withColumn("bucket", explode(nearestCentroids(col("q_vec"), cs, nprobe)))
     val sims = queries.join(corpus, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),

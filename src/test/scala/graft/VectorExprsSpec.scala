@@ -54,4 +54,42 @@ class VectorExprsSpec extends SparkSpec {
       .head()
     assert(row.isNullAt(0))
   }
+
+  test("nearestCentroids matches a scala model on random vectors (incl. ties)") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val dim = 8
+    val centroids: Seq[Seq[Double]] =
+      Seq.tabulate(5)(j => Seq.tabulate(dim)(d => (j + d).toDouble)) :+
+        Seq.tabulate(dim)(d => (0 + d).toDouble) // duplicate of centroid 0 → tie
+    def model(v: Seq[Float], k: Int): Seq[Int] = {
+      def l2(c: Seq[Double]) = v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      centroids.indices.sortBy(i => l2(centroids(i))).take(k) // stable: ties → low index
+    }
+    val vecs = Seq.fill(50)(Array.fill(dim)(rnd.nextFloat() * 6)) :+
+      centroids.head.map(_.toFloat).toArray // exactly ON the tied centroid pair
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    for (k <- Seq(1, 3, 6, 99)) {
+      val got = df.select(col("id"),
+        VectorExprs.nearestCentroids(col("v"), centroids, k).as("p"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i) == model(v.toSeq, math.min(k, centroids.size)),
+          s"k=$k vec=$i: ${got(i)} vs ${model(v.toSeq, k)}")
+      }
+    }
+  }
+
+  test("nearestCentroids participates in whole-stage codegen and is null-safe") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val cs = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val plan = emb.select(VectorExprs.nearestCentroids(col("embedding"), cs, 1).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_nearest_centroids"), s"no codegen span:\n$plan")
+    val df = Seq(Tuple1(Option.empty[Array[Float]])).toDF("v")
+      .select(col("v").cast("array<float>").as("v"))
+    assert(df.select(VectorExprs.nearestCentroids(col("v"), cs, 1)).head.isNullAt(0))
+  }
 }
