@@ -231,6 +231,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Winnowing fingerprints (k=3 token grams, window=4) ----------------
+    Q("text_winnow",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i, ng, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |  FROM (SELECT doc_id, t, len(t) - 2 AS ng,
+        |               UNNEST(range(1, len(t) - 1)) AS i FROM toks)
+        |), winmins AS (
+        |  SELECT doc_id, i, ng,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+        |  FROM grams
+        |), kept AS (
+        |  SELECT DISTINCT doc_id, wm FROM winmins
+        |  WHERE i <= greatest(ng - 3, 1)
+        |)
+        |SELECT doc_id, COUNT(*) AS n_fp, MIN(wm) AS min_fp
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) => TextOps.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", 3, 4)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Multimodal binary plumbing (bytes + hash; decode is STUBbed) ------
     Q("multimodal_features",
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

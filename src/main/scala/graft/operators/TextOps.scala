@@ -130,10 +130,45 @@ object TextOps {
       .agg(min(md5(col("sh"))).as("min_shingle_hash"),
         count(lit(1)).as("n_shingles"))
 
-  /** Karp-Rabin rolling-hash winnowing fingerprint (library form, tested
-    * against the definition; not oracle-mirrorable — pure Scala, applied
-    * via a typed map for the rare consumer that needs positional
-    * fingerprints rather than the shingle digest above).
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken), distributed and
+    * oracle-mirrorable: per doc, hash every k-gram of tokens (md5 — the
+    * cross-engine hash), take the minimum hash of each sliding window of
+    * `window` consecutive k-gram positions, and keep the DISTINCT window
+    * minima. Docs with fewer than `window` k-grams yield their single
+    * global minimum; docs with fewer than k tokens yield no row (matching
+    * `winnow`). Output: (id, n_fp, min_fp) per doc.
+    *
+    * Plan shape: one explode (k-gram positions over the materialized
+    * token array), ONE shuffle on the doc id shared by the window and the
+    * final groupBy — linear in total tokens, no per-doc driver work.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1)
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val ng = size(col("__toks")) - lit(k - 1) // number of k-grams
+    val pos = withToks.select(col(idCol), col("__toks"), ng.as("ng"),
+      explode(when(ng >= 1, sequence(lit(1), ng))
+        .otherwise(array().cast("array<int>"))).as("i"))
+    val gram = concat_ws(" ",
+      (0 until k).map(j => element_at(col("__toks"), col("i") + lit(j))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, window - 1)
+    pos.select(col(idCol), col("i"), col("ng"), md5(gram).as("h"))
+      .withColumn("wm", min(col("h")).over(w))
+      // windows that would run past the last k-gram are not fingerprint
+      // positions (except position 1 when the doc is shorter than one
+      // full window — its clipped min IS the doc's single fingerprint)
+      .filter(col("i") <= greatest(col("ng") - lit(window - 1), lit(1)))
+      .select(col(idCol), col("wm")).distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"), min(col("wm")).as("min_fp"))
+  }
+
+  /** Karp-Rabin rolling-hash winnowing fingerprint (local library form
+    * for driver-side strings; same scheme as `winnowFingerprints` over a
+    * rolling Long hash instead of md5).
     */
   def winnow(tokens: IndexedSeq[String], k: Int, window: Int): Seq[Long] = {
     if (tokens.length < k) return Seq.empty

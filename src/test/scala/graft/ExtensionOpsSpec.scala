@@ -141,6 +141,36 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty, "no shared fingerprints for overlapping text")
   }
 
+  test("winnowFingerprints equals the sequential model, incl. short docs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def model(text: String, k: Int, w: Int): Option[(Long, String)] = {
+      val toks = text.trim.split("\\s+").toIndexedSeq
+      if (toks.length < k) None
+      else {
+        val hashes = toks.sliding(k).map(g => md5hex(g.mkString(" "))).toIndexedSeq
+        val mins =
+          if (hashes.length <= w) Seq(hashes.min)
+          else hashes.sliding(w).map(_.min).toSeq.distinct
+        Some((mins.distinct.size.toLong, mins.min))
+      }
+    }
+    val rnd = new scala.util.Random(17L)
+    val vocab = Vector.tabulate(7)(i => s"w$i") // tiny vocab → repeated grams
+    val corpora = (0L until 40L).map { id =>
+      val len = rnd.nextInt(12) // includes docs too short for a 3-gram
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = TextOps.winnowFingerprints(
+      corpora.toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    corpora.foreach { case (id, text) =>
+      assert(got.get(id) == model(text, 3, 4), s"doc $id: '$text'")
+    }
+  }
+
   test("Misra-Gries Spark aggregator in the sketch regime vs exact counts") {
     // k=20 well below distinct l_partkey count — MG guarantee, not exact:
     // every key with freq > N/(k+1) present; counts are lower bounds
