@@ -1,0 +1,59 @@
+package graft
+
+/** Regression guards against scale-killers: a future change that plans an
+  * accidental cartesian/nested-loop join in a catalog query, or adds a
+  * driver-side collect outside the sketch/view contract, fails here
+  * rather than surfacing as a 100 TB incident.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Quadratic-by-contract brute-force baselines (self-documented in
+    * Similarity.cosineTopK: |Q| is small and it is the verifier for both
+    * ANN paths), plus the SCALAR broadcast pattern: crossJoin(broadcast(
+    * one-row aggregate)) attaches a grand total inside the plan with no
+    * driver collect — the nested-loop is over a single broadcast row, so
+    * cost stays linear (HeavyHitters.exactRelative, set_ops_counts).
+    */
+  private val allPairsBaselines = Set("similarity_topk")
+  private val scalarBroadcasts = Set("heavy_hitters_relative", "set_ops_counts")
+
+  test("no catalog query plans a cartesian or nested-loop join (beyond the documented baselines)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allPairsBaselines(name) || scalarBroadcasts(name)) None
+      else {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"all-pairs join shape leaked into: $offenders")
+  }
+
+  test("driver-side collect() stays within the sketch/view contract") {
+    // file -> number of contract collects (each collects a SKETCH-sized
+    // result: memoized sketch rows, progressive partials, REPL render,
+    // streaming memory sink of a windowed aggregate, LAMP landmarks, IVF
+    // centroid table). Raising a count or adding a file is a design
+    // decision — justify it here alongside the contract note.
+    val allowed: Map[String, Int] = Map(
+      "View.scala"          -> 2,
+      "Repl.scala"          -> 1,
+      "StreamWindows.scala" -> 2,
+      "Lamp.scala"          -> 1,
+      "Similarity.scala"    -> 2)
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
+      val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
+      files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
+    }
+    val counts = scalaFiles(new java.io.File("src/main/scala"))
+      .map { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        f.getName -> "\\.collect\\(\\)".r.findAllIn(src).length
+      }
+      .filter(_._2 > 0).toMap
+    val violations = counts.filter { case (f, n) => n > allowed.getOrElse(f, 0) }
+    assert(violations.isEmpty,
+      s"collect() outside the sketch/view contract: $violations (allowed: $allowed)")
+  }
+}
