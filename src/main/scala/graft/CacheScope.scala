@@ -18,17 +18,21 @@ import org.apache.spark.storage.StorageLevel
   *    explicit instance so pins are released deterministically without
   *    nuking unrelated cached tables.
   */
-final class CacheScope {
+final class CacheScope private[graft] (track: Boolean = true) {
   private val pinned = mutable.ArrayBuffer.empty[Dataset[_]]
 
   /** Persist (MEMORY_AND_DISK — at 100 TB a hot subtree must degrade to
-    * disk, not OOM) and track for release. Already-persisted frames are
-    * tracked without re-persisting, so double-pinning the same plan never
-    * warns.
+    * disk, not OOM) and track for release. A frame that is ALREADY
+    * persisted is not tracked: `storageLevel` resolves through Spark's
+    * CacheManager by canonicalized plan, so it can reflect another
+    * scope's pin of an identical plan — release() must only unpersist
+    * what this scope itself persisted, never a pin it doesn't own.
     */
   def pin[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    if (ds.storageLevel == StorageLevel.NONE) ds.persist(StorageLevel.MEMORY_AND_DISK)
-    pinned += ds
+    if (ds.storageLevel == StorageLevel.NONE) {
+      ds.persist(StorageLevel.MEMORY_AND_DISK)
+      if (track) pinned += ds
+    }
     ds
   }
 
@@ -40,10 +44,12 @@ final class CacheScope {
 }
 
 object CacheScope {
-  /** Session-lifetime scope: never released here — callers are the batch
-    * harnesses whose `clearCache()` between queries is the release.
+  /** Session-lifetime scope: pins are released by the batch harnesses'
+    * `clearCache()` between queries, never individually — so this scope
+    * keeps no references (track = false) and cannot grow driver memory
+    * over a long session.
     */
-  val session: CacheScope = new CacheScope
+  val session: CacheScope = new CacheScope(track = false)
 
   /** Run `f` with a fresh scope, releasing every pin afterwards. `f` must
     * materialize anything it wants to keep (lazy results lose their pins).

@@ -44,14 +44,16 @@ final case class ViewNode(id: ViewId, df: DataFrame, parent: Option[ViewId], op:
   */
 final class ViewSession(spark: SparkSession, memoCap: Int = 256) {
 
+  private type MemoKey = (ViewId, String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
   private val views = TrieMap.empty[ViewId, ViewNode]
   // LRU with a hard cap: sketch results are small by contract, but a
   // long-lived session accumulates one entry per UI gesture — bound it
   private val memo = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(ViewId, String), (org.apache.spark.sql.types.StructType, Array[Row])](
+    new java.util.LinkedHashMap[MemoKey, (org.apache.spark.sql.types.StructType, Array[Row])](
       16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(ViewId, String), (org.apache.spark.sql.types.StructType, Array[Row])]): Boolean =
+          e: java.util.Map.Entry[MemoKey, (org.apache.spark.sql.types.StructType, Array[Row])]): Boolean =
         size() > memoCap
     })
   private val seq = new AtomicLong(0)
@@ -111,17 +113,16 @@ final class ViewSession(spark: SparkSession, memoCap: Int = 256) {
 
   /** Run a sketch (small-result aggregation) for a view, under the view's
     * job group so `cancel(id)` aborts it. Memoized by (view, opKey, the
-    * CANONICALIZED PLAN of op(view)): `op` is always applied (plan
-    * building is milliseconds; no data moves), so reusing an opKey with a
-    * different op can never serve a stale result — the plan fingerprint
-    * diverges and both entries coexist. Entries are LRU-evicted past
-    * `memoCap` (the driver-resident memo cannot grow without bound in a
-    * long session).
+    * CANONICALIZED PLAN of op(view)) — full structural plan equality, not
+    * a hash that could collide: `op` is always applied (plan building is
+    * milliseconds; no data moves), so reusing an opKey with a different
+    * op can never serve a stale result — the plan key diverges and both
+    * entries coexist. Entries are LRU-evicted past `memoCap` (the
+    * driver-resident memo cannot grow without bound in a long session).
     */
   def sketch(id: ViewId, opKey: String)(op: DataFrame => DataFrame): DataFrame = {
     val result = op(views(id).df)
-    val fingerprint = result.queryExecution.analyzed.canonicalized.hashCode()
-    val key = (id, s"$opKey#${fingerprint.toHexString}")
+    val key = (id, opKey, result.queryExecution.analyzed.canonicalized)
     Option(memo.get(key)) match {
       case Some((schema, rows)) =>
         memoHitCount.incrementAndGet()

@@ -125,7 +125,11 @@ case class NearestCentroids(vec: Expression, centroidsExpr: Expression, nprobeEx
   }
   private lazy val nprobe: Int = nprobeExpr.eval(null).asInstanceOf[Int]
 
-  /** Shared by eval and the generated code (via reference object). */
+  /** Shared by eval and the generated code (via reference object). A
+    * NaN distance (a corrupt vector element) ranks LAST, like +Inf —
+    * selection must still return nprobe indices rather than crash on a
+    * single bad embedding.
+    */
   def pick(a: Array[Float]): Array[Int] = {
     val nlist = centroids.length
     val d = new Array[Double](nlist)
@@ -134,16 +138,17 @@ case class NearestCentroids(vec: Expression, centroidsExpr: Expression, nprobeEx
       val c = centroids(j)
       var s = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
-      d(j) = s; j += 1
+      d(j) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s
+      j += 1
     }
     val k = math.min(nprobe, nlist)
     val picked = new Array[Int](k)
     val used = new Array[Boolean](nlist)
     var t = 0
     while (t < k) {
-      var best = -1; var bd = Double.MaxValue; var jj = 0
+      var best = -1; var bd = Double.PositiveInfinity; var jj = 0
       while (jj < nlist) {
-        if (!used(jj) && d(jj) < bd) { bd = d(jj); best = jj }
+        if (!used(jj) && (best == -1 || d(jj) < bd)) { bd = d(jj); best = jj }
         jj += 1
       }
       used(best) = true; picked(t) = best; t += 1

@@ -45,12 +45,24 @@ private[operators] object TriangleBlocks {
     * The pair loop is CPU-bound on tiny bytes, so it is laid out by the
     * identity BlockPartition — one bucket pair per task, exempt from
     * AQE's byte-size coalescing.
+    *
+    * Each task's (i, j) identity derives from its PARTITION INDEX, never
+    * from which buckets happen to arrive: an off-diagonal task whose
+    * other bucket is globally empty must emit nothing — treating its
+    * single observed bucket as a diagonal would re-emit that bucket's
+    * within-pairs once per empty peer.
     */
   def allPairs[P, R](rows: org.apache.spark.rdd.RDD[(Long, P)], groups: Int)(
       emit: (Long, P, Long, P) => Option[R])(
       implicit pt: scala.reflect.ClassTag[P], rt: scala.reflect.ClassTag[R])
       : org.apache.spark.rdd.RDD[R] = {
     val g = groups
+    // task index -> (i, j), the inverse of taskOf's row-major triangle
+    val taskPair: Array[(Int, Int)] = {
+      val a = new Array[(Int, Int)](numTasks(g))
+      for (i <- 0 until g; j <- i until g) a(taskOf(i, j, g)) = (i, j)
+      a
+    }
     rows
       .flatMap { case (id, p) =>
         val own = (id % g).toInt.abs
@@ -58,31 +70,25 @@ private[operators] object TriangleBlocks {
       }
       .partitionBy(BlockPartition(numTasks(g)))
       .values
-      .mapPartitions { it =>
-        val byBucket = scala.collection.mutable.Map
-          .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, P)]]
+      .mapPartitionsWithIndex { (task, it) =>
+        val (bi, bj) = taskPair(task)
+        val a = scala.collection.mutable.ArrayBuffer.empty[(Long, P)]
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, P)]
         it.foreach { case (bucket, id, p) =>
-          byBucket.getOrElseUpdate(
-            bucket, scala.collection.mutable.ArrayBuffer.empty) += ((id, p))
+          if (bucket == bi) a += ((id, p)) else b += ((id, p))
         }
-        val bufs = byBucket.values.toArray
-        bufs.length match {
-          case 0 => Iterator.empty
-          case 1 => // diagonal task {i, i}: within-bucket pairs
-            val a = bufs(0)
-            a.iterator.flatMap { case (d1, p1) =>
-              a.iterator.flatMap { case (d2, p2) =>
-                if (d1 < d2) emit(d1, p1, d2, p2).iterator else Iterator.empty
-              }
+        if (bi == bj) // diagonal task {i, i}: within-bucket pairs
+          a.iterator.flatMap { case (d1, p1) =>
+            a.iterator.flatMap { case (d2, p2) =>
+              if (d1 < d2) emit(d1, p1, d2, p2).iterator else Iterator.empty
             }
-          case _ => // off-diagonal task {i, j}: all cross-bucket pairs
-            val a = bufs(0); val b = bufs(1)
-            a.iterator.flatMap { case (x, px) =>
-              b.iterator.flatMap { case (y, py) =>
-                (if (x < y) emit(x, px, y, py) else emit(y, py, x, px)).iterator
-              }
+          }
+        else // off-diagonal task {i, j}: all cross-bucket pairs
+          a.iterator.flatMap { case (x, px) =>
+            b.iterator.flatMap { case (y, py) =>
+              (if (x < y) emit(x, px, y, py) else emit(y, py, x, px)).iterator
             }
-        }
+          }
       }
   }
 }

@@ -21,30 +21,42 @@ object Det {
   /** Order-independent exact sum, returned as double — same VALUE as
     * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)` but ~1.7× faster:
     * Spark's decimal sum pays a non-vectorized Decimal buffer with
-    * per-row overflow checks, so instead the quantized value is carried
-    * as a scaled long (×10⁶ — exact: `(x::DECIMAL(30,6) * 10⁶)::LONG`)
-    * split into three 21-bit digits, each summed as a plain codegen'd
-    * LONG. The digit sums are recombined exactly in decimal and the
-    * ×10⁻⁶ rescale happens in decimal too, so the single
-    * decimal→double conversion is bit-identical to the decimal-sum
-    * path (verified against it expression-by-expression; the r3→r4
-    * CORRECTNESS rows stayed green on an unchanged oracle).
+    * per-row overflow checks, so rows whose quantized value fits a
+    * scaled long (|x| < 9e12 — everything in a sane numeric column)
+    * carry it as ×10⁶ (exact: `(x::DECIMAL(30,6) * 10⁶)::LONG`) split
+    * into three 21-bit digits, each summed as a plain codegen'd LONG;
+    * the RARE larger rows fall back to a direct decimal sum of their
+    * own. Both partial sums are exact, recombined in decimal (the ×10⁻⁶
+    * rescale too), so the single decimal→double conversion is
+    * bit-identical to the pure decimal-sum path over any input the
+    * decimal path accepts (NaN/±Inf quantize to null and are skipped,
+    * exactly as before) — no silent range narrowing.
     *
     * Scale contract: each digit is < 2²¹, so a digit sum stays inside a
     * long for up to 2⁴² ≈ 4.4e12 rows per group — 10× past a 100 TB
-    * lineitem — for ANY representable input. Per-row |value| must fit
-    * the scaled long (< 9.2e12); larger values (and NaN/±Inf, exactly
-    * as in the decimal path) become null and are skipped by the sum.
+    * lineitem — for ANY input routed to the fast path.
     */
   def dsum(c: Column): Column = {
-    val xs = (c.cast(S) * lit(1000000L)).cast("long")
+    val q = c.cast(S) // the one rounding step
+    // xs is null exactly when the row can't ride the fast path: null
+    // input, NaN/±Inf (quantize to null), or scaled overflow past a long
+    // (|x| ≳ 9.2e12 — the product DECIMAL(38,6) itself never overflows
+    // for any DECIMAL(30,6) input, so the long try_cast is the only null
+    // source; a plain cast would THROW on decimal overflow). The
+    // overflow-null IS the router: no extra per-row comparison on the
+    // hot path, and `when(xs.isNull, q)` routes exactly the dropped rows
+    // to an exact decimal side-sum.
+    val xs = (q * lit(1000000L)).try_cast("long")
     val m = lit((1L << 21) - 1)
     val d0 = xs.bitwiseAND(m)
     val d1 = shiftright(xs, 21).bitwiseAND(m)
     val d2 = shiftright(xs, 42) // arithmetic shift: carries the sign
-    val total = (sum(d2).cast(DecimalType(38, 0)) * lit(1L << 21) + sum(d1)) *
+    val fast = (sum(d2).cast(DecimalType(38, 0)) * lit(1L << 21) + sum(d1)) *
       lit(1L << 21) + sum(d0)
-    (total * lit(BigDecimal("0.000001"))).cast("double")
+    val slow = sum(when(xs.isNull, q)) // exact decimal sum of the dropped tail
+    when(fast.isNull && slow.isNull, lit(null).cast("double"))
+      .otherwise((coalesce(fast, lit(0)).cast(DecimalType(38, 0)) * lit(BigDecimal("0.000001")) +
+        coalesce(slow, lit(BigDecimal(0)).cast(S))).cast("double"))
   }
 
   /** Windowed order-independent exact sum, returned as double. Stays on

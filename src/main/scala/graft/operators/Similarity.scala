@@ -232,8 +232,16 @@ object Similarity {
       .map { case (id, v) => (id, (v, math.sqrt(dot(v, v)))) }
     val paired = TriangleBlocks.allPairs(withNorm, groups) { (d1, p1, d2, p2) =>
       val (v1, n1) = p1; val (v2, n2) = p2
-      val sim = round6(dot(v1, v2) / (n1 * n2))
-      if (sim >= threshold) Some((d1, d2, sim)) else None
+      // a zero-norm (or corrupt) vector makes the ratio NaN/Inf: it can
+      // never meet a finite threshold, and round6's BigDecimal would
+      // throw on it — skip before rounding (the expression paths get the
+      // same outcome from SQL round/comparison NaN semantics)
+      val raw = dot(v1, v2) / (n1 * n2)
+      if (!java.lang.Double.isFinite(raw)) None
+      else {
+        val sim = round6(raw)
+        if (sim >= threshold) Some((d1, d2, sim)) else None
+      }
     }
     spark.createDataFrame(paired).toDF("d1", "d2", "sim")
   }

@@ -84,6 +84,34 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before, "scope leaked a pin")
   }
 
+  test("CacheScope.release only unpersists pins the scope itself created") {
+    val frame = docs.select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+    val owner = new CacheScope()
+    owner.pin(frame).count()
+    assert(frame.storageLevel.useMemory, "owner pin must persist")
+    // a second scope pins an IDENTICAL plan: the CacheManager resolves it
+    // to the owner's cache, so the borrower must not claim (or drop) it
+    val borrower = new CacheScope()
+    val same = docs.select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+    borrower.pin(same).count()
+    borrower.release()
+    assert(frame.storageLevel.useMemory,
+      "borrower.release() dropped a pin it never created")
+    owner.release()
+    assert(!frame.storageLevel.useMemory, "owner release must unpersist")
+  }
+
+  test("cosineDupPairs skips zero-norm vectors instead of crashing") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f))) // zero norm → cosine undefined
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairs(base, "vec_id", "embedding", 0.9, groups = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"zero-norm vector must pair with nothing: $pairs")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = Dedup.exact(docs, "doc_id", "text")
       .agg(sum("n_copies")).head.getLong(0)

@@ -20,6 +20,28 @@ class NullHandlingSpec extends SparkSpec {
       .toDF("id", "x", "s")
   }
 
+  test("dsum equals the pure decimal sum across magnitudes, nulls, and non-finites") {
+    import org.apache.spark.sql.types.DecimalType
+    val cases = Seq(
+      Seq(1.5, -2.25, 3.125),                       // ordinary values
+      Seq(1e13, -9.5e12, 2.0),                      // beyond the scaled-long fast path
+      Seq(Double.NaN, 1.0, Double.PositiveInfinity), // non-finites quantize to null
+      Seq.empty[Double],                            // empty → null
+      Seq(1e20, -1e20, 0.000001))                   // huge magnitudes, exact cancel
+    cases.zipWithIndex.foreach { case (vs, i) =>
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(vs.map(v => org.apache.spark.sql.Row(v)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType))))
+      val r = df.agg(
+        operators.Det.dsum(col("x")).as("fast"),
+        sum(col("x").cast(DecimalType(30, 6))).cast("double").as("ref")).head()
+      val fast = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val ref = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(fast == ref, s"case $i ($vs): dsum=$fast decimal=$ref")
+    }
+  }
+
   test("basic stats separate present and missing counts") {
     val r = Stats.basicStats(df, "x").head()
     assert(r.getAs[Long]("cnt") == 4)

@@ -81,6 +81,21 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("nearestCentroids survives NaN/Inf vector elements (corrupt embeddings rank last)") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val cs = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(2.0, 2.0))
+    val df = Seq(
+      (1, Array(Float.NaN, 0.5f)),
+      (2, Array(Float.PositiveInfinity, 0.5f)),
+      (3, Array(0.1f, 0.1f))).toDF("id", "v")
+    val got = df.select(col("id"), VectorExprs.nearestCentroids(col("v"), cs, 2).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1) == Seq(0, 1), "all-NaN distances: deterministic index order, no crash")
+    assert(got(2) == Seq(0, 1), "all-Inf distances: deterministic index order, no crash")
+    assert(got(3) == Seq(0, 1), "finite vector unaffected")
+  }
+
   test("nearestCentroids participates in whole-stage codegen and is null-safe") {
     VectorExprs.register(spark)
     import spark.implicits._

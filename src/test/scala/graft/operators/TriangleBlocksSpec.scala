@@ -19,6 +19,20 @@ class TriangleBlocksSpec extends SparkSpec {
     }
   }
 
+  test("allPairs is exact when ids occupy a single residue class (empty peer buckets)") {
+    // every id lands in bucket 0 of 16: all off-diagonal tasks {0,j} see
+    // only bucket-0 rows and must emit NOTHING (a bucket-count heuristic
+    // would re-emit the diagonal pairs 15 extra times)
+    val n = 40
+    val rows = spark.sparkContext.parallelize((0 until n).map(i => (i * 16L, i)), 4)
+    val got = TriangleBlocks.allPairs(rows, 16)((d1, _, d2, _) => Some((d1, d2))).collect()
+    val expected = (for {
+      a <- 0 until n; b <- (a + 1) until n
+    } yield (a * 16L, b * 16L)).toSet
+    assert(got.length == expected.size, s"expected ${expected.size} pairs, got ${got.length}")
+    assert(got.toSet == expected)
+  }
+
   test("allPairs emits every unordered id pair exactly once") {
     val n = 101
     val rows = spark.sparkContext.parallelize((0L until n.toLong).map(i => (i, i * 10)), 5)
