@@ -16,6 +16,21 @@ class CoreOpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("distributed exact quantiles equal the percentile aggregate; table() stacks them") {
+    val probs = Seq(0.25, 0.5, 0.75)
+    val dist = Quantiles.exact(li, "l_extendedprice", probs).head()
+    val agg = li.agg(percentile(col("l_extendedprice"), typedlit(probs)).as("q"))
+      .select(probs.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("q"), i + 1), 6).as(s"p${(p * 100).round}")
+      }: _*).head()
+    assert(dist == agg, s"sort-select $dist vs percentile buffer $agg")
+    val empty = Quantiles.exact(li.filter(lit(false)), "l_extendedprice", probs).head()
+    assert(probs.indices.forall(empty.isNullAt), "empty input must yield nulls")
+    val tab = Quantiles.table(li, "l_extendedprice", 4).head()
+    assert(tab.getDouble(0) == dist.getDouble(0) && tab.getDouble(2) == dist.getDouble(2),
+      "scroll-bar table must reuse the same cut points")
+  }
+
   test("every query runs at sf0.001 and yields a well-formed result") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

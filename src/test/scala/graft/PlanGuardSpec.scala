@@ -41,7 +41,8 @@ class PlanGuardSpec extends SparkSpec {
       "Repl.scala"          -> 1,
       "StreamWindows.scala" -> 2,
       "Lamp.scala"          -> 1,
-      "Similarity.scala"    -> 2)
+      "Similarity.scala"    -> 2,
+      "Quantiles.scala"     -> 1) // ≤ 2·|probs| order statistics
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
