@@ -191,6 +191,93 @@ case class NearestCentroids(vec: Expression, centroidsExpr: Expression, nprobeEx
     copy(vec = f, centroidsExpr = s, nprobeExpr = t)
 }
 
+/** Native random-hyperplane LSH signature: `bits` sign bits of the
+  * vector's projections onto the rows of a (foldable literal) plane
+  * matrix, packed into a LONG. One codegen'd primitive loop replaces
+  * bits-many interpreted `aggregate(zip_with(...))` folds — plan size
+  * drops from O(bits) expressions to one, and the row loop stays inside
+  * whole-stage codegen.
+  *
+  * Semantics are BIT-COMPATIBLE with the fold construction it replaces
+  * (`Similarity.hyperplaneSignature`): a bit is set when proj >= 0 under
+  * SPARK comparison semantics (NaN ranks above every value, so a NaN
+  * projection sets the bit); a null vector or any null element yields
+  * signature 0 (the fold's `when(null-proj >= 0, bit).otherwise(0)`
+  * collapses every plane to 0). Total function — never null.
+  */
+case class HyperplaneSignature(vec: Expression, planesExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = planesExpr
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    vec.dataType match {
+      case ArrayType(FloatType, _) =>
+      case t => return TypeCheckFailure(s"$prettyName needs array<float> vectors, got ${t.simpleString}")
+    }
+    planesExpr.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) if planesExpr.foldable =>
+        TypeCheckSuccess
+      case t => TypeCheckFailure(
+        s"$prettyName needs a foldable array<array<double>> plane matrix, got ${t.simpleString}")
+    }
+  }
+
+  private lazy val planes: Array[Array[Double]] = {
+    val ad = planesExpr.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  /** Shared by eval and the generated code (via reference object). */
+  def sig(x: Any): Long = {
+    if (x == null) return 0L
+    val v = x.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val a = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return 0L
+      a(i) = v.getFloat(i); i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      // a length mismatch leaves the bit unset: zip_with pads the shorter
+      // side with nulls, so the fold's projection is null and its
+      // when(proj >= 0) takes the otherwise(0) branch
+      if (p.length == a.length) {
+        var s = 0.0; var j = 0
+        while (j < a.length) { s += a(j).toDouble * p(j); j += 1 }
+        // Spark comparison semantics: NaN >= 0 is TRUE (NaN ranks last)
+        if (s >= 0 || java.lang.Double.isNaN(s)) out |= (1L << b)
+      }
+      b += 1
+    }
+    out
+  }
+
+  override def eval(input: InternalRow): Any = sig(vec.eval(input))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSignature].getName)
+    val v = vec.genCode(ctx)
+    ev.copy(
+      code = code"${v.code}\nlong ${ev.value} = $self.sig(${v.isNull} ? null : ${v.value});",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, planesExpr = r)
+}
+
 object VectorExprs {
   /** Register the native vector functions in the session's registry
     * (idempotent — createOrReplace semantics, cheap enough to call per
@@ -205,6 +292,10 @@ object VectorExprs {
       "graft_nearest_centroids",
       (exprs: Seq[Expression]) => NearestCentroids(exprs.head, exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_sig",
+      (exprs: Seq[Expression]) => HyperplaneSignature(exprs.head, exprs(1)),
+      "built-in")
   }
 
   /** Column form (resolves against the registry at analysis time). */
@@ -217,4 +308,9 @@ object VectorExprs {
     call_function("graft_nearest_centroids", v,
       org.apache.spark.sql.functions.typedlit(centroids),
       org.apache.spark.sql.functions.lit(nprobe))
+
+  /** Packed sign-bit LSH signature of `v` against the plane matrix. */
+  def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =
+    call_function("graft_hyperplane_sig", v,
+      org.apache.spark.sql.functions.typedlit(planes))
 }

@@ -69,16 +69,23 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Seeded Gaussian plane matrix (bits × dim) — one shared generator so
+    * the fold and native signature paths see identical planes.
+    */
+  def planeMatrix(dim: Int, bits: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(bits)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane signature (`bits` sign bits of projections onto
-    * fixed seeded Gaussian directions). Each plane is a single array
-    * literal + one fold expression — plan size O(bits), not O(bits·dim).
+    * fixed seeded Gaussian directions) — fold-expression form, the
+    * dependency-free baseline the native `HyperplaneSignature` expression
+    * is parity-tested against.
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val bitCols = (0 until bits).map { b =>
-      val plane = typedlit(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+    val bitCols = planeMatrix(dim, bits, seed).zipWithIndex.map { case (plane, b) =>
       val proj = aggregate(
-        zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        zip_with(vec, typedlit(plane), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
@@ -92,9 +99,11 @@ object Similarity {
     * regime (near-dup: more bits; weakly-similar: fewer bits, more tables).
     *
     * Scale: candidates shuffle on (table, bucket) — linear in corpus +
-    * candidate pairs, never all-pairs. (The per-plane literal expressions
-    * are fine for moderate dim·bits·tables; a 100 TB deployment would fold
-    * the plane matrix into one array literal + aggregate expression.)
+    * candidate pairs, never all-pairs. Signatures are the native
+    * `HyperplaneSignature` expression: one codegen'd primitive loop per
+    * table instead of bits-many interpreted folds, with the plane matrix
+    * as a single literal — plan size O(tables), row cost pure primitive
+    * arithmetic.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, dim: Int = 64, bits: Int = 4,
@@ -102,7 +111,8 @@ object Similarity {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val sigs = (0 until tables).map { l =>
       struct(lit(l).as("tbl"),
-        hyperplaneSignature(col(vecCol), dim, bits, seed + 1000L * l).as("bucket"))
+        graft.functions.VectorExprs.hyperplaneSig(
+          col(vecCol), planeMatrix(dim, bits, seed + 1000L * l)).as("bucket"))
     }
     // queryPred is applied to the ORIGINAL frame (it may reference any emb
     // column), then the filtered queries are signature-tagged separately

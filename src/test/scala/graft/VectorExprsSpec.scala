@@ -55,6 +55,34 @@ class VectorExprsSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("native hyperplane signature equals the fold construction on every fixture vector") {
+    VectorExprs.register(spark)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val planes = Similarity.planeMatrix(dim, 6, seed = 99L)
+    val both = emb.select(
+      Similarity.hyperplaneSignature(col("embedding"), dim, 6, 99L).as("fold"),
+      VectorExprs.hyperplaneSig(col("embedding"), planes).as("native"))
+    assert(both.filter(col("fold") =!= col("native")).count() == 0)
+    assert(both.filter(col("native") =!= 0L).count() > 0, "signatures must be non-trivial")
+    // degenerate vectors: NaN projection sets the bit (Spark NaN >= 0 is
+    // true); a null vector, null element, or length-mismatched vector
+    // collapses to signature 0 on both paths
+    import spark.implicits._
+    val planes8 = Similarity.planeMatrix(8, 6, seed = 99L)
+    val weird = Seq(
+      (1, Some(Array(Float.NaN, 1f, 1f, 1f, 1f, 1f, 1f, 1f))),
+      (2, Option.empty[Array[Float]]),
+      (3, Some(Array(1f, 2f)))).toDF("id", "v") // shorter than the planes
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val rows = weird.select(col("id"),
+      Similarity.hyperplaneSignature(col("v"), 8, 6, 99L).as("fold"),
+      VectorExprs.hyperplaneSig(col("v"), planes8).as("native"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1)._1 == rows(1)._2, s"NaN vector diverged: ${rows(1)}")
+    assert(rows(2) == ((0L, 0L)), s"null vector must sign to 0 on both paths: ${rows(2)}")
+    assert(rows(3) == ((0L, 0L)), s"length mismatch must sign to 0 on both paths: ${rows(3)}")
+  }
+
   test("nearestCentroids matches a scala model on random vectors (incl. ties)") {
     VectorExprs.register(spark)
     import spark.implicits._
