@@ -128,6 +128,34 @@ class PlanAndSourceSpec extends SparkSpec {
     assert(agg == exp, "JDBC round trip must preserve every group")
   }
 
+  test("GraftExtensions injects the native functions into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    // build a second SparkSession over the SAME SparkContext with the
+    // extension applied (clear default/active so getOrCreate builds anew;
+    // never stop s2 — that would stop the shared context)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT graft_fdot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                  array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+          |       graft_hyperplane_sig(array(CAST(1.0 AS FLOAT)),
+          |                            array(array(2.0D), array(-1.0D))) AS sig,
+          |       graft_nearest_centroids(array(CAST(0.9 AS FLOAT)),
+          |                               array(array(0.0D), array(1.0D)), 1) AS b
+          |""".stripMargin).head()
+      assert(r.getDouble(0) == 1.5 * 3.0 + 2.0 * 0.5)
+      assert(r.getLong(1) == 1L, "positive projection sets bit 0 only")
+      assert(r.getSeq[Int](2) == Seq(1), "0.9 is nearest centroid 1")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("cached-table registry persists once and purges on demand") {
     Tables.purgeCached(sf)
     val a = Tables.openCached(spark, sf, "nation")
