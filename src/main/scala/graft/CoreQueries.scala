@@ -436,6 +436,14 @@ object CoreQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
     },
 
+    // ---- Stratified sample (per-stratum fractions; seeded, rows-only) ------
+    Q.noOracle("sample_stratified") {
+      (s, d) => Sampling.stratified(t(s, d, "lineitem"), "l_returnflag",
+          Map("A" -> 0.02, "N" -> 0.005, "R" -> 0.02), 42L)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- CorrMatrixSketch (one cell, exact moments) ------------------------
     Q("correlation",
       """SELECT n, (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr_val

@@ -231,6 +231,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Repetition score (most-repeated bigram ratio) ---------------------
+    Q("text_repetition",
+      """WITH g AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+        |         i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), c AS (
+        |  SELECT doc_id, sh, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |       MAX(cnt) AS max_gram_cnt,
+        |       round(MAX(cnt) * 1.0 / SUM(cnt), 6) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) => TextOps.repetitionScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Winnowing fingerprints (k=3 token grams, window=4) ----------------
     Q("text_winnow",
       """WITH toks AS (

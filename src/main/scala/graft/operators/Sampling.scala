@@ -13,6 +13,15 @@ object Sampling {
   def uniform(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Seeded stratified sample: per-stratum fractions over a key column —
+    * the training-data mixing primitive (rebalance languages / sources /
+    * quality tiers without a shuffle; sampleBy filters per partition).
+    * Strata absent from `fractions` are dropped (fraction 0).
+    */
+  def stratified(df: DataFrame, column: String, fractions: Map[String, Double],
+                 seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(column, fractions, seed)
+
   /** Resolution-aware sampling rate (paper §4.1): a histogram rendered at
     * `pixelHeight` with `buckets` bars is statistically indistinguishable
     * from exact when built on ~ c·buckets·pixelHeight² samples (Chernoff

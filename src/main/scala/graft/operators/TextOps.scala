@@ -90,6 +90,22 @@ object TextOps {
       (nonText * lit(1.0) / length(col(textCol))).as("punct_ratio"))
   }
 
+  /** Repetition score (training-data quality): per doc, total n-grams
+    * WITH multiplicity, the count of the most-repeated n-gram, and their
+    * ratio — boilerplate/looped generations score high. Two linear
+    * doc-keyed shuffles; docs too short to form an n-gram are absent.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    withToks.select(col(idCol), explode(shingles(col("__toks"), n)).as("sh"))
+      .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_grams"), max("cnt").as("max_gram_cnt"))
+      .select(col(idCol), col("n_grams"), col("max_gram_cnt"),
+        round(col("max_gram_cnt") * lit(1.0) / col("n_grams"), 6).as("rep_ratio"))
+  }
+
   /** Per-language stopword marker lists for the language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "in"),

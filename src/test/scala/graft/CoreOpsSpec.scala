@@ -16,6 +16,25 @@ class CoreOpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("stratified sample hits per-stratum fractions and is seed-deterministic") {
+    val fr = Map("A" -> 0.1, "N" -> 0.02, "R" -> 0.1)
+    val base = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Sampling.stratified(li, "l_returnflag", fr, 7L)
+    val got = s1.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fr.foreach { case (k, f) =>
+      val expected = base(k) * f
+      assert(math.abs(got.getOrElse(k, 0L) - expected) <= 4 * math.sqrt(expected) + 5,
+        s"stratum $k: got ${got.get(k)}, expected ~$expected of ${base(k)}")
+    }
+    assert(got.keySet == fr.keySet, "strata with no fraction must be dropped")
+    val s2 = Sampling.stratified(li, "l_returnflag", fr, 7L)
+    assert(s1.select("l_orderkey", "l_linenumber").collect().toSet ==
+      s2.select("l_orderkey", "l_linenumber").collect().toSet,
+      "same seed must select the same rows")
+  }
+
   test("distributed exact quantiles equal the percentile aggregate; table() stacks them") {
     val probs = Seq(0.25, 0.5, 0.75)
     val dist = Quantiles.exact(li, "l_extendedprice", probs).head()
