@@ -29,6 +29,24 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // ---- Watermarked streaming dedup: the events file replays TWICE, one
+    // file per micro-batch, so every event arrives again as a cross-batch
+    // duplicate; dropDuplicatesWithinWatermark's state store must restore
+    // exactly the base table's per-window counts (event_id is unique) ----
+    Q("events_stream_dedup",
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+        val src = java.nio.file.Paths.get(d, "events.parquet")
+        java.nio.file.Files.copy(src, dir.resolve("replay_a.parquet"))
+        java.nio.file.Files.copy(src, dir.resolve("replay_b.parquet"))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(src.toString).schema
+        graft.streaming.StreamWindows.dedupByIdStream(s, dir.toString, schema)
+          .orderBy(col("window_start"))
+    },
+
     // ---- Tumbling 1h window (batch) ----------------------------------------
     Q("events_time_window", tumblingOracle) {
       (s, d) => TimeWindows.tumbling(t(s, d, "events"), "ts", "1 hour", Seq("event_type"),
