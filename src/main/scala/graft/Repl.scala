@@ -26,9 +26,13 @@ object Repl {
       |  summary <view> <col>                   count/min/max/moments (sketch)
       |  topk <view> <col> <k>                  k smallest rows by col
       |  nextk <view> <col> <k> [start]         next-k distinct page from start value
+      |  progress <view> <col> <lo> <hi> <n> <batches>
+      |                                         progressive histogram: one line per
+      |                                         file-batch partial (progress, total)
       |  lineage <view>                         root-to-leaf chain of a view
       |  views                                  list registered views
       |  memo                                   sketch-memo stats
+      |  cache <table> | uncache [table]        pin / purge tables in the registry
       |  cancel <view>                          abort the view's running jobs
       |  purge <view>                           drop a view and its memoized sketches
       |  help | quit""".stripMargin
@@ -77,6 +81,22 @@ object Repl {
         render(s.sketch(ViewId(vid), s"nextk:$c:$k:${rest.mkString}")(d =>
           NextK.page(d, Seq(SortKey(c)),
             rest.headOption.map(v => Seq(lit(v).cast(d.schema(c).dataType))), k.toInt)))
+      case "progress" :: vid :: c :: lo :: hi :: n :: batches :: Nil =>
+        s.progressive(ViewId(vid), batches.toInt,
+            Histograms.histogram1d(_, c, lo.toDouble, hi.toDouble, n.toInt),
+            (a, b) => a.unionByName(b).groupBy("bucket")
+              .agg(sum("cnt").as("cnt")))
+          .map { case (p, df) =>
+            val total = df.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+            f"$p%.2f -> $total rows"
+          }
+          .mkString("\n")
+      case "cache" :: table :: Nil =>
+        Tables.openCached(spark, sfDir, table)
+        s"pinned $table"
+      case "uncache" :: rest if rest.size <= 1 =>
+        Tables.purgeCached(sfDir, rest.headOption.orNull)
+        s"purged ${rest.headOption.getOrElse("all tables")}"
       case "lineage" :: vid :: Nil =>
         s.lineage(ViewId(vid)).map(_.value).mkString(" -> ")
       case "views" :: Nil =>

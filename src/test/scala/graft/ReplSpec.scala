@@ -46,6 +46,22 @@ class ReplSpec extends SparkSpec {
       s"filter-2 listed once before purge, absent after:\n$out")
   }
 
+  test("progress streams per-batch partials and cache verbs manage the table registry") {
+    val out = script(
+      "open lineitem",
+      "progress lineitem-1 l_extendedprice 900 105000 10 3",
+      "cache nation",
+      "uncache nation",
+      "uncache",
+      "quit")
+    val partials = out.linesIterator.filter(_.contains("-> ")).toSeq
+      .filter(_.contains("rows"))
+    assert(partials.size == 3, s"3 batches -> 3 partial lines:\n$out")
+    val totals = partials.map(_.split("-> ")(1).split(" ")(0).toLong)
+    assert(totals == totals.sorted, s"partial totals must refine monotonically: $totals")
+    assert(out.contains("pinned nation") && out.contains("purged nation"), out)
+  }
+
   test("nextk pages advance from the start row") {
     val out = script("open nation", "nextk nation-1 n_name 3", "quit")
     val firstPage = out.linesIterator.dropWhile(!_.startsWith("n_name")).drop(1).take(3).toSeq
