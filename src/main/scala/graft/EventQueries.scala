@@ -37,10 +37,15 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
         |COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin) {
       (s, d) =>
-        val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-        val src = java.nio.file.Paths.get(d, "events.parquet")
-        java.nio.file.Files.copy(src, dir.resolve("replay_a.parquet"))
-        java.nio.file.Files.copy(src, dir.resolve("replay_b.parquet"))
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        // one deterministic replay dir per sf dir, reused across
+        // invocations (Verify once + Bench 3x) — never accumulates
+        val dir = Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_stream_dedup_${Integer.toHexString(d.hashCode)}")
+        Files.createDirectories(dir)
+        val src = Paths.get(d, "events.parquet")
+        Files.copy(src, dir.resolve("replay_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(src, dir.resolve("replay_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(src.toString).schema
         graft.streaming.StreamWindows.dedupByIdStream(s, dir.toString, schema)

@@ -2,32 +2,25 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVectorDot, HyperplaneSignature, NearestCentroids}
+import graft.functions.VectorExprs
 
 /** Spark-native packaging of the engine's custom Catalyst expressions:
   * set `spark.sql.extensions=graft.GraftExtensions` on the cluster (or
-  * `builder.withExtensions(new GraftExtensions)`) and `graft_fdot`,
-  * `graft_nearest_centroids`, and `graft_hyperplane_sig` resolve in
-  * every session of the application — `spark.sql` included — without a
-  * per-session `VectorExprs.register` call. The imperative register
-  * path stays for ad-hoc sessions; both feed the same expressions.
+  * `builder.withExtensions(new GraftExtensions)`) and every function in
+  * `VectorExprs.functionTable` resolves in all sessions of the
+  * application — `spark.sql` included — without a per-session
+  * `VectorExprs.register` call. Both registration paths consume the same
+  * table, so they cannot diverge.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_fdot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_fdot"),
-      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_nearest_centroids"),
-      new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_centroids"),
-      (exprs: Seq[Expression]) => NearestCentroids(exprs.head, exprs(1), exprs(2))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_hyperplane_sig"),
-      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
-      (exprs: Seq[Expression]) => HyperplaneSignature(exprs.head, exprs(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExprs.functionTable.foreach { case (name, arity, build) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VectorExprs.type].getName, name),
+        VectorExprs.builderFor(name, arity, build)))
+    }
 }

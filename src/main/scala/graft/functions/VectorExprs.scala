@@ -222,7 +222,11 @@ case class HyperplaneSignature(vec: Expression, planesExpr: Expression)
     }
     planesExpr.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) if planesExpr.foldable =>
-        TypeCheckSuccess
+        // one sign bit per plane packs into a LONG; plane 64 would wrap
+        // (Java shifts count mod 64) and silently corrupt bit 0
+        if (planesExpr.eval(null).asInstanceOf[ArrayData].numElements() > 64)
+          TypeCheckFailure(s"$prettyName packs sign bits into a 64-bit long; more than 64 planes given")
+        else TypeCheckSuccess
       case t => TypeCheckFailure(
         s"$prettyName needs a foldable array<array<double>> plane matrix, got ${t.simpleString}")
     }
@@ -279,24 +283,37 @@ case class HyperplaneSignature(vec: Expression, planesExpr: Expression)
 }
 
 object VectorExprs {
+
+  /** The ONE table of native functions — (name, arity, builder) — feeding
+    * both registration paths (`register` for ad-hoc sessions,
+    * `GraftExtensions` for cluster-wide injection), so the two can never
+    * diverge. Builders validate arity up front: raw SQL reaches them, and
+    * an IndexOutOfBoundsException names nothing.
+    */
+  val functionTable: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_fdot", 2, exprs => FloatVectorDot(exprs.head, exprs(1))),
+    ("graft_nearest_centroids", 3, exprs => NearestCentroids(exprs.head, exprs(1), exprs(2))),
+    ("graft_hyperplane_sig", 2, exprs => HyperplaneSignature(exprs.head, exprs(1))))
+
+  /** Arity-checked builder for `name`. */
+  def builderFor(name: String, arity: Int,
+                 build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != arity)
+        throw new IllegalArgumentException(
+          s"$name takes $arity arguments, got ${exprs.length}")
+      build(exprs)
+    }
+
   /** Register the native vector functions in the session's registry
     * (idempotent — createOrReplace semantics, cheap enough to call per
     * query build).
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fdot",
-      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nearest_centroids",
-      (exprs: Seq[Expression]) => NearestCentroids(exprs.head, exprs(1), exprs(2)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane_sig",
-      (exprs: Seq[Expression]) => HyperplaneSignature(exprs.head, exprs(1)),
-      "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    functionTable.foreach { case (name, arity, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builderFor(name, arity, build), "built-in")
+    }
 
   /** Column form (resolves against the registry at analysis time). */
   def fdot(a: Column, b: Column): Column = call_function("graft_fdot", a, b)

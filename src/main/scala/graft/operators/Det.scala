@@ -66,6 +66,16 @@ object Det {
     */
   def dsumOver(c: Column, w: WindowSpec): Column = sum(c.cast(S)).over(w).cast("double")
 
+  /** Spark round(_, 6) semantics (BigDecimal HALF_UP; non-finite values
+    * pass through — BigDecimal(NaN/Inf) throws) for driver-side kernels
+    * that must stay bit-identical to the expression path and the
+    * oracle's round().
+    */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isFinite(x))
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else x
+
   /** Canonical timestamp rendering (matches DuckDB strftime '%Y-%m-%d %H:%M:%S'). */
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 

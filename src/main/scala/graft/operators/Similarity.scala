@@ -208,12 +208,7 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** Spark round() semantics for a double (BigDecimal HALF_UP) — keeps the
-    * partition-kernel output bit-identical to the expression paths and the
-    * oracle's round().
-    */
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double = Det.round6(x)
 
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): all pairs
     * with cosine ≥ threshold — exact semantics.

@@ -48,6 +48,21 @@ class CoreOpsSpec extends SparkSpec {
     val tab = Quantiles.table(li, "l_extendedprice", 4).head()
     assert(tab.getDouble(0) == dist.getDouble(0) && tab.getDouble(2) == dist.getDouble(2),
       "scroll-bar table must reuse the same cut points")
+    // q > 100 must produce distinct positional names, not an ambiguous select
+    val wide = Quantiles.table(li.limit(500), "l_extendedprice", 128)
+    assert(wide.columns.distinct.length == 127)
+    assert(wide.count() == 1)
+  }
+
+  test("exact quantiles keep percentile's NaN-ranks-last semantics") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, Double.NaN).toDF("x")
+    val dist = Quantiles.exact(df, "x", Seq(0.5, 1.0)).head()
+    val agg = df.agg(percentile(col("x"), typedlit(Seq(0.5, 1.0))).as("q"))
+      .select(element_at(col("q"), 1).as("m"), element_at(col("q"), 2).as("mx")).head()
+    assert(dist.getDouble(0) == agg.getDouble(0), "median must match percentile")
+    assert(dist.getDouble(1).isNaN && agg.getDouble(1).isNaN,
+      "p100 of a NaN-bearing column is NaN on both paths")
   }
 
   test("every query runs at sf0.001 and yields a well-formed result") {

@@ -83,6 +83,24 @@ class VectorExprsSpec extends SparkSpec {
     assert(rows(3) == ((0L, 0L)), s"length mismatch must sign to 0 on both paths: ${rows(3)}")
   }
 
+  test("hyperplane signature rejects more than 64 planes (bit-pack bound)") {
+    VectorExprs.register(spark)
+    val tooMany = Seq.fill(65)(Seq(1.0))
+    val e = intercept[Exception] {
+      emb.limit(1).select(VectorExprs.hyperplaneSig(col("embedding"), tooMany)).collect()
+    }
+    assert(e.getMessage.contains("64"), s"expected the 64-plane bound, got: ${e.getMessage}")
+  }
+
+  test("native function builders report arity instead of crashing the resolver") {
+    VectorExprs.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_fdot(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"),
+      s"expected an arity message, got: ${e.getMessage}")
+  }
+
   test("nearestCentroids matches a scala model on random vectors (incl. ties)") {
     VectorExprs.register(spark)
     import spark.implicits._
