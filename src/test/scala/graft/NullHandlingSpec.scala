@@ -42,6 +42,33 @@ class NullHandlingSpec extends SparkSpec {
     }
   }
 
+  test("dsum equals the pure decimal sum on random magnitude-spanning columns") {
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(23L)
+    (1 to 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(200)
+      val vs: Seq[java.lang.Double] = Seq.fill(n) {
+        rnd.nextInt(8) match {
+          case 0 => null
+          case 1 => Double.NaN
+          case 2 => Double.box((rnd.nextDouble() - 0.5) * 1e20) // slow path
+          case 3 => Double.box((rnd.nextDouble() - 0.5) * 2e13) // straddles the long cutover
+          case _ => Double.box((rnd.nextDouble() - 0.5) * 1e6)  // fast path
+        }
+      }
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(vs.map(v => org.apache.spark.sql.Row(v)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType))))
+      val r = df.agg(
+        operators.Det.dsum(col("x")).as("fast"),
+        sum(col("x").cast(DecimalType(30, 6))).cast("double").as("ref")).head()
+      val fast = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val ref = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(fast == ref, s"trial $trial diverged: dsum=$fast decimal=$ref")
+    }
+  }
+
   test("basic stats separate present and missing counts") {
     val r = Stats.basicStats(df, "x").head()
     assert(r.getAs[Long]("cnt") == 4)
