@@ -33,6 +33,22 @@ class TriangleBlocksSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 
+  test("allPairs is exact on random sparse id sets, group counts, and negative ids") {
+    val rnd = new scala.util.Random(53L)
+    (1 to 10).foreach { trial =>
+      val g = 1 + rnd.nextInt(20)
+      val ids = Iterator.continually(rnd.nextLong() % 1000).take(40).toSet.toSeq
+      val rows = spark.sparkContext.parallelize(ids.map(i => (i, ())), 3)
+      val got = TriangleBlocks.allPairs(rows, g)((d1, _, d2, _) => Some((d1, d2))).collect()
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+      } yield (a, b)).toSet
+      assert(got.length == expected.size,
+        s"trial $trial g=$g: ${got.length} pairs vs ${expected.size} (dup or drop)")
+      assert(got.toSet == expected, s"trial $trial g=$g")
+    }
+  }
+
   test("allPairs emits every unordered id pair exactly once") {
     val n = 101
     val rows = spark.sparkContext.parallelize((0L until n.toLong).map(i => (i, i * 10)), 5)
