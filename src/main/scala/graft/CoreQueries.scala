@@ -330,6 +330,20 @@ object CoreQueries {
     },
 
     // ---- ConvertColumnMap + projection -------------------------------------
+    // ---- Project / drop / rename (the reference's column maps) -------------
+    Q("project_rename",
+      """SELECT n_nationkey AS nation_id, n_name AS nation_name
+        |FROM nation ORDER BY nation_id""".stripMargin) {
+      (s, d) =>
+        val projected = Projections.project(
+          Projections.dropColumns(t(s, d, "nation"), Seq("n_comment")),
+          Seq("n_nationkey", "n_name"))
+        Projections.rename(
+          Projections.rename(projected, "n_nationkey", "nation_id"),
+          "n_name", "nation_name")
+          .orderBy(col("nation_id"))
+    },
+
     Q("convert_columns",
       """SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS DOUBLE) AS ln_double,
         |CAST(l_orderkey AS VARCHAR) AS key_str,
