@@ -191,13 +191,16 @@ object CoreQueries {
     },
 
     // ---- Heavy hitters: eps*N threshold (total computed in-plan) -----------
+    // eps = 0.15: the fixture's 6 (flag, status) groups are near-uniform at
+    // ~1/6 of N each, so 0.15 emits all 6 rows (a 0.2 threshold sat above
+    // every group's share and certified only 0 ≡ 0).
     Q("heavy_hitters_relative",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
-        |GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) * 0.2
+        |GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) * 0.15
         |ORDER BY cnt DESC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         |LIMIT 100""".stripMargin) {
       (s, d) => HeavyHitters.exactRelative(t(s, d, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"), 0.2, 100)
+        Seq("l_returnflag", "l_linestatus"), 0.15, 100)
     },
 
     // ---- ExactFreqSketch: exact probe over candidates ----------------------
@@ -216,6 +219,24 @@ object CoreQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
       (s, d) => HeavyHitters.exactProbeTuples(t(s, d, "lineitem"),
         Seq("l_returnflag", "l_linestatus"), Seq(Seq("R", "F"), Seq("N", "O")))
+    },
+
+    // ---- Composed two-phase flow: MG sketch -> exact probe -> filter-to-heavy
+    // (the reference's signature interaction; k=10 > 6 distinct tuples makes
+    // the chain exact, so the plain GROUP BY ... HAVING is a faithful oracle;
+    // minCount=10000 keeps 5 of the fixture's 6 near-uniform groups)
+    Q("heavy_hitters_twophase",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |WHERE (l_returnflag, l_linestatus) IN (
+        |  SELECT (l_returnflag, l_linestatus) FROM lineitem
+        |  GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) >= 10000)
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+      (s, d) => HeavyHitters.twoPhase(t(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), k = 10, minCount = 10000L)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     // ---- GROUPING SETS (beyond cube/rollup: arbitrary group combinations) --

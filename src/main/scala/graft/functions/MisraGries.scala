@@ -81,7 +81,7 @@ object MisraGries {
     * callers choosing a printable separator, or needing null fidelity,
     * must pre-encode (escape or length-prefix) the parts.
     */
-  def sketchTuple(cols: Seq[Column], k: Int, sep: String = ""): Column =
+  def sketchTuple(cols: Seq[Column], k: Int, sep: String = "\u0001"): Column =
     udaf(new MisraGries(k), Encoders.STRING)
       .apply(concat_ws(sep, cols.map(_.cast("string")): _*))
 }

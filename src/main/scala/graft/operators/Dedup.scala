@@ -180,20 +180,14 @@ object Dedup {
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .distinct()
-    val interCount = udf((a: Seq[Long], b: Seq[Long]) => {
-      var i = 0; var j = 0; var c = 0
-      while (i < a.length && j < b.length) {
-        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-        else if (a(i) < b(j)) i += 1
-        else j += 1
-      }
-      c
-    })
+    // exact intersection size via the built-in array_intersect (codegen'd;
+    // no UDF in the plan) — `ids` arrays are distinct by construction
+    // (shingleSet emits distinct shingles), so no-dedup-ambiguity applies
     cand
       .join(docs.select(col(idCol).as("d1"), col("ids").as("ids1")), Seq("d1"))
       .join(docs.select(col(idCol).as("d2"), col("ids").as("ids2")), Seq("d2"))
       .select(col("d1"), col("d2"),
-        interCount(col("ids1"), col("ids2")).as("i"),
+        size(array_intersect(col("ids1"), col("ids2"))).as("i"),
         size(col("ids1")).as("n1"), size(col("ids2")).as("n2"))
       .select(col("d1"), col("d2"),
         (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i"))).as("jacc"))

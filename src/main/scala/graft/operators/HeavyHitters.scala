@@ -81,7 +81,49 @@ object HeavyHitters {
     val heavy = df.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .select(keys.map(col).toIndexedSeq: _*)
-    df.join(broadcast(heavy), keys, if (keep) "left_semi" else "left_anti")
+    filterToHeavy(df, keys, heavy, keep)
+  }
+
+  /** Filter the base table against an ALREADY-COMPUTED heavy set (e.g. the
+    * exact-probe output of the two-phase flow) instead of recomputing the
+    * groupBy — broadcast of ≤ |heavy| key tuples, no extra shuffle.
+    */
+  def filterToHeavy(df: DataFrame, keys: Seq[String], heavy: DataFrame,
+                    keep: Boolean): DataFrame =
+    df.join(broadcast(heavy.select(keys.map(col).toIndexedSeq: _*)), keys,
+      if (keep) "left_semi" else "left_anti")
+
+  /** The composed two-phase heavy-hitter flow — the reference's signature
+    * sketch interaction (paper §3.3/§4.4: `ref:P/sketches/FreqKSketch.java`
+    * produces candidates, `ExactFreqSketch.java` re-counts them exactly,
+    * then the UI filters the table to the heavy rows):
+    *
+    *   phase 1  Misra-Gries sketch over the key tuple — shuffle-free
+    *            partial aggregation; ≤ k candidate tuples (a sketch-sized
+    *            result, within the collect contract) reach the driver;
+    *   phase 2  exact probe of ONLY those candidates: one shuffle of
+    *            matching (tuple, partialCount) pairs;
+    *   phase 3  semi join of the base table against the candidates whose
+    *            EXACT count clears `minCount` (broadcast of ≤ k tuples).
+    *
+    * Returns the heavy base-table rows. Guarantees: MG has no false
+    * negatives above N/(k+1), and phase 2 replaces MG's lower-bound counts
+    * with exact ones, so for minCount > N/(k+1) the result is exactly the
+    * rows whose tuple frequency ≥ minCount; with k > |distinct tuples| the
+    * chain is exact for ANY minCount. Keys must render uniquely as strings
+    * (the sketch key is the `sep`-joined rendering; see
+    * [[graft.functions.MisraGries.sketchTuple]] for the null/separator
+    * caveats).
+    */
+  def twoPhase(df: DataFrame, keys: Seq[String], k: Int, minCount: Long,
+               sep: String = "\u0001"): DataFrame = {
+    val cands = df
+      .agg(graft.functions.MisraGries.sketchTuple(keys.map(col), k, sep).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("cand"))
+      .collect() // ≤ k candidate tuples — sketch-sized by contract
+      .map(_.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+      .toSeq
+    val exact = exactProbeTuples(df, keys, cands)
+    filterToHeavy(df, keys, exact.filter(col("cnt") >= minCount), keep = true)
   }
 }

@@ -40,9 +40,20 @@ object Tables {
       spark.read.parquet(s"$sfDir/$other.parquet")
   }
 
-  /** Register every fixture table as a temp view so `spark.sql` works. */
+  // Last sfDir registered per session (reference-keyed: SparkSession does
+  // not override equals). Re-registering the same dir is a no-op; switching
+  // dirs re-registers so views never point at a stale scale factor.
+  private val registeredDir = scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Register every fixture table as a temp view so `spark.sql` works.
+    * Memoized per (session, sfDir): repeated calls — e.g. every
+    * `sql_interface` invocation — skip re-opening all the tables.
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
+    if (!registeredDir.get(spark).contains(sfDir)) {
+      allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
+      registeredDir(spark) = sfDir
+    }
 
   // Worker-side table cache (`ref:P/dataset/LocalDataSet.java` keeps loaded
   // columns resident; `manage` purges them). Keyed by (sfDir, table);

@@ -40,6 +40,28 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(lsh == exactPairs, s"missed: ${exactPairs.diff(lsh)}")
   }
 
+  test("minHashLSH verify stage plans no Scala UDF (built-in array_intersect)") {
+    val plan = Dedup.minHashLSH(docs, "doc_id", "text", 2, 8, 4, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"UDF node leaked into the LSH plan:\n$plan")
+  }
+
+  test("sketchTuple: default \\u0001 separator keeps separator-containing parts distinct") {
+    import spark.implicits._
+    val df = Seq(("a|b", "c"), ("a", "b|c"), ("a", null)).toDF("x", "y")
+    val dflt = df.agg(functions.MisraGries.sketchTuple(Seq(col("x"), col("y")), 10).as("mg"))
+      .head.getMap[String, Long](0)
+    // under the non-printable default the two pipe-bearing tuples stay distinct; the documented
+    // concat_ws caveat still applies: the null part is SKIPPED, so ("a", null)
+    // renders as bare "a"
+    assert(dflt.keySet == Set("a|b\u0001c", "a\u0001b|c", "a"), dflt.keySet.toString)
+    // a printable separator inside a part injects false tuple boundaries —
+    // the exact failure mode the non-printable default avoids
+    val pipe = df.agg(functions.MisraGries.sketchTuple(Seq(col("x"), col("y")), 10, "|").as("mg"))
+      .head.getMap[String, Long](0)
+    assert(pipe("a|b|c") == 2L, pipe.toString)
+  }
+
   test("SimHash: planted pairs at small Hamming distance, background far") {
     val ham = Dedup.simHashPairs(docs, "doc_id", "text", 2, 10)
       .select("d1", "d2").collect()

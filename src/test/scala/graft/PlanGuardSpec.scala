@@ -42,7 +42,8 @@ class PlanGuardSpec extends SparkSpec {
       "StreamWindows.scala" -> 2,
       "Lamp.scala"          -> 1,
       "Similarity.scala"    -> 2,
-      "Quantiles.scala"     -> 1) // ≤ 2·|probs| order statistics
+      "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
+      "HeavyHitters.scala"  -> 1)  // twoPhase phase 1: ≤ k MG candidates
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
