@@ -29,6 +29,12 @@ object Repl {
       |  progress <view> <col> <lo> <hi> <n> <batches>
       |                                         progressive histogram: one line per
       |                                         file-batch partial (progress, total)
+      |  neardup <view> <threshold> [idCol textCol]
+      |                                         MinHash-LSH near-dup pairs at Jaccard
+      |                                         >= threshold (cols default doc_id/text)
+      |  simsearch <view> <id> <k> [idCol vecCol]
+      |                                         LSH top-k cosine neighbours of row <id>
+      |                                         (cols default vec_id/embedding)
       |  lineage <view>                         root-to-leaf chain of a view
       |  views                                  list registered views
       |  memo                                   sketch-memo stats
@@ -61,12 +67,16 @@ object Repl {
   /** One command → one printed result (exposed for scripted tests). */
   def eval(spark: SparkSession, s: ViewSession, sfDir: String, cmd: String): String = {
     def df(vid: String): DataFrame = s(ViewId(vid)).df
+    // verb + view id + RAW remainder: free-text arguments (filter
+    // predicates) must reach expr() untouched — retokenizing with a single
+    // space would silently rewrite string literals like name = 'a  b'
+    val raw3 = cmd.split("\\s+", 3)
     cmd.split("\\s+").toList match {
       case "help" :: Nil => help
       case "open" :: table :: Nil =>
         s"view ${s.open(table, Tables.open(spark, sfDir, table)).value}"
       case "filter" :: vid :: rest if rest.nonEmpty =>
-        s"view ${s.child(ViewId(vid), "filter")(_.filter(expr(rest.mkString(" ")))).value}"
+        s"view ${s.child(ViewId(vid), "filter")(_.filter(expr(raw3(2)))).value}"
       case "project" :: vid :: cols :: Nil =>
         s"view ${s.child(ViewId(vid), "project")(_.select(cols.split(",").toIndexedSeq.map(col): _*)).value}"
       case "histogram" :: vid :: c :: lo :: hi :: n :: Nil =>
@@ -91,6 +101,22 @@ object Repl {
             f"$p%.2f -> $total rows"
           }
           .mkString("\n")
+      case "neardup" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
+        val (idCol, textCol) = rest match {
+          case i :: c :: Nil => (i, c)
+          case _             => ("doc_id", "text")
+        }
+        render(s.sketch(ViewId(vid), s"neardup:$thr:$idCol:$textCol")(d =>
+          graft.operators.Dedup.minHashLSH(d, idCol, textCol, threshold = thr.toDouble)
+            .orderBy(col("d1"), col("d2"))))
+      case "simsearch" :: vid :: id :: k :: rest if rest.size == 0 || rest.size == 2 =>
+        val (idCol, vecCol) = rest match {
+          case i :: c :: Nil => (i, c)
+          case _             => ("vec_id", "embedding")
+        }
+        render(s.sketch(ViewId(vid), s"simsearch:$id:$k:$idCol:$vecCol")(d =>
+          graft.operators.Similarity.lshTopK(d, idCol, vecCol,
+            col(idCol) === lit(id.toLong), k.toInt)))
       case "cache" :: table :: Nil =>
         Tables.openCached(spark, sfDir, table)
         s"pinned $table"

@@ -109,11 +109,26 @@ case class NearestCentroids(vec: Expression, centroidsExpr: Expression, nprobeEx
     }
     centroidsExpr.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) if centroidsExpr.foldable =>
+        // the expression is SQL-reachable: a foldable-but-NULL matrix (e.g.
+        // CAST(NULL AS ARRAY<ARRAY<DOUBLE>>)) or a null row must fail here
+        // with the function's name, not NPE later in the lazy decode
+        val folded = centroidsExpr.eval(null)
+        if (folded == null)
+          return TypeCheckFailure(s"$prettyName centroid matrix must not be NULL")
+        val ad = folded.asInstanceOf[ArrayData]
+        if ((0 until ad.numElements()).exists(ad.isNullAt))
+          return TypeCheckFailure(s"$prettyName centroid matrix must not contain NULL rows")
       case t => return TypeCheckFailure(
         s"$prettyName needs a foldable array<array<double>> centroid matrix, got ${t.simpleString}")
     }
     nprobeExpr.dataType match {
       case IntegerType if nprobeExpr.foldable =>
+        nprobeExpr.eval(null) match {
+          case null => return TypeCheckFailure(s"$prettyName nprobe must not be NULL")
+          case n: Integer if n < 0 =>
+            return TypeCheckFailure(s"$prettyName nprobe must be >= 0, got $n")
+          case _ =>
+        }
       case t => return TypeCheckFailure(s"$prettyName needs a foldable int nprobe, got ${t.simpleString}")
     }
     TypeCheckSuccess
@@ -136,6 +151,11 @@ case class NearestCentroids(vec: Expression, centroidsExpr: Expression, nprobeEx
     var j = 0
     while (j < nlist) {
       val c = centroids(j)
+      // a vector longer than the centroid dim is a caller error — name it
+      // instead of surfacing a bare ArrayIndexOutOfBounds from generated code
+      if (a.length > c.length)
+        throw new IllegalArgumentException(
+          s"graft_nearest_centroids: vector length ${a.length} exceeds centroid dimension ${c.length}")
       var s = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
       d(j) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s
@@ -222,9 +242,17 @@ case class HyperplaneSignature(vec: Expression, planesExpr: Expression)
     }
     planesExpr.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) if planesExpr.foldable =>
+        // a foldable-but-NULL matrix (CAST(NULL AS ...)) must fail with the
+        // function's name, not NPE in the lazy decode below
+        val folded = planesExpr.eval(null)
+        if (folded == null)
+          TypeCheckFailure(s"$prettyName plane matrix must not be NULL")
+        else if ((0 until folded.asInstanceOf[ArrayData].numElements())
+                   .exists(folded.asInstanceOf[ArrayData].isNullAt))
+          TypeCheckFailure(s"$prettyName plane matrix must not contain NULL rows")
         // one sign bit per plane packs into a LONG; plane 64 would wrap
         // (Java shifts count mod 64) and silently corrupt bit 0
-        if (planesExpr.eval(null).asInstanceOf[ArrayData].numElements() > 64)
+        else if (folded.asInstanceOf[ArrayData].numElements() > 64)
           TypeCheckFailure(s"$prettyName packs sign bits into a 64-bit long; more than 64 planes given")
         else TypeCheckSuccess
       case t => TypeCheckFailure(

@@ -62,6 +62,39 @@ class ReplSpec extends SparkSpec {
     assert(out.contains("pinned nation") && out.contains("purged nation"), out)
   }
 
+  test("neardup and simsearch drive the LSH paths interactively") {
+    val out = script(
+      "open documents",
+      "neardup documents-1 0.5",
+      "open embeddings",
+      "simsearch embeddings-2 3 5",
+      "quit")
+    // fixture has planted near-dup pairs → at least one d1/d2/jacc data row
+    val dupHeader = out.linesIterator.indexWhere(_.startsWith("d1\t"))
+    assert(dupHeader >= 0, s"neardup must render a d1/d2/jacc table:\n$out")
+    assert(out.linesIterator.drop(dupHeader + 1).next().split("\t").length == 3,
+      s"no near-dup rows rendered:\n$out")
+    // simsearch: k=5 neighbour rows for query id 3
+    val simHeader = out.linesIterator.indexWhere(_.startsWith("q_id\t"))
+    assert(simHeader >= 0, s"simsearch must render a q_id table:\n$out")
+    val simRows = out.linesIterator.drop(simHeader + 1).takeWhile(_.contains("\t")).toSeq
+    assert(simRows.nonEmpty && simRows.forall(_.startsWith("3\t")),
+      s"all neighbours must belong to query 3:\n$out")
+  }
+
+  test("filter predicates keep embedded whitespace intact") {
+    import spark.implicits._
+    val sess = new ViewSession(spark)
+    val vid = sess.open("pad", Seq("a  b", "a b").toDF("name"))
+    // the double-space literal must select the double-space row; an eval
+    // that retokenizes the command with single spaces would silently
+    // rewrite the predicate to 'a b' and match the WRONG row
+    val resp = Repl.eval(spark, sess, sf, s"filter ${vid.value} name = 'a  b'")
+    val child = ViewId(resp.stripPrefix("view "))
+    val matched = sess(child).df.collect().map(_.getString(0)).toSeq
+    assert(matched == Seq("a  b"), s"predicate was rewritten: matched $matched")
+  }
+
   test("nextk pages advance from the start row") {
     val out = script("open nation", "nextk nation-1 n_name 3", "quit")
     val firstPage = out.linesIterator.dropWhile(!_.startsWith("n_name")).drop(1).take(3).toSeq

@@ -142,6 +142,31 @@ class VectorExprsSpec extends SparkSpec {
     assert(got(3) == Seq(0, 1), "finite vector unaffected")
   }
 
+  test("validation failures name the function: negative nprobe, NULL matrices, oversized vector") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val one = Seq(Tuple1(Array(0.5f, 0.5f))).toDF("v")
+    // nprobe < 0 → typed analysis failure, not NegativeArraySizeException
+    val eNeg = intercept[Exception] {
+      one.select(VectorExprs.nearestCentroids(col("v"), Seq(Seq(0.0, 0.0)), -1)).collect()
+    }
+    assert(eNeg.getMessage.contains("nprobe must be >= 0"), eNeg.getMessage)
+    // foldable-but-NULL matrix → typed failure naming the function, not NPE
+    val eNullC = intercept[Exception] {
+      one.selectExpr("graft_nearest_centroids(v, CAST(NULL AS ARRAY<ARRAY<DOUBLE>>), 1)").collect()
+    }
+    assert(eNullC.getMessage.contains("centroid matrix must not be NULL"), eNullC.getMessage)
+    val eNullP = intercept[Exception] {
+      one.selectExpr("graft_hyperplane_sig(v, CAST(NULL AS ARRAY<ARRAY<DOUBLE>>))").collect()
+    }
+    assert(eNullP.getMessage.contains("plane matrix must not be NULL"), eNullP.getMessage)
+    // vector longer than the centroid dim → named error, not raw AIOOBE
+    val eLong = intercept[Exception] {
+      one.select(VectorExprs.nearestCentroids(col("v"), Seq(Seq(0.0)), 1)).collect()
+    }
+    assert(eLong.getMessage.contains("exceeds centroid dimension"), eLong.getMessage)
+  }
+
   test("nearestCentroids participates in whole-stage codegen and is null-safe") {
     VectorExprs.register(spark)
     import spark.implicits._
