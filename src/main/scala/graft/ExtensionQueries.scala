@@ -163,17 +163,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ---- Multimodal frame sampling (STUB decoder, real plumbing) -----------
+    // ---- Multimodal frame sampling: REAL multi-frame GIF encode + decode ---
+    // Spark writes an animated GIF per doc (4 solid indexed frames) and
+    // decodes every frame back; the oracle predicts the decoder's output
+    // from doc_id alone, so the hash certifies the codec round trip.
     Q("multimodal_frames",
-      """SELECT doc_id, frame_no,
-        |md5(substring(text, CAST(trunc(frame_no * (strlen(text) / 4.0)) AS INTEGER) + 1, 16)) AS frame_hash
+      """SELECT doc_id, f.frame_no,
+        |CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS height,
+        |CAST((doc_id * 5 + f.frame_no * 31) % 256 AS DOUBLE) AS mean_grey
         |FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) f(frame_no)
         |ORDER BY doc_id, frame_no""".stripMargin) {
       (s, d) =>
-        val assets = Multimodal.toAsset(t(s, d, "documents"), "doc_id", "text", "text/plain")
-        Multimodal.fakeFrameSample(assets, "doc_id")
-          .select(col("doc_id"), col("frame_no"),
-            md5(col("frame_bytes").cast("string")).as("frame_hash"))
+        val gifs = Multimodal.synthesizeGif(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", frames = 4)
+        val assets = Multimodal.toAsset(gifs, "doc_id", "gif", "image/gif")
+        Multimodal.frameFeatures(assets, "doc_id")
           .orderBy(col("doc_id"), col("frame_no"))
     },
 
@@ -271,15 +276,42 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ---- Multimodal binary plumbing (bytes + hash; decode is STUBbed) ------
+    // ---- Multimodal decode: REAL PNG encode + javax.imageio decode ---------
+    // Each doc gets a deterministic solid-colour PNG; Spark decodes it to
+    // (width, height, channel means) with the real codec, and the oracle
+    // computes the same values in closed form from doc_id — a stub decoder
+    // could not reproduce them.
     Q("multimodal_features",
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |md5(text) AS content_hash
+      """SELECT doc_id,
+        |CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS height,
+        |CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        val assets = Multimodal.toAsset(t(s, d, "documents"), "doc_id", "text", "text/plain")
-        Multimodal.fakeDecodeFeatures(assets, "doc_id")
-          .select(col("doc_id"), col("n_bytes"), col("content_hash"))
+        val pngs = Multimodal.synthesizePng(
+          t(s, d, "documents").select(col("doc_id")), "doc_id")
+        val assets = Multimodal.toAsset(pngs, "doc_id", "png", "image/png")
+        Multimodal.decodeFeatures(assets, "doc_id")
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Multimodal resize: REAL Graphics2D bilinear scale + re-decode -----
+    // Bilinear interpolation of a constant image is the same constant, so
+    // the resized means must equal the originals at the new 5×4 geometry.
+    Q("multimodal_resize",
+      """SELECT doc_id,
+        |CAST(5 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val pngs = Multimodal.synthesizePng(
+          t(s, d, "documents").select(col("doc_id")), "doc_id")
+        val assets = Multimodal.toAsset(pngs, "doc_id", "png", "image/png")
+        Multimodal.resizeFeatures(assets, "doc_id", tw = 5, th = 4)
           .orderBy(col("doc_id"))
     },
 

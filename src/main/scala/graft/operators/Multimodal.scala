@@ -1,20 +1,39 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (north-star extension): treat image/audio/
+/** Multimodal-column operators (north-star extension): treat image/audio/
   * video payloads as opaque `binary` columns with typed metadata, and run
-  * decode / feature-extraction / frame-sampling as batch functions over
-  * them.
+  * decode / feature-extraction / resize / frame-sampling over them with a
+  * REAL pure-JDK codec ([[ImageCodec]] — `javax.imageio` PNG/BMP/GIF +
+  * `Graphics2D` scaling; no external library).
   *
-  * The Spark-side plumbing — schema, batching, partition-parallel feature
-  * extraction, join-back — is real and tested. The codec itself is a
-  * clearly-marked deterministic STUB (`fakeDecode*`): this container has no
-  * image/audio libraries, so the stub derives "features" from the bytes
-  * (lengths, hashes, sampled byte windows) with the exact call shape a real
-  * decoder batch function would have.
+  * The fixture has no image column, so `synthesizePng`/`synthesizeGif`
+  * derive a deterministic image per row from the id (solid colours whose
+  * dimensions and channel values are closed-form functions of the id).
+  * That makes the REAL encode→decode→feature path oracle-checkable: DuckDB
+  * predicts the decoder's output from the id alone, so a hash match
+  * certifies the whole codec round trip, not a stub.
+  *
+  * Scale shape: every operator is a per-row JVM codec call — map-side
+  * only, embarrassingly parallel across partitions, no shuffle, nothing
+  * on the driver. At 100 TB the binary column streams through the same
+  * UDF batch-wise; the deterministic synthesis is the only fixture-ism.
   */
+/** Decoded per-asset image features (the real codec's output schema).
+  * Top-level (not nested in the object): whole-stage codegen compiles
+  * accessor calls against this class, and Janino rejects members of a
+  * non-public enclosure — nesting it would silently drop every decode
+  * query out of codegen.
+  */
+case class ImgStats(width: Int, height: Int,
+                    mean_r: Double, mean_g: Double, mean_b: Double)
+
+/** Per-frame features of a multi-frame (animated GIF) asset. */
+case class FrameStats(frame_no: Int, width: Int, height: Int,
+                      mean_grey: Double)
+
 object Multimodal {
 
   /** Wrap a table into the canonical multimodal schema:
@@ -31,46 +50,71 @@ object Multimodal {
         map(lit("n_bytes"), octet_length(col(payloadCol).cast("binary")).cast("string"))
           .as("meta")).as("asset"))
 
-  /** STUB decode: byte length + content hash stand in for width/height/
-    * channels a real decoder would emit. Deterministic, codegen'd.
-    */
-  def fakeDecodeFeatures(df: DataFrame, idCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      octet_length(col("asset.data")).cast("long").as("n_bytes"),
-      md5(col("asset.data")).as("content_hash"),
-      // STUB: fake (w, h) derived from the hash — replace with a real
-      // decoder batch call (e.g. mapInPandas + PIL) in a full deployment.
-      (abs(xxhash64(col("asset.data"))) % 1920).cast("int").as("fake_width"),
-      (abs(xxhash64(col("asset.data"), lit(1))) % 1080).cast("int").as("fake_height"))
+  // ---- deterministic synthesis formulas (mirrored verbatim in the DuckDB
+  // oracles; keep the two in lockstep) --------------------------------------
+  //   width  = 8 + id % 9            height = 8 + (id*3) % 9
+  //   r = id % 256   g = (id*7) % 256   b = (id*13) % 256
+  //   frame grey(f)  = (id*5 + f*31) % 256
+  private def synthW(id: Long): Int = (8 + id % 9).toInt
+  private def synthH(id: Long): Int = (8 + id * 3 % 9).toInt
 
-  /** STUB resize: deterministic byte-domain downsample standing in for an
-    * image resize — keeps every k-th byte so the output length tracks the
-    * requested target (real impl: decoder + resampler batch function with
-    * this exact signature and output schema).
+  private val synthPngUdf = udf((id: Long) =>
+    ImageCodec.solidPng(synthW(id), synthH(id),
+      (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+
+  private val synthGifUdf = udf((id: Long, frames: Int) =>
+    ImageCodec.animatedGif(synthW(id), synthH(id),
+      (0 until frames).map(f => ((id * 5 + f * 31) % 256).toInt)))
+
+  /** Add a real PNG payload column (`png`) derived from the id. */
+  def synthesizePng(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("png", synthPngUdf(col(idCol)))
+
+  /** Add a real animated-GIF payload column (`gif`) with `frames` frames. */
+  def synthesizeGif(df: DataFrame, idCol: String, frames: Int = 4): DataFrame =
+    df.withColumn("gif", synthGifUdf(col(idCol), lit(frames)))
+
+  private val decodeUdf = udf((b: Array[Byte]) =>
+    ImageCodec.decodeStats(b).map {
+      case (w, h, r, g, bl) => ImgStats(w, h, r, g, bl)
+    })
+
+  private val gifFramesUdf = udf((b: Array[Byte]) =>
+    ImageCodec.gifFrameStats(b).map {
+      case (i, w, h, r, _, _) => FrameStats(i, w, h, r)
+    })
+
+  private val resizeUdf = udf((b: Array[Byte], tw: Int, th: Int) =>
+    ImageCodec.resizePng(b, tw, th))
+
+  /** REAL decode: (id, width, height, per-channel mean) per asset; an
+    * undecodable payload yields nulls, never a task failure.
     */
-  def fakeResize(df: DataFrame, idCol: String, targetBytes: Int = 64): DataFrame = {
-    // concat of BINARY substrings stays in the byte domain end to end —
-    // array_join would coerce through UTF-8 strings and corrupt any byte
-    // >= 0x80 into replacement characters
-    val sampled = concat((0 until targetBytes).map(i =>
-      expr(s"substring(data, cast($i * (octet_length(data) / $targetBytes) as int) + 1, 1)")): _*)
-    df.select(col(idCol), col("asset.data").as("data"))
+  def decodeFeatures(df: DataFrame, idCol: String,
+                     dataCol: Column = col("asset.data")): DataFrame =
+    df.select(col(idCol), decodeUdf(dataCol).as("img"))
       .select(col(idCol),
-        when(octet_length(col("data")) <= targetBytes, col("data"))
-          .otherwise(sampled).as("resized_bytes"),
-        octet_length(col("data")).cast("long").as("orig_bytes"))
-  }
+        col("img.width").as("width"), col("img.height").as("height"),
+        col("img.mean_r").as("mean_r"), col("img.mean_g").as("mean_g"),
+        col("img.mean_b").as("mean_b"))
 
-  /** STUB frame-sample: take `frames` evenly-spaced byte windows of
-    * `frameBytes` as stand-in video frames (real impl: decoder over
-    * mapPartitions with the same output schema).
+  /** REAL resize (Graphics2D bilinear onto tw×th) re-encoded as PNG. */
+  def resize(df: DataFrame, idCol: String, tw: Int, th: Int,
+             dataCol: Column = col("asset.data")): DataFrame =
+    df.select(col(idCol), resizeUdf(dataCol, lit(tw), lit(th)).as("resized_png"))
+
+  /** Resize then re-decode — the feature view of the resized asset. */
+  def resizeFeatures(df: DataFrame, idCol: String, tw: Int, th: Int,
+                     dataCol: Column = col("asset.data")): DataFrame =
+    decodeFeatures(resize(df, idCol, tw, th, dataCol), idCol, col("resized_png"))
+
+  /** REAL frame sampling: decode every frame of a multi-frame GIF asset
+    * to (id, frame_no, width, height, mean_grey).
     */
-  def fakeFrameSample(df: DataFrame, idCol: String,
-                      frames: Int = 4, frameBytes: Int = 16): DataFrame =
-    df.select(col(idCol), col("asset.data").as("data"),
-        explode(sequence(lit(0), lit(frames - 1))).as("frame_no"))
-      .select(col(idCol), col("frame_no"),
-        expr(s"substring(data, cast(frame_no * (octet_length(data) / $frames) as int) + 1, $frameBytes)")
-          .as("frame_bytes"))
+  def frameFeatures(df: DataFrame, idCol: String,
+                    dataCol: Column = col("asset.data")): DataFrame =
+    df.select(col(idCol), explode(gifFramesUdf(dataCol)).as("fr"))
+      .select(col(idCol), col("fr.frame_no").as("frame_no"),
+        col("fr.width").as("width"), col("fr.height").as("height"),
+        col("fr.mean_grey").as("mean_grey"))
 }

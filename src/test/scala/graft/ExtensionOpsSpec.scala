@@ -246,42 +246,75 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal plumbing: asset schema, features, frame samples") {
-    val assets = Multimodal.toAsset(docs, "doc_id", "text", "text/plain")
+  test("multimodal: real PNG encode -> decode round-trips dims and colours exactly") {
+    val pngs = Multimodal.synthesizePng(docs.select(col("doc_id")).limit(50), "doc_id")
+    val assets = Multimodal.toAsset(pngs, "doc_id", "png", "image/png")
     val schema = assets.schema("asset").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(schema.fieldNames.toSeq == Seq("uri", "mime", "data", "meta"))
-    val feats = Multimodal.fakeDecodeFeatures(assets, "doc_id")
-    assert(feats.filter(col("n_bytes") <= 0).count() == 0)
-    val frames = Multimodal.fakeFrameSample(assets, "doc_id", frames = 4)
-    assert(frames.count() == docs.count() * 4)
-    assert(frames.filter(octet_length(col("frame_bytes")) === 0).count() == 0)
-    val resized = Multimodal.fakeResize(assets, "doc_id", targetBytes = 32)
-    assert(resized.count() == docs.count())
-    assert(resized.filter(col("orig_bytes") > 32 &&
-      octet_length(col("resized_bytes")) =!= 32).count() == 0,
-      "large payloads must downsample to exactly the target size")
-    assert(resized.filter(col("orig_bytes") <= 32 &&
-      octet_length(col("resized_bytes")) =!= col("orig_bytes")).count() == 0,
-      "small payloads pass through")
+    val feats = Multimodal.decodeFeatures(assets, "doc_id").collect()
+    assert(feats.length == 50)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (8 + id % 9).toInt, s"width of $id")
+      assert(r.getInt(2) == (8 + id * 3 % 9).toInt, s"height of $id")
+      assert(r.getDouble(3) == (id % 256).toDouble, s"mean_r of $id")
+      assert(r.getDouble(4) == (id * 7 % 256).toDouble, s"mean_g of $id")
+      assert(r.getDouble(5) == (id * 13 % 256).toDouble, s"mean_b of $id")
+    }
   }
 
-  test("resize preserves non-ASCII bytes exactly") {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val payload = Array.tabulate(100)(i => (i * 37 + 128).toByte) // high bytes
-    val raw = spark.createDataFrame(
-      java.util.Arrays.asList(Row(1L, payload)),
-      StructType(Seq(StructField("doc_id", LongType), StructField("data", BinaryType))))
-    val assets = raw.select(col("doc_id"),
-      struct(lit("mem://1").as("uri"), lit("application/octet-stream").as("mime"),
-        col("data").as("data"),
-        org.apache.spark.sql.functions.map().as("meta")).as("asset"))
-    val out = Multimodal.fakeResize(assets, "doc_id", targetBytes = 16)
-      .head().getAs[Array[Byte]]("resized_bytes")
-    assert(out.length == 16)
-    out.zipWithIndex.foreach { case (b, i) =>
-      val src = (i * (100 / 16.0)).toInt // fractional stride, truncated
-      assert(b == payload(src), s"byte $i corrupted: $b vs ${payload(src)}")
+  test("multimodal: real Graphics2D resize preserves solid colours at the new geometry") {
+    val pngs = Multimodal.synthesizePng(docs.select(col("doc_id")).limit(20), "doc_id")
+    val assets = Multimodal.toAsset(pngs, "doc_id", "png", "image/png")
+    val out = Multimodal.resizeFeatures(assets, "doc_id", tw = 3, th = 7).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 3 && r.getInt(2) == 7, s"resized dims of $id")
+      assert(r.getDouble(3) == (id % 256).toDouble, s"resized mean_r of $id")
     }
+  }
+
+  test("multimodal: real multi-frame GIF decode returns every frame's exact grey") {
+    val gifs = Multimodal.synthesizeGif(docs.select(col("doc_id")).limit(20), "doc_id", frames = 3)
+    val assets = Multimodal.toAsset(gifs, "doc_id", "gif", "image/gif")
+    val frames = Multimodal.frameFeatures(assets, "doc_id").collect()
+    assert(frames.length == 60, "3 frames per doc")
+    frames.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getInt(1)
+      assert(r.getInt(2) == (8 + id % 9).toInt && r.getInt(3) == (8 + id * 3 % 9).toInt)
+      assert(r.getDouble(4) == ((id * 5 + f * 31) % 256).toDouble,
+        s"frame $f grey of doc $id")
+    }
+  }
+
+  test("multimodal: gradient image resize is a real resample, not a crop") {
+    // non-constant image: mean is preserved ~exactly under downscale (the
+    // bilinear kernel is an averaging filter), while a crop would skew it
+    val w = 16; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 16) min 255 // horizontal gradient 0..240
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val resized = ImageCodec.resizePng(bos.toByteArray, 8, 8)
+    val Some((rw, rh, mr, _, _)) = ImageCodec.decodeStats(resized)
+    assert(rw == 8 && rh == 8)
+    assert(math.abs(mr - 120.0) < 16.0, s"gradient mean drifted: $mr (crop would give ~56 or ~184)")
+  }
+
+  test("multimodal: undecodable and null payloads yield null features, not task failures") {
+    import spark.implicits._
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")), (2L, null))
+      .toDF("doc_id", "png")
+    val assets = Multimodal.toAsset(junk, "doc_id", "png", "image/png")
+    val feats = Multimodal.decodeFeatures(assets, "doc_id").collect()
+    assert(feats.length == 2)
+    assert(feats.forall(_.isNullAt(1)), "undecodable bytes must decode to null width")
+    val frames = Multimodal.frameFeatures(assets, "doc_id").collect()
+    assert(frames.isEmpty, "undecodable GIF explodes to zero frames")
   }
 }
