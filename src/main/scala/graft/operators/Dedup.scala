@@ -162,6 +162,39 @@ object Dedup {
                  n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,
                  threshold: Double = 0.5, seed: Long = 42L,
                  scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    val (docs, cand) = lshStages(df, idCol, textCol, n, bands, rowsPerBand, seed, scope)
+    // exact intersection size via the built-in array_intersect (codegen'd;
+    // no UDF in the plan) — `ids` arrays are distinct by construction
+    // (shingleSet emits distinct shingles), so no-dedup-ambiguity applies
+    cand
+      .join(docs.select(col(idCol).as("d1"), col("ids").as("ids1")), Seq("d1"))
+      .join(docs.select(col(idCol).as("d2"), col("ids").as("ids2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("ids1"), col("ids2"))).as("i"),
+        size(col("ids1")).as("n1"), size(col("ids2")).as("n2"))
+      .select(col("d1"), col("d2"),
+        (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** The LSH candidate stage alone — (d1, d2) pairs whose band signatures
+    * collide at least once, BEFORE exact verification. Exposed so the
+    * scaling spec can measure candidate growth empirically (the 100 TB
+    * claim is precisely that this set grows ~linearly with the corpus
+    * while the all-pairs set grows quadratically).
+    */
+  def minHashLSHCandidates(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,
+                           seed: Long = 42L,
+                           scope: graft.CacheScope = graft.CacheScope.session): DataFrame =
+    lshStages(df, idCol, textCol, n, bands, rowsPerBand, seed, scope)._2
+
+  /** Shared LSH pipeline prefix: per-doc sorted shingle-hash arrays and
+    * the band-collision candidate pairs over them.
+    */
+  private def lshStages(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int, seed: Long,
+                        scope: graft.CacheScope): (DataFrame, DataFrame) = {
     val docs = scope.pin(TextOps.shingleSet(df, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(xxhash64(col("sh")))).as("ids")))
@@ -180,18 +213,7 @@ object Dedup {
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"))
       .distinct()
-    // exact intersection size via the built-in array_intersect (codegen'd;
-    // no UDF in the plan) — `ids` arrays are distinct by construction
-    // (shingleSet emits distinct shingles), so no-dedup-ambiguity applies
-    cand
-      .join(docs.select(col(idCol).as("d1"), col("ids").as("ids1")), Seq("d1"))
-      .join(docs.select(col(idCol).as("d2"), col("ids").as("ids2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("ids1"), col("ids2"))).as("i"),
-        size(col("ids1")).as("n1"), size(col("ids2")).as("n2"))
-      .select(col("d1"), col("d2"),
-        (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i"))).as("jacc"))
-      .filter(col("jacc") >= threshold)
+    (docs, cand)
   }
 
   /** SimHash fingerprints: one 64-bit fingerprint per doc (mergeable
