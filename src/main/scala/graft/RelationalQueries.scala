@@ -29,8 +29,12 @@ object RelationalQueries {
          |  GROUP BY 1, 2)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
       (s, d) =>
-        val li = t(s, d, "lineitem")
+        // prune + spread: the 5-dsum partial aggregation is the whole cost,
+        // and a single-row-group scan would serialize it on one task
+        val li = Det.spread(t(s, d, "lineitem")
           .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")))
         val g = li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
           Det.dsum(col("l_quantity")).as("sum_qty"),
           Det.dsum(col("l_extendedprice")).as("sum_base_price"),
