@@ -15,6 +15,25 @@ import graft.QueryDefs._
   */
 object EventQueries {
 
+  // Per-process replay dirs are deleted on JVM exit: the pid key prevents
+  // cross-process races, but without cleanup every harness run would
+  // leave two parquet copies in tmp (the old shared-dir scheme was
+  // bounded; pid-keyed dirs must bound themselves).
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private def deleteDirOnExit(dir: java.nio.file.Path): Unit =
+    if (cleanupRegistered.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.Files
+        if (Files.exists(dir)) {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }))
+
   private val tumblingOracle =
     s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
        |event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
@@ -49,6 +68,7 @@ object EventQueries {
         val dir = Paths.get(sys.props("java.io.tmpdir"),
           s"graft_stream_dedup_${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}")
         Files.createDirectories(dir)
+        deleteDirOnExit(dir)
         val src = Paths.get(d, "events.parquet")
         Files.copy(src, dir.resolve("replay_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
         Files.copy(src, dir.resolve("replay_b.parquet"), StandardCopyOption.REPLACE_EXISTING)

@@ -156,7 +156,8 @@ object Dedup {
     * rehash lambda — no second shuffle of shingles); candidates come from
     * the band-bucket self-join; verification joins only the (small)
     * candidate set back to the per-doc arrays and counts the exact
-    * intersection with a linear merge.
+    * intersection with the codegen'd built-in `array_intersect` (the
+    * arrays are distinct by construction).
     */
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,

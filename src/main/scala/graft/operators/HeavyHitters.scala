@@ -122,6 +122,12 @@ object HeavyHitters {
       .select(explode(map_keys(col("mg"))).as("cand"))
       .collect() // ≤ k candidate tuples — sketch-sized by contract
       .map(_.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+      // a NULL key part is SKIPPED by the string rendering (concat_ws), so
+      // its candidate splits into fewer parts than keys.size — such tuples
+      // cannot be probed through the rendering (and could never equi-match
+      // a struct literal anyway); drop them instead of building a
+      // mismatched-arity struct literal that fails analysis
+      .filter(_.length == keys.size)
       .toSeq
     val exact = exactProbeTuples(df, keys, cands)
     filterToHeavy(df, keys, exact.filter(col("cnt") >= minCount), keep = true)

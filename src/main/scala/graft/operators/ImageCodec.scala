@@ -51,7 +51,10 @@ object ImageCodec {
     */
   def decodeStats(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
     if (bytes == null) return None
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    // ImageIO returns null for an UNRECOGNIZED format but THROWS
+    // IIOException for a recognized-but-corrupt payload (e.g. truncated
+    // PNG) — both must yield None, not a task failure
+    val img = decodeQuietly(bytes)
     if (img == null) None else Some(stats(img))
   }
 
@@ -61,7 +64,7 @@ object ImageCodec {
     */
   def resizePng(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     if (bytes == null) return null
-    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    val src = decodeQuietly(bytes)
     if (src == null) return null
     val dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
     val g2 = dst.createGraphics()
@@ -118,11 +121,22 @@ object ImageCodec {
         val (w, h, mr, mg, mb) = stats(reader.read(i))
         (i, w, h, mr, mg, mb)
       }
+    } catch {
+      // a recognized-but-corrupt payload throws mid-read (IIOException);
+      // corrupt assets yield no frames, never a task failure
+      case scala.util.control.NonFatal(_) => Seq.empty
     } finally {
       reader.dispose()
       iis.close()
     }
   }
+
+  /** `ImageIO.read` that treats a recognized-but-corrupt payload
+    * (IIOException mid-decode) the same as an unrecognized one: null.
+    */
+  private def decodeQuietly(bytes: Array[Byte]): BufferedImage =
+    try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
 
   private def toPngBytes(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

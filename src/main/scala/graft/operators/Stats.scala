@@ -67,9 +67,11 @@ object Stats {
   def correlation(df0: DataFrame, xName: String, yName: String): DataFrame = {
     val x = col(xName).cast("double")
     val y = col(yName).cast("double")
+    // distinct: correlation(df, c, c) is legal, and selecting the same
+    // column twice would make every later col(c) reference ambiguous
     val df = Det.spread(
       df0.filter(col(xName).isNotNull && col(yName).isNotNull)
-        .select(col(xName), col(yName)))
+        .select(Seq(xName, yName).distinct.map(col): _*))
     val m = df.agg(
       count(lit(1)).as("n"),
       Det.dsum(x).as("sx"), Det.dsum(y).as("sy"),

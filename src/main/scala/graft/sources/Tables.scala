@@ -40,20 +40,28 @@ object Tables {
       spark.read.parquet(s"$sfDir/$other.parquet")
   }
 
-  // Last sfDir registered per session (reference-keyed: SparkSession does
-  // not override equals). Re-registering the same dir is a no-op; switching
-  // dirs re-registers so views never point at a stale scale factor.
-  private val registeredDir = scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+  // Last sfDir registered per session. WEAK keys (SparkSession does not
+  // override equals, so identity semantics hold): a stopped/discarded
+  // session must not be pinned in memory by this memo forever.
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String])
 
   /** Register every fixture table as a temp view so `spark.sql` works.
     * Memoized per (session, sfDir): repeated calls — e.g. every
     * `sql_interface` invocation — skip re-opening all the tables.
+    * Switching dirs re-registers (views must never point at a stale scale
+    * factor), and the memo only short-circuits while every fixture view
+    * still exists — an external dropTempView invalidates it.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (!registeredDir.get(spark).contains(sfDir)) {
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val fresh = registeredDir.get(spark) == sfDir &&
+      allTables.forall(spark.catalog.tableExists)
+    if (!fresh) {
       allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
-      registeredDir(spark) = sfDir
+      registeredDir.put(spark, sfDir)
     }
+  }
 
   // Worker-side table cache (`ref:P/dataset/LocalDataSet.java` keeps loaded
   // columns resident; `manage` purges them). Keyed by (sfDir, table);

@@ -308,11 +308,16 @@ class ExtensionOpsSpec extends SparkSpec {
 
   test("multimodal: undecodable and null payloads yield null features, not task failures") {
     import spark.implicits._
-    val junk = Seq((1L, "not an image".getBytes("UTF-8")), (2L, null))
+    // a TRUNCATED png is the nasty case: ImageIO recognizes the magic
+    // header, then throws IIOException mid-decode (unlike garbage bytes,
+    // where read() just returns null)
+    val truncated = ImageCodec.solidPng(12, 12, 10, 20, 30).take(40)
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")), (2L, null),
+        (3L, truncated))
       .toDF("doc_id", "png")
     val assets = Multimodal.toAsset(junk, "doc_id", "png", "image/png")
     val feats = Multimodal.decodeFeatures(assets, "doc_id").collect()
-    assert(feats.length == 2)
+    assert(feats.length == 3)
     assert(feats.forall(_.isNullAt(1)), "undecodable bytes must decode to null width")
     val frames = Multimodal.frameFeatures(assets, "doc_id").collect()
     assert(frames.isEmpty, "undecodable GIF explodes to zero frames")
