@@ -54,6 +54,49 @@ object SourceQueries {
           .orderBy(col("o_orderstatus").asc_nulls_first)
     },
 
+    // ---- binaryFile: real file-per-asset multimodal ingestion --------------
+    // One REAL .png file per selected doc is written by a distributed job,
+    // then re-ingested through Spark's binaryFile source and decoded with
+    // the real codec; the oracle predicts the decoded features in closed
+    // form from the doc_id parsed out of each file NAME — certifying
+    // listing, scan, and decode end to end.
+    Q("source_binaryfile_decode",
+      """SELECT doc_id,
+        |CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS height,
+        |CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "png_files")
+        val dirPath = java.nio.file.Paths.get(out)
+        java.nio.file.Files.createDirectories(dirPath)
+        // clear stale files: a leftover .png from an older run would
+        // pollute the glob scan with rows the oracle doesn't predict
+        val listing = java.nio.file.Files.list(dirPath)
+        try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally listing.close()
+        val pngs = graft.operators.Multimodal.synthesizePng(
+          t(s, d, "documents").select(col("doc_id")).filter(col("doc_id") % 5 === 0),
+          "doc_id")
+        // fixture synthesis: write <doc_id>.png per row, task-parallel
+        pngs.select(col("doc_id"), col("png")).foreachPartition {
+          rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, s"${r.getLong(0)}.png"),
+                r.getAs[Array[Byte]](1))
+            }
+        }
+        val files = Tables.binaryFiles(s, s"$out/*.png")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.png$", 1).cast("long").as("doc_id"),
+            col("content"))
+        graft.operators.Multimodal.decodeFeatures(files, "doc_id", col("content"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- ORC round trip ----------------------------------------------------
     Q("source_orc_roundtrip",
       s"""SELECT p_brand, COUNT(*) AS cnt, ${sqlDsum("p_retailprice")} AS sum_price

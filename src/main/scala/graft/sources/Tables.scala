@@ -101,6 +101,15 @@ object Tables {
   def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
   def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
+  /** Ingest raw binary assets (images/audio/video files) as one row per
+    * file — Spark's built-in `binaryFile` source: (path, modificationTime,
+    * length, content). THE ingestion path for multimodal corpora at scale:
+    * files scan distributed (one task per split of the listing), and
+    * path/length predicates push down to skip reading content entirely.
+    */
+  def binaryFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+
   def jdbc(spark: SparkSession, url: String, table: String,
            props: java.util.Properties = new java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
