@@ -54,6 +54,23 @@ object SourceQueries {
           .orderBy(col("o_orderstatus").asc_nulls_first)
     },
 
+    // ---- text lines (log-file shape): write -> line scan round trip --------
+    // The corpus is written as plain text (one doc per line — the fixture
+    // has no embedded newlines) and re-ingested with the line source; the
+    // oracle aggregates the ORIGINAL table, so a hash match proves the
+    // line round trip is lossless including tokenization.
+    Q("source_text_roundtrip",
+      """SELECT COUNT(*) AS n_lines,
+        |CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "documents_text")
+        t(s, d, "documents").select(col("text")).write.mode("overwrite").text(out)
+        Tables.textLines(s, out)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(size(split(trim(col("value")), "\\s+"))).cast("long").as("n_tokens"))
+    },
+
     // ---- binaryFile: real file-per-asset multimodal ingestion --------------
     // One REAL .png file per selected doc is written by a distributed job,
     // then re-ingested through Spark's binaryFile source and decoded with

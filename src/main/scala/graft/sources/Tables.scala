@@ -101,6 +101,12 @@ object Tables {
   def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
   def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
+  /** Line-oriented text source (log-file shape): one row per line,
+    * column `value`.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Ingest raw binary assets (images/audio/video files) as one row per
     * file — Spark's built-in `binaryFile` source: (path, modificationTime,
     * length, content). THE ingestion path for multimodal corpora at scale:

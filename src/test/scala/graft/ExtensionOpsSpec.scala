@@ -289,6 +289,23 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("ImageCodec edges: randomized colour round trips, upscale, 1-frame GIF") {
+    val rnd = new scala.util.Random(11L)
+    (1 to 25).foreach { _ =>
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val (r, g, b) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+      val Some((dw, dh, mr, mg, mb)) =
+        ImageCodec.decodeStats(ImageCodec.solidPng(w, h, r, g, b))
+      assert((dw, dh, mr, mg, mb) == (w, h, r.toDouble, g.toDouble, b.toDouble))
+    }
+    // upscale keeps solid colour exact too (interpolating a constant)
+    val up = ImageCodec.resizePng(ImageCodec.solidPng(2, 2, 7, 8, 9), 31, 17)
+    assert(ImageCodec.decodeStats(up).contains((31, 17, 7.0, 8.0, 9.0)))
+    // single-frame GIF is a legal animation
+    val one = ImageCodec.animatedGif(5, 5, Seq(123))
+    assert(ImageCodec.gifFrameStats(one) == Seq((0, 5, 5, 123.0, 123.0, 123.0)))
+  }
+
   test("multimodal: gradient image resize is a real resample, not a crop") {
     // non-constant image: mean is preserved ~exactly under downscale (the
     // bilinear kernel is an averaging filter), while a crop would skew it
