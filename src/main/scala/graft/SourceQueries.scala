@@ -20,9 +20,29 @@ import graft.operators.Det
   */
 object SourceQueries {
 
-  /** Per-sf scratch dir so sf0.01 verify and sf0.1 bench don't collide. */
+  // Per-PROCESS scratch root: two concurrent harness processes on the same
+  // sf dir must never overwrite each other's round-trip files mid-scan
+  // (the same race the stream-replay dirs defend against). Deleted on JVM
+  // exit so repeated runs don't accumulate copies in tmp.
+  private lazy val procRoot: String = {
+    val root = s"/tmp/graft_io/p${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }))
+    root
+  }
+
+  /** Per-(process, sf) scratch dir: sf0.01 verify and sf0.1 bench don't
+    * collide, and neither do concurrent processes.
+    */
   private def ioDir(sfDir: String, leaf: String): String =
-    s"/tmp/graft_io/${new java.io.File(sfDir).getName}/$leaf"
+    s"$procRoot/${new java.io.File(sfDir).getName}/$leaf"
 
   val all: Seq[Q] = Seq(
 
@@ -110,8 +130,11 @@ object SourceQueries {
           .select(
             regexp_extract(col("path"), "([0-9]+)\\.png$", 1).cast("long").as("doc_id"),
             col("content"))
-        graft.operators.Multimodal.decodeFeatures(files, "doc_id", col("content"))
-          .orderBy(col("doc_id"))
+        // sortSmall: a plain orderBy's range-sampling job would re-list
+        // and re-decode every file a second time
+        sortSmall(
+          graft.operators.Multimodal.decodeFeatures(files, "doc_id", col("content")),
+          col("doc_id"))
     },
 
     // ---- ORC round trip ----------------------------------------------------

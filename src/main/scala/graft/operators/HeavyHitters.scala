@@ -123,11 +123,19 @@ object HeavyHitters {
       .collect() // ≤ k candidate tuples — sketch-sized by contract
       .map(_.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq)
       // a NULL key part is SKIPPED by the string rendering (concat_ws), so
-      // its candidate splits into fewer parts than keys.size — such tuples
+      // its candidate splits into FEWER parts than keys.size — such tuples
       // cannot be probed through the rendering (and could never equi-match
       // a struct literal anyway); drop them instead of building a
-      // mismatched-arity struct literal that fails analysis
-      .filter(_.length == keys.size)
+      // mismatched-arity struct literal that fails analysis. MORE parts
+      // than keys.size means a key VALUE contains the separator — fail
+      // loudly rather than silently dropping a possibly-heavy tuple
+      .filter { parts =>
+        require(parts.length <= keys.size,
+          s"twoPhase: a sketched key value contains the separator " +
+            s"(candidate splits into ${parts.length} parts for ${keys.size} " +
+            s"keys) — pass a `sep` absent from the data")
+        parts.length == keys.size
+      }
       .toSeq
     val exact = exactProbeTuples(df, keys, cands)
     filterToHeavy(df, keys, exact.filter(col("cnt") >= minCount), keep = true)

@@ -55,8 +55,14 @@ object Tables {
     * still exists — an external dropTempView invalidates it.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val fresh = registeredDir.get(spark) == sfDir &&
-      allTables.forall(spark.catalog.tableExists)
+    // the probe must be TEMP-VIEW-specific: plain tableExists also matches
+    // a same-named permanent table, which would keep the memo "fresh"
+    // after a dropTempView and silently resolve queries against the
+    // permanent table's data
+    def tempViewExists(n: String): Boolean =
+      try spark.catalog.getTable(n).isTemporary
+      catch { case scala.util.control.NonFatal(_) => false }
+    val fresh = registeredDir.get(spark) == sfDir && allTables.forall(tempViewExists)
     if (!fresh) {
       allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
       registeredDir.put(spark, sfDir)
