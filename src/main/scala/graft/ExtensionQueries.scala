@@ -82,8 +82,23 @@ object ExtensionQueries {
         col("d1"), col("d2"))
     },
 
-    // ---- MinHash + LSH near-dup (scale path; verified vs exact in tests) ---
-    Q.noOracle("dedup_minhash_lsh") {
+    // ---- MinHash + LSH near-dup (scale path) -------------------------------
+    // Oracle-checked against the EXACT pair SQL: LSH verifies exact Jaccard
+    // on candidates, so lsh ⊆ exact always, and recall on the fixture is
+    // 1.0 (8×4 bands at j≥0.97 planted pairs — the LSH≡exact parity test
+    // in ExtensionOpsSpec pins it). Like pipeline_clean_corpus, a failure
+    // here can mean LSH RECALL drifted (fixture/band change), not logic.
+    Q("dedup_minhash_lsh",
+      s"""WITH bg AS ($sqlBigrams),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+         |  FROM bg x JOIN bg y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(j, 6) AS jacc FROM (
+         |  SELECT d1, d2, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
+         |  FROM inter JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2)
+         |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin) {
       (s, d) => sortSmall(
         Dedup.minHashLSH(t(s, d, "documents"), "doc_id", "text")
           .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc")),
