@@ -105,6 +105,32 @@ object ExtensionQueries {
         col("d1"), col("d2"))
     },
 
+    // ---- Decontamination: train/eval n-gram overlap ------------------------
+    // Split the corpus into train (even ids) and a benchmark-like eval set
+    // (odd ids); a train doc sharing >= 10 distinct word trigrams with any
+    // eval doc is flagged as contaminated. The eval shingle set broadcasts;
+    // train shingles never shuffle.
+    Q("pipeline_decontaminate",
+      """WITH tg AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |      i -> list_extract(string_split_regex(trim(text), '\s+'), i) || ' ' ||
+        |           list_extract(string_split_regex(trim(text), '\s+'), i+1) || ' ' ||
+        |           list_extract(string_split_regex(trim(text), '\s+'), i+2))) AS sh
+        |    FROM documents)),
+        |ev AS (SELECT DISTINCT sh FROM tg WHERE doc_id % 2 = 1)
+        |SELECT t.doc_id, COUNT(*) AS n_hits FROM tg t JOIN ev ON t.sh = ev.sh
+        |WHERE t.doc_id % 2 = 0 GROUP BY 1 HAVING COUNT(*) >= 10
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        Dedup.contamination(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, minHits = 10)
+          .orderBy(col("doc_id"))
+    },
+
     // ---- SimHash near-dup (Hamming ≤ 10) -----------------------------------
     Q.noOracle("dedup_simhash") {
       (s, d) => sortSmall(

@@ -30,6 +30,29 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Train/eval contamination check — the decontamination pass of a
+    * training-data pipeline: flag training docs that share at least
+    * `minHits` distinct n-gram shingles with ANY document of the eval
+    * (benchmark) set, i.e. likely benchmark leakage.
+    *
+    * Scale shape: the eval side is benchmark-sized — tiny next to a
+    * 100 TB train corpus — so its distinct shingle set BROADCASTS; the
+    * train side is scanned once and filtered map-side against the
+    * broadcast hash set (no shuffle of train shingles at all). The only
+    * shuffle is the per-flagged-doc hit count: (id, partialCount) pairs
+    * for docs with ≥1 hit.
+    */
+  def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
+    val trainSh = TextOps.shingleSet(train, idCol, textCol, n)
+    val evalSh = TextOps.shingleSet(evalSet, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    trainSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** All-pairs exact n-gram Jaccard ≥ `threshold` — prefix-filtered
     * set-similarity join (same results as a naive shared-shingle join,
     * without its quadratic blowup on common shingles).

@@ -134,6 +134,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"zero-norm vector must pair with nothing: $pairs")
   }
 
+  test("contamination flags planted leakage, spares disjoint vocab, broadcasts eval") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // copied into eval → leaked
+      (2L, "qq ww ee rr tt yy uu ii")              // disjoint vocab → clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta"), // verbatim benchmark doc
+      (102L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, eval, "doc_id", "text", n = 3, minHits = 1)
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares all 4 distinct trigrams of the copied text; doc 2 none
+    assert(flagged == Map(1L -> 4L), flagged.toString)
+    // scale shape: the eval shingle set must broadcast (no shuffle of the
+    // train side beyond the final per-doc count)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = Dedup.exact(docs, "doc_id", "text")
       .agg(sum("n_copies")).head.getLong(0)
