@@ -223,6 +223,50 @@ object ExtensionQueries {
           .orderBy(col("doc_id"), col("frame_no"))
     },
 
+    // ---- Context-window chunking (size 64, overlap 16) ---------------------
+    // chunk i covers tokens [i*48+1 .. i*48+64]; the hash certifies chunk
+    // content without shipping text. All map-side (split once, one explode).
+    Q("text_chunk",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |         greatest(CAST(floor((len(t) - 16 + 47) / 48.0) AS INTEGER), 1) AS n_chunks
+        |  FROM toks)
+        |SELECT doc_id, CAST(c.chunk_no AS INTEGER) AS chunk_no,
+        |       CAST(len(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64), ' ')) AS chunk_hash
+        |FROM n CROSS JOIN UNNEST(range(0, n_chunks)) AS c(chunk_no)
+        |ORDER BY doc_id, chunk_no""".stripMargin) {
+      (s, d) => TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
+        .orderBy(col("doc_id"), col("chunk_no"))
+    },
+
+    // ---- PII redaction (emails / phones / IPs -> typed placeholders) -------
+    // The fixture text has no PII, so each doc gets a deterministic planted
+    // suffix (email + ip + phone derived from doc_id); both engines plant
+    // and redact identically, so the hash certifies the scrubbing itself.
+    Q("text_redact_pii",
+      """SELECT doc_id, md5(
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.1 call 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199',
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".1 call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199"))
+        t(s, d, "documents")
+          .select(col("doc_id"), md5(TextOps.redactPii(planted)).as("redacted_hash"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Corpus term frequencies (top 20) ----------------------------------
     Q("text_term_freq",
       """SELECT term, COUNT(*) AS cnt FROM (

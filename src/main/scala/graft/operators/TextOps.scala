@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over a document corpus (north-star extension,
@@ -181,6 +181,57 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fp"), min(col("wm")).as("min_fp"))
   }
+
+  /** Fixed-size token chunking with overlap — context-window packing
+    * prep for a training pipeline: chunk i of a doc covers tokens
+    * [i·step+1 .. i·step+size] (1-based, step = size−overlap), the last
+    * chunk may be short, and every token belongs to ≥ 1 chunk. Output:
+    * (id, chunk_no, n_chunk_tokens, chunk_hash) — the hash (md5 of the
+    * space-joined tokens) certifies content without shipping the text.
+    *
+    * All map-side: token split once per doc (named column, not inlined
+    * into the lambda), one explode, no shuffle.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val step = size - overlap
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // nChunks = ceil(max(n - overlap, 1) / step): the last chunk starts at
+    // (nChunks-1)·step < n - overlap + step, so it always has ≥ 1 token
+    val n = functions.size(col("__toks"))
+    // Column./ is DOUBLE division — floor() restores the integral ceil-div
+    val nChunks = greatest(
+      floor((n - lit(overlap) + lit(step - 1)) / lit(step)).cast("int"), lit(1))
+    withToks
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_no"))
+      .select(col(idCol), col("chunk_no"),
+        slice(col("__toks"), col("chunk_no") * lit(step) + lit(1), lit(size)).as("__chunk"))
+      .select(col(idCol), col("chunk_no"),
+        functions.size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
+  // PII patterns shared with the DuckDB oracle — deliberately restricted
+  // to syntax Java regex and RE2 interpret identically (char classes,
+  // bounded quantifiers, \b, \d; no backreferences or lookaround).
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing (training-data redaction): emails, NANP-style phone
+    * numbers, and dotted-quad IPs → typed placeholders. A pure
+    * regexp_replace chain — codegen'd, map-side, no shuffle. Email runs
+    * first (its pattern can span digits the narrower patterns would
+    * partially consume).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
 
   /** Karp-Rabin rolling-hash winnowing fingerprint (local library form
     * for driver-side strings; same scheme as `winnowFingerprints` over a

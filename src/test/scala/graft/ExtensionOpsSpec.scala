@@ -154,6 +154,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
   }
 
+  test("chunkTokens equals the sequential model on randomized lengths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    // lengths straddling every boundary: < overlap, = size, size+1, multiples
+    val lens = Seq(1, 15, 16, 17, 48, 63, 64, 65, 96, 97, 112, 113, 160) ++
+      Seq.fill(20)(1 + rnd.nextInt(200))
+    val docs = lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (0 until len).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = operators.TextOps.chunkTokens(df, "doc_id", "text", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def model(tokens: Seq[String]): Seq[(Int, Int)] = {
+      val n = tokens.length
+      val nChunks = math.max(math.ceil((n - 16).toDouble / 48).toInt, 1)
+      (0 until nChunks).map(i => i -> tokens.slice(i * 48, i * 48 + 64).length)
+    }
+    docs.foreach { case (id, text) =>
+      val exp = model(text.split(" ").toSeq).map { case (c, l) => (id, c) -> l.toLong }.toMap
+      val act = got.filter(_._1._1 == id)
+      assert(act == exp, s"doc $id (${text.split(" ").length} tokens): $act vs $exp")
+    }
+    // coverage: every token of every doc appears in >= 1 chunk
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val covered = got.keys.filter(_._1 == id)
+        .flatMap { case (_, c) => (c * 48) until math.min(c * 48 + 64, n) }.toSet
+      assert(covered == (0 until n).toSet, s"doc $id: uncovered tokens")
+    }
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = Dedup.exact(docs, "doc_id", "text")
       .agg(sum("n_copies")).head.getLong(0)
