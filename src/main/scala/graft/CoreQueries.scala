@@ -479,6 +479,14 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- Temperature-scaled source mixing (seeded, rows-only) --------------
+    Q.noOracle("sample_temperature") {
+      (s, d) => Sampling.temperatureMix(t(s, d, "documents"), "source",
+          temperature = 2.0, targetRows = 200L)
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("source"))
+    },
+
     // ---- CorrMatrixSketch (one cell, exact moments) ------------------------
     Q("correlation",
       """SELECT n, (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr_val

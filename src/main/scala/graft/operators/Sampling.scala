@@ -22,6 +22,30 @@ object Sampling {
                  seed: Long = 42L): DataFrame =
     df.stat.sampleBy(column, fractions, seed)
 
+  /** Temperature-scaled source mixing — the corpus-rebalancing step of a
+    * training-data pipeline: source s with n_s rows is sampled at a rate
+    * that makes its share of the output ∝ n_s^(1/T), clamped at keeping
+    * every row. T = 1 preserves natural proportions; T → ∞ flattens
+    * toward uniform shares; T < 1 sharpens toward the biggest sources.
+    *
+    * Scale shape: one count aggregation (sources are FEW — the collected
+    * table is sketch-sized), then `sampleBy`, which filters per partition
+    * with no shuffle. Seeded and deterministic per partition.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, temperature: Double,
+                     targetRows: Long, seed: Long = 42L): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val counts = df.groupBy(sourceCol).count()
+      .collect() // one row per SOURCE — sketch-sized by contract
+      .map(r => r.get(0) -> r.getLong(1))
+    val scaled = counts.map { case (k, n) => (k, n, math.pow(n.toDouble, 1.0 / temperature)) }
+    val z = scaled.map(_._3).sum
+    val fractions: Map[Any, Double] = scaled.map { case (k, n, p) =>
+      k -> math.min(1.0, targetRows * p / z / n.toDouble)
+    }.toMap
+    df.stat.sampleBy(df(sourceCol), fractions, seed)
+  }
+
   /** Resolution-aware sampling rate (paper §4.1): a histogram rendered at
     * `pixelHeight` with `buckets` bars is statistically indistinguishable
     * from exact when built on ~ c·buckets·pixelHeight² samples (Chernoff

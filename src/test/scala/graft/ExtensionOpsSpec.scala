@@ -154,6 +154,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
   }
 
+  test("temperatureMix flattens source shares as T grows") {
+    import spark.implicits._
+    // skewed corpus: 1000 / 200 / 50 rows per source
+    val rows = Seq.tabulate(1000)(i => ("big", i)) ++
+      Seq.tabulate(200)(i => ("mid", i)) ++ Seq.tabulate(50)(i => ("small", i))
+    val df = rows.toDF("src", "v")
+    def shares(t: Double): Map[String, Double] = {
+      val got = Sampling.temperatureMix(df, "src", t, targetRows = 400L)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tot = got.values.sum.toDouble
+      got.map { case (k, v) => k -> v / tot }
+    }
+    val natural = shares(1.0)
+    val flat = shares(100.0)
+    // T=1 ~ natural proportions (big:mid:small = 0.8:0.16:0.04)
+    assert(math.abs(natural("big") - 0.8) < 0.08, natural.toString)
+    // high T flattens hard: the small source's share must grow severalfold
+    // toward uniform (1/3); the big source's must shrink. Bounds leave
+    // room for sampleBy's per-partition Bernoulli noise at these counts.
+    assert(flat("small") > natural.getOrElse("small", 0.0) * 2 && flat("small") > 0.10,
+      s"$natural -> $flat")
+    assert(flat("big") < 0.55, s"high-T share still skewed: $flat")
+  }
+
   test("chunkTokens equals the sequential model on randomized lengths") {
     import spark.implicits._
     val rnd = new scala.util.Random(5L)

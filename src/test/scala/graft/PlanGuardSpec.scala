@@ -43,7 +43,8 @@ class PlanGuardSpec extends SparkSpec {
       "Lamp.scala"          -> 1,
       "Similarity.scala"    -> 2,
       "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
-      "HeavyHitters.scala"  -> 1)  // twoPhase phase 1: ≤ k MG candidates
+      "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
+      "Sampling.scala"      -> 1)  // temperatureMix: one row per source
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
