@@ -242,6 +242,39 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("chunk_no"))
     },
 
+    // ---- Sequence packing: chunks -> fixed token budgets per source --------
+    // Composition of chunkTokens and packBins: chunks pack greedily into
+    // 512-token bins WITHIN each source shard (order-defined, parallel
+    // across shards); output is per-bin fill stats.
+    Q("pipeline_pack_stats",
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, source, t,
+        |         greatest(CAST(floor((len(t) - 16 + 47) / 48.0) AS INTEGER), 1) AS n_chunks
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, source, CAST(c.chunk_no AS INTEGER) AS chunk_no,
+        |         CAST(len(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64)) AS BIGINT) AS n_chunk_tokens
+        |  FROM n CROSS JOIN UNNEST(range(0, n_chunks)) AS c(chunk_no)),
+        |r AS (
+        |  SELECT source, n_chunk_tokens,
+        |         COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_no
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM chunks)
+        |SELECT source, CAST(floor(cum_before / 512.0) AS INTEGER) AS bin,
+        |       COUNT(*) AS n_chunks, CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val chunks = TextOps.chunkTokens(docs, "doc_id", "text", 64, 16)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        TextOps.packBins(chunks, "source", Seq("doc_id", "chunk_no"), "n_chunk_tokens", 512)
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("n_tokens"))
+          .orderBy(col("source"), col("bin"))
+    },
+
     // ---- PII redaction (emails / phones / IPs -> typed placeholders) -------
     // The fixture text has no PII, so each doc gets a deterministic planted
     // suffix (email + ip + phone derived from doc_id); both engines plant

@@ -213,6 +213,28 @@ object TextOps {
         md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
   }
 
+  /** Greedy offset packing of chunks into fixed token budgets — the
+    * sequence-packing step that follows chunking in a training pipeline:
+    * within a shard, bin i holds the chunks whose PRECEDING cumulative
+    * token count falls in [i·budget, (i+1)·budget). Packing is
+    * order-defined by contract, so it is sequential WITHIN a shard (one
+    * windowed running sum) — but shards pack independently and in
+    * parallel, which is how a 100 TB corpus packs: per source/file shard,
+    * never one global order.
+    */
+  def packBins(chunks: DataFrame, shardCol: String, orderCols: Seq[String],
+               tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col).toIndexedSeq: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__cum") / lit(budget)).cast("int"))
+      .drop("__cum")
+  }
+
   // PII patterns shared with the DuckDB oracle — deliberately restricted
   // to syntax Java regex and RE2 interpret identically (char classes,
   // bounded quantifiers, \b, \d; no backreferences or lookaround).
