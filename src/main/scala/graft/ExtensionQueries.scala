@@ -46,6 +46,40 @@ object ExtensionQueries {
       |         list_extract(string_split_regex(trim(text), '\s+'), i+1))) AS sh
       |  FROM documents)""".stripMargin
 
+  /** Shared DuckDB oracle: exact bigram-Jaccard pairs at threshold 0.5 —
+    * the ONE copy serving both `dedup_jaccard` and `dedup_minhash_lsh`
+    * (a parameter drift between two copies would surface as a confusing
+    * hash mismatch in whichever query kept the stale one).
+    */
+  private val sqlExactPairs =
+    s"""WITH bg AS ($sqlBigrams),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+       |  FROM bg x JOIN bg y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, round(j, 6) AS jacc FROM (
+       |  SELECT d1, d2, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
+       |  FROM inter JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2)
+       |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin
+
+  /** Shared DuckDB chunking CTEs (size 64 / overlap 16 / step 48), the
+    * one copy serving `text_chunk` and `pipeline_pack_stats`;
+    * `extraCols` (e.g. ", source") ride along every CTE.
+    */
+  private def sqlChunks(extraCols: String): String =
+    s"""toks AS (
+       |  SELECT doc_id$extraCols, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |n AS (
+       |  SELECT doc_id$extraCols, t,
+       |         greatest(CAST(floor((len(t) - 16 + 47) / 48.0) AS INTEGER), 1) AS n_chunks
+       |  FROM toks),
+       |chunks AS (
+       |  SELECT doc_id$extraCols, CAST(c.chunk_no AS INTEGER) AS chunk_no,
+       |         CAST(len(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
+       |         md5(array_to_string(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64), ' ')) AS chunk_hash
+       |  FROM n CROSS JOIN UNNEST(range(0, n_chunks)) AS c(chunk_no))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Exact dedup (content hash) ----------------------------------------
@@ -62,17 +96,7 @@ object ExtensionQueries {
     },
 
     // ---- N-gram (bigram) Jaccard near-dup pairs, exact ---------------------
-    Q("dedup_jaccard",
-      s"""WITH bg AS ($sqlBigrams),
-         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
-         |inter AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
-         |  FROM bg x JOIN bg y ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(j, 6) AS jacc FROM (
-         |  SELECT d1, d2, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
-         |  FROM inter JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2)
-         |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin) {
+    Q("dedup_jaccard", sqlExactPairs) {
       // dense block-pair form: the fixture's ~900-bigram vocabulary defeats
       // prefix filtering (every shingle is common); ExtensionOpsSpec
       // asserts dense ≡ prefix-filtered on the same corpus
@@ -88,17 +112,7 @@ object ExtensionQueries {
     // 1.0 (8×4 bands at j≥0.97 planted pairs — the LSH≡exact parity test
     // in ExtensionOpsSpec pins it). Like pipeline_clean_corpus, a failure
     // here can mean LSH RECALL drifted (fixture/band change), not logic.
-    Q("dedup_minhash_lsh",
-      s"""WITH bg AS ($sqlBigrams),
-         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
-         |inter AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
-         |  FROM bg x JOIN bg y ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(j, 6) AS jacc FROM (
-         |  SELECT d1, d2, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
-         |  FROM inter JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2)
-         |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin) {
+    Q("dedup_minhash_lsh", sqlExactPairs) {
       (s, d) => sortSmall(
         Dedup.minHashLSH(t(s, d, "documents"), "doc_id", "text")
           .select(col("d1"), col("d2"), round(col("jacc"), 6).as("jacc")),
@@ -192,16 +206,16 @@ object ExtensionQueries {
     Q("text_token_count",
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) {
-      (s, d) => TextOps.tokenCount(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
+      (s, d) => sortSmall( // map-only plan: plain orderBy doubles the split
+        TextOps.tokenCount(t(s, d, "documents"), "doc_id", "text"), col("doc_id"))
     },
 
     // ---- BPE-ish subword token count (regex segmentation) ------------------
     Q("text_token_count_bpe",
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) {
-      (s, d) => TextOps.bpeTokenCount(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
+      (s, d) => sortSmall( // map-only plan (see text_token_count)
+        TextOps.bpeTokenCount(t(s, d, "documents"), "doc_id", "text"), col("doc_id"))
     },
 
     // ---- Multimodal frame sampling: REAL multi-frame GIF encode + decode ---
@@ -219,27 +233,24 @@ object ExtensionQueries {
         val gifs = Multimodal.synthesizeGif(
           t(s, d, "documents").select(col("doc_id")), "doc_id", frames = 4)
         val assets = Multimodal.toAsset(gifs, "doc_id", "gif", "image/gif")
-        Multimodal.frameFeatures(assets, "doc_id")
-          .orderBy(col("doc_id"), col("frame_no"))
+        // sortSmall: map-only codec plan — orderBy's sampling pass would
+        // encode + decode every GIF twice
+        sortSmall(Multimodal.frameFeatures(assets, "doc_id"),
+          col("doc_id"), col("frame_no"))
     },
 
     // ---- Context-window chunking (size 64, overlap 16) ---------------------
     // chunk i covers tokens [i*48+1 .. i*48+64]; the hash certifies chunk
     // content without shipping text. All map-side (split once, one explode).
     Q("text_chunk",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |n AS (
-        |  SELECT doc_id, t,
-        |         greatest(CAST(floor((len(t) - 16 + 47) / 48.0) AS INTEGER), 1) AS n_chunks
-        |  FROM toks)
-        |SELECT doc_id, CAST(c.chunk_no AS INTEGER) AS chunk_no,
-        |       CAST(len(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
-        |       md5(array_to_string(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64), ' ')) AS chunk_hash
-        |FROM n CROSS JOIN UNNEST(range(0, n_chunks)) AS c(chunk_no)
-        |ORDER BY doc_id, chunk_no""".stripMargin) {
-      (s, d) => TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
-        .orderBy(col("doc_id"), col("chunk_no"))
+      s"""WITH ${sqlChunks("")}
+         |SELECT doc_id, chunk_no, n_chunk_tokens, chunk_hash FROM chunks
+         |ORDER BY doc_id, chunk_no""".stripMargin) {
+      // sortSmall: the chunk pipeline is map-only (no exchange), so a
+      // plain orderBy's sampling pass would run split+explode+md5 twice
+      (s, d) => sortSmall(
+        TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16),
+        col("doc_id"), col("chunk_no"))
     },
 
     // ---- Sequence packing: chunks -> fixed token budgets per source --------
@@ -247,28 +258,20 @@ object ExtensionQueries {
     // 512-token bins WITHIN each source shard (order-defined, parallel
     // across shards); output is per-bin fill stats.
     Q("pipeline_pack_stats",
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |n AS (
-        |  SELECT doc_id, source, t,
-        |         greatest(CAST(floor((len(t) - 16 + 47) / 48.0) AS INTEGER), 1) AS n_chunks
-        |  FROM toks),
-        |chunks AS (
-        |  SELECT doc_id, source, CAST(c.chunk_no AS INTEGER) AS chunk_no,
-        |         CAST(len(list_slice(t, chunk_no * 48 + 1, chunk_no * 48 + 64)) AS BIGINT) AS n_chunk_tokens
-        |  FROM n CROSS JOIN UNNEST(range(0, n_chunks)) AS c(chunk_no)),
-        |r AS (
-        |  SELECT source, n_chunk_tokens,
-        |         COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_no
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |  FROM chunks)
-        |SELECT source, CAST(floor(cum_before / 512.0) AS INTEGER) AS bin,
-        |       COUNT(*) AS n_chunks, CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      s"""WITH ${sqlChunks(", source")},
+         |r AS (
+         |  SELECT source, n_chunk_tokens,
+         |         COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_no
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM chunks)
+         |SELECT source, CAST(floor(cum_before / 512.0) AS INTEGER) AS bin,
+         |       COUNT(*) AS n_chunks, CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
       (s, d) =>
-        val docs = t(s, d, "documents")
-        val chunks = TextOps.chunkTokens(docs, "doc_id", "text", 64, 16)
-          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        // `source` rides through chunkTokens as a passthrough column — no
+        // second corpus scan + join to re-attach doc metadata
+        val chunks = TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+          64, 16, passthrough = Seq("source"))
         TextOps.packBins(chunks, "source", Seq("doc_id", "chunk_no"), "n_chunk_tokens", 512)
           .groupBy(col("source"), col("bin"))
           .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("n_tokens"))
@@ -295,9 +298,12 @@ object ExtensionQueries {
           lit("@mail.example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
           lit(".1 call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
           lit("-0199"))
-        t(s, d, "documents")
-          .select(col("doc_id"), md5(TextOps.redactPii(planted)).as("redacted_hash"))
-          .orderBy(col("doc_id"))
+        // sortSmall: map-only plan — plain orderBy would run the triple
+        // regex + md5 twice (sampling pass + real pass)
+        sortSmall(
+          t(s, d, "documents")
+            .select(col("doc_id"), md5(TextOps.redactPii(planted)).as("redacted_hash")),
+          col("doc_id"))
     },
 
     // ---- Corpus term frequencies (top 20) ----------------------------------
@@ -319,8 +325,8 @@ object ExtensionQueries {
         |length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text) AS punct_ratio
         |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin) {
-      (s, d) => TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
+      (s, d) => sortSmall( // map-only plan (see text_token_count)
+        TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text"), col("doc_id"))
     },
 
     // ---- Language-ID heuristic ---------------------------------------------
@@ -341,8 +347,8 @@ object ExtensionQueries {
         |    len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS s_zh
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin) {
-      (s, d) => TextOps.languageId(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
+      (s, d) => sortSmall( // map-only plan (see text_token_count)
+        TextOps.languageId(t(s, d, "documents"), "doc_id", "text"), col("doc_id"))
     },
 
     // ---- Shingle fingerprint ----------------------------------------------
@@ -411,8 +417,8 @@ object ExtensionQueries {
         val pngs = Multimodal.synthesizePng(
           t(s, d, "documents").select(col("doc_id")), "doc_id")
         val assets = Multimodal.toAsset(pngs, "doc_id", "png", "image/png")
-        Multimodal.decodeFeatures(assets, "doc_id")
-          .orderBy(col("doc_id"))
+        // sortSmall: map-only codec plan (see multimodal_frames)
+        sortSmall(Multimodal.decodeFeatures(assets, "doc_id"), col("doc_id"))
     },
 
     // ---- Multimodal resize: REAL Graphics2D bilinear scale + re-decode -----
@@ -429,8 +435,9 @@ object ExtensionQueries {
         val pngs = Multimodal.synthesizePng(
           t(s, d, "documents").select(col("doc_id")), "doc_id")
         val assets = Multimodal.toAsset(pngs, "doc_id", "png", "image/png")
-        Multimodal.resizeFeatures(assets, "doc_id", tw = 5, th = 4)
-          .orderBy(col("doc_id"))
+        // sortSmall: map-only codec plan (see multimodal_frames)
+        sortSmall(Multimodal.resizeFeatures(assets, "doc_id", tw = 5, th = 4),
+          col("doc_id"))
     },
 
     // ---- End-to-end corpus-cleaning pipeline (the training-data flow) ------

@@ -36,20 +36,26 @@ object Dedup {
     * (benchmark) set, i.e. likely benchmark leakage.
     *
     * Scale shape: the eval side is benchmark-sized — tiny next to a
-    * 100 TB train corpus — so its distinct shingle set BROADCASTS; the
-    * train side is scanned once and filtered map-side against the
-    * broadcast hash set (no shuffle of train shingles at all). The only
-    * shuffle is the per-flagged-doc hit count: (id, partialCount) pairs
-    * for docs with ≥1 hit.
+    * 100 TB train corpus — so its distinct shingle set BROADCASTS, and the
+    * train side explodes shingles WITHOUT a pre-join distinct (a distinct
+    * would hash-exchange the full train shingle set before the join —
+    * exactly the shuffle this operator exists to avoid): the broadcast
+    * filter runs map-side on the raw explode, and per-doc dedup happens
+    * AFTER it via countDistinct — so only MATCHING (id, shingle) pairs
+    * ever shuffle. A ScalingSpec test pins the shuffle volume to the
+    * match count, not the corpus shingle count.
     */
   def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
-    val trainSh = TextOps.shingleSet(train, idCol, textCol, n)
-    val evalSh = TextOps.shingleSet(evalSet, idCol, textCol, n)
-      .select(col("sh")).distinct()
-    trainSh.join(broadcast(evalSh), Seq("sh"))
+    def rawShingles(df: DataFrame): DataFrame = {
+      val withToks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      val sh = if (n == 1) col("__toks") else TextOps.shingles(col("__toks"), n)
+      withToks.select(col(idCol), explode(sh).as("sh"))
+    }
+    val evalSh = rawShingles(evalSet).select(col("sh")).distinct()
+    rawShingles(train).join(broadcast(evalSh), Seq("sh"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(countDistinct(col("sh")).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
 

@@ -193,10 +193,16 @@ object TextOps {
     * into the lambda), one explode, no shuffle.
     */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-                  size: Int, overlap: Int): DataFrame = {
+                  size: Int, overlap: Int,
+                  passthrough: Seq[String] = Nil): DataFrame = {
     require(size > overlap && overlap >= 0, "need size > overlap >= 0")
     val step = size - overlap
-    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // `passthrough` columns ride along map-side (selecting extra columns
+    // is free) — callers needing doc metadata on chunks must not pay a
+    // second corpus scan + join to re-attach it
+    val keep = passthrough.map(col)
+    val withToks = df.select(
+      (col(idCol) +: keep :+ tokens(col(textCol)).as("__toks")).toIndexedSeq: _*)
     // nChunks = ceil(max(n - overlap, 1) / step): the last chunk starts at
     // (nChunks-1)·step < n - overlap + step, so it always has ≥ 1 token
     val n = functions.size(col("__toks"))
@@ -204,13 +210,13 @@ object TextOps {
     val nChunks = greatest(
       floor((n - lit(overlap) + lit(step - 1)) / lit(step)).cast("int"), lit(1))
     withToks
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_no"))
-      .select(col(idCol), col("chunk_no"),
-        slice(col("__toks"), col("chunk_no") * lit(step) + lit(1), lit(size)).as("__chunk"))
-      .select(col(idCol), col("chunk_no"),
-        functions.size(col("__chunk")).cast("long").as("n_chunk_tokens"),
-        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+      .select((col(idCol) +: keep :+ col("__toks") :+
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_no")).toIndexedSeq: _*)
+      .select((col(idCol) +: keep :+ col("chunk_no") :+
+        slice(col("__toks"), col("chunk_no") * lit(step) + lit(1), lit(size)).as("__chunk")).toIndexedSeq: _*)
+      .select((col(idCol) +: keep :+ col("chunk_no") :+
+        functions.size(col("__chunk")).cast("long").as("n_chunk_tokens") :+
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash")).toIndexedSeq: _*)
   }
 
   /** Greedy offset packing of chunks into fixed token budgets — the

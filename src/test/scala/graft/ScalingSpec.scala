@@ -63,6 +63,32 @@ class ScalingSpec extends SparkSpec {
     acc.get()
   }
 
+  test("contamination shuffles only matching pairs, never the train shingle set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val vocab = Array.tabulate(2000)(i => s"a$i")
+    val train = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // two train docs leak verbatim into the benchmark set
+    val evalDocs = Seq((1000L, train(5)._2), (1001L, train(17)._2),
+      (1002L, "zz yy xx ww vv uu tt ss"))
+    val trainDf = train.toDF("doc_id", "text").cache()
+    val evalDf = evalDocs.toDF("doc_id", "text").cache()
+    trainDf.count(); evalDf.count() // materialize outside the measured window
+    val recs = shuffleRecords {
+      val flagged = Dedup.contamination(trainDf, evalDf, "doc_id", "text", n = 3, minHits = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(5L, 17L), s"wrong contamination set: $flagged")
+    }
+    // train side: 300 docs × 38 trigrams ≈ 11,400 shingles. Only the two
+    // leaked docs' matches (plus the tiny eval-side distinct) may shuffle —
+    // a pre-join distinct of the train side would blow straight past this
+    assert(recs < 2000,
+      s"contamination shuffled $recs records — the train shingle set leaked into a shuffle")
+    trainDf.unpersist(); evalDf.unpersist()
+  }
+
   test("minHashLSH scales ~linearly where the dense all-pairs walk scales quadratically") {
     val nSmall = 300
     val nBig = 1200 // 4× docs → ~4× linear work, 16× quadratic work
