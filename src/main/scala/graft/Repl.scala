@@ -35,6 +35,10 @@ object Repl {
       |  simsearch <view> <id> <k> [idCol vecCol]
       |                                         LSH top-k cosine neighbours of row <id>
       |                                         (cols default vec_id/embedding)
+      |  chunk <view> <size> <overlap>          context-window token chunks (doc_id/text)
+      |  contaminate <trainView> <evalView> <n> <minHits>
+      |                                         train docs sharing >= minHits n-gram
+      |                                         shingles with the eval view
       |  lineage <view>                         root-to-leaf chain of a view
       |  views                                  list registered views
       |  memo                                   sketch-memo stats
@@ -117,6 +121,14 @@ object Repl {
         render(s.sketch(ViewId(vid), s"simsearch:$id:$k:$idCol:$vecCol")(d =>
           graft.operators.Similarity.lshTopK(d, idCol, vecCol,
             col(idCol) === lit(id.toLong), k.toInt)))
+      case "chunk" :: vid :: size :: overlap :: Nil =>
+        render(s.sketch(ViewId(vid), s"chunk:$size:$overlap")(d =>
+          graft.operators.TextOps.chunkTokens(d, "doc_id", "text", size.toInt, overlap.toInt)
+            .orderBy(col("doc_id"), col("chunk_no"))))
+      case "contaminate" :: trainVid :: evalVid :: n :: minHits :: Nil =>
+        render(s.sketch(ViewId(trainVid), s"contaminate:$evalVid:$n:$minHits")(d =>
+          graft.operators.Dedup.contamination(d, df(evalVid), "doc_id", "text",
+            n.toInt, minHits.toInt).orderBy(col("doc_id"))))
       case "cache" :: table :: Nil =>
         Tables.openCached(spark, sfDir, table)
         s"pinned $table"

@@ -62,12 +62,16 @@ class ReplSpec extends SparkSpec {
     assert(out.contains("pinned nation") && out.contains("purged nation"), out)
   }
 
-  test("neardup and simsearch drive the LSH paths interactively") {
+  test("neardup, simsearch, chunk, and contaminate drive the training-data paths interactively") {
     val out = script(
       "open documents",
       "neardup documents-1 0.5",
       "open embeddings",
       "simsearch embeddings-2 3 5",
+      "filter documents-1 doc_id % 2 = 0",
+      "filter documents-1 doc_id % 2 = 1",
+      "chunk documents-1 64 16",
+      "contaminate filter-3 filter-4 3 10",
       "quit")
     // fixture has planted near-dup pairs → at least one d1/d2/jacc data row
     val dupHeader = out.linesIterator.indexWhere(_.startsWith("d1\t"))
@@ -80,6 +84,15 @@ class ReplSpec extends SparkSpec {
     val simRows = out.linesIterator.drop(simHeader + 1).takeWhile(_.contains("\t")).toSeq
     assert(simRows.nonEmpty && simRows.forall(_.startsWith("3\t")),
       s"all neighbours must belong to query 3:\n$out")
+    // chunk: renders (doc_id, chunk_no, n_chunk_tokens, chunk_hash) rows
+    val chunkHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\tchunk_no"))
+    assert(chunkHeader >= 0, s"chunk must render a chunk table:\n$out")
+    // contaminate: even-id train docs vs odd-id eval — the near-uniform
+    // fixture vocabulary guarantees flagged rows at minHits=10
+    val contHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\tn_hits"))
+    assert(contHeader >= 0, s"contaminate must render a doc_id/n_hits table:\n$out")
+    assert(out.linesIterator.drop(contHeader + 1).next().split("\t").length == 2,
+      s"no contaminated rows rendered:\n$out")
   }
 
   test("filter predicates keep embedded whitespace intact") {
