@@ -151,6 +151,27 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L): DataFrame = {
+    val cand = ivfCandidates(emb, idCol, vecCol, queryPred, nlist, nprobe, seed)
+    val sims = cand
+      .select(col("q_id"), col("n_id"),
+        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** The IVF candidate stage alone — (q_id, q_vec, n_id, n_vec) for every
+    * corpus vector in a query's `nprobe` nearest centroid buckets, BEFORE
+    * exact re-rank. Exposed so the scaling spec can measure the probed
+    * fraction empirically: the IVF scale claim is that this set is
+    * ≈ (nprobe/nlist)·N per query instead of the brute-force N.
+    */
+  def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, nlist: Int = 16, nprobe: Int = 4,
+                    seed: Long = 42L): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val spark = emb.sparkSession
     import spark.implicits._
@@ -196,16 +217,9 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket", explode(nearestCentroids(col("q_vec"), cs, nprobe)))
-    val sims = queries.join(corpus, Seq("bucket"))
+    queries.join(corpus, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy(col("q_id"), col("rk"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
   }
 
   private def round6(x: Double): Double = Det.round6(x)

@@ -89,6 +89,27 @@ class ScalingSpec extends SparkSpec {
     trainDf.unpersist(); evalDf.unpersist()
   }
 
+  test("IVF probes ~nprobe/nlist of the corpus instead of brute-force N per query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    val n = 2000
+    val emb = Seq.tabulate(n)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+      .cache()
+    emb.count()
+    val nQueries = 8
+    val examined = operators.Similarity.ivfCandidates(emb, "vec_id", "embedding",
+      col("vec_id") < nQueries, nlist = 16, nprobe = 4).count()
+    val brute = nQueries.toLong * (n - 1)
+    val frac = examined.toDouble / brute
+    // expectation nprobe/nlist = 0.25; slack for bucket-size skew (queries
+    // sit in denser regions, so their probed buckets run large) — but far
+    // below the brute-force 1.0
+    assert(frac < 0.55, s"IVF examined $examined of $brute pairs ($frac) — probing is not pruning")
+    assert(frac > 0.05, s"IVF examined only $frac — buckets degenerate, recall would collapse")
+    emb.unpersist()
+  }
+
   test("minHashLSH scales ~linearly where the dense all-pairs walk scales quadratically") {
     val nSmall = 300
     val nBig = 1200 // 4× docs → ~4× linear work, 16× quadratic work
