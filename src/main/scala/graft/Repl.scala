@@ -121,14 +121,19 @@ object Repl {
         render(s.sketch(ViewId(vid), s"simsearch:$id:$k:$idCol:$vecCol")(d =>
           graft.operators.Similarity.lshTopK(d, idCol, vecCol,
             col(idCol) === lit(id.toLong), k.toInt)))
+      // chunk/contaminate outputs are corpus-LINEAR, not sketch-sized, so
+      // they must NOT go through the sketch memo (which collects fully);
+      // render's limit over orderBy plans as TakeOrderedAndProject — one
+      // pass, top rows only, nothing corpus-sized on the driver
       case "chunk" :: vid :: size :: overlap :: Nil =>
-        render(s.sketch(ViewId(vid), s"chunk:$size:$overlap")(d =>
-          graft.operators.TextOps.chunkTokens(d, "doc_id", "text", size.toInt, overlap.toInt)
-            .orderBy(col("doc_id"), col("chunk_no"))))
+        render(graft.operators.TextOps
+          .chunkTokens(df(vid), "doc_id", "text", size.toInt, overlap.toInt)
+          .orderBy(col("doc_id"), col("chunk_no")))
       case "contaminate" :: trainVid :: evalVid :: n :: minHits :: Nil =>
-        render(s.sketch(ViewId(trainVid), s"contaminate:$evalVid:$n:$minHits")(d =>
-          graft.operators.Dedup.contamination(d, df(evalVid), "doc_id", "text",
-            n.toInt, minHits.toInt).orderBy(col("doc_id"))))
+        render(graft.operators.Dedup
+          .contamination(df(trainVid), df(evalVid), "doc_id", "text",
+            n.toInt, minHits.toInt)
+          .orderBy(col("doc_id")))
       case "cache" :: table :: Nil =>
         Tables.openCached(spark, sfDir, table)
         s"pinned $table"

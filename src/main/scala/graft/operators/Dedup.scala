@@ -47,13 +47,10 @@ object Dedup {
     */
   def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
-    def rawShingles(df: DataFrame): DataFrame = {
-      val withToks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      val sh = if (n == 1) col("__toks") else TextOps.shingles(col("__toks"), n)
-      withToks.select(col(idCol), explode(sh).as("sh"))
-    }
-    val evalSh = rawShingles(evalSet).select(col("sh")).distinct()
-    rawShingles(train).join(broadcast(evalSh), Seq("sh"))
+    val evalSh = TextOps.rawShingles(evalSet, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    TextOps.rawShingles(train, idCol, textCol, n)
+      .join(broadcast(evalSh), Seq("sh"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("sh")).as("n_hits"))
       .filter(col("n_hits") >= minHits)

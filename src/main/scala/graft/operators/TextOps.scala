@@ -41,10 +41,18 @@ object TextOps {
     * higher-order functions evaluate interpreted, with no common-subexpr
     * elimination inside the lambda).
     */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    rawShingles(df, idCol, textCol, n).distinct()
+
+  /** (id, shingle) pairs WITH per-doc duplicates kept — the raw explode
+    * (token split materialized once, per the HOF rule above). Callers that
+    * must avoid the distinct's shuffle (e.g. `Dedup.contamination`, which
+    * dedups AFTER its broadcast filter) build on this directly.
+    */
+  def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val sh = if (n == 1) col("__toks") else shingles(col("__toks"), n)
-    withToks.select(col(idCol), explode(sh).as("sh")).distinct()
+    withToks.select(col(idCol), explode(sh).as("sh"))
   }
 
   /** Token count per document. */
