@@ -364,6 +364,38 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii scrubs randomly-placed planted PII and leaves clean text alone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    val vocab = Array("lorem", "ipsum", "dolor", "sit", "amet", "alpha", "beta")
+    def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    val pii = Seq(
+      s"user${rnd.nextInt(999)}@host${rnd.nextInt(99)}.example.org" -> "<EMAIL>",
+      f"${100 + rnd.nextInt(899)}%d-${100 + rnd.nextInt(899)}%d-${1000 + rnd.nextInt(8999)}%d" -> "<PHONE>",
+      s"${1 + rnd.nextInt(254)}.${rnd.nextInt(255)}.${rnd.nextInt(255)}.${1 + rnd.nextInt(254)}" -> "<IP>")
+    val rows = (0 until 30).map { i =>
+      val (planted, tag) = pii(i % 3)
+      val toks = words(5 + rnd.nextInt(10))
+      val at = rnd.nextInt(toks.length + 1)
+      (i.toLong, (toks.take(at) :+ planted) ++ toks.drop(at) mkString " ", planted, tag)
+    }
+    val df = rows.map { case (id, txt, p, tg) => (id, txt, p, tg) }
+      .toDF("id", "text", "planted", "tag")
+    val out = df.select(col("id"), col("planted"), col("tag"),
+        TextOps.redactPii(col("text")).as("red"))
+      .collect()
+    out.foreach { r =>
+      val (p, tag, red) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(!red.contains(p), s"PII survived: $p in $red")
+      assert(red.contains(tag), s"placeholder $tag missing in $red")
+    }
+    // clean text is untouched
+    val clean = "lorem ipsum dolor sit amet"
+    val kept = Seq(Tuple1(clean)).toDF("t")
+      .select(TextOps.redactPii(col("t"))).head.getString(0)
+    assert(kept == clean, kept)
+  }
+
   test("ImageCodec edges: randomized colour round trips, upscale, 1-frame GIF") {
     val rnd = new scala.util.Random(11L)
     (1 to 25).foreach { _ =>
@@ -379,6 +411,13 @@ class ExtensionOpsSpec extends SparkSpec {
     // single-frame GIF is a legal animation
     val one = ImageCodec.animatedGif(5, 5, Seq(123))
     assert(ImageCodec.gifFrameStats(one) == Seq((0, 5, 5, 123.0, 123.0, 123.0)))
+    // BMP is the third claimed pure-JDK format: encode via ImageIO and
+    // decode through the same decodeStats path
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (40 << 16) | (50 << 8) | 60)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    assert(ImageCodec.decodeStats(bos.toByteArray).contains((6, 4, 40.0, 50.0, 60.0)))
   }
 
   test("multimodal: gradient image resize is a real resample, not a crop") {
