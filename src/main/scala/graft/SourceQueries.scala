@@ -74,6 +74,25 @@ object SourceQueries {
           .orderBy(col("o_orderstatus").asc_nulls_first)
     },
 
+    // ---- Hive-partitioned parquet: write + partition-PRUNED read -----------
+    // lineitem is re-laid-out partitioned by l_returnflag; the filtered
+    // re-read prunes to the one matching directory at planning time (the
+    // PartitionFilters plan shape is asserted in PlanAndSourceSpec), and
+    // the oracle aggregates the original table — a hash match proves the
+    // partitioned round trip loses nothing.
+    Q("source_partitioned_pruning",
+      s"""SELECT COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "lineitem_part")
+        Tables.writePartitioned(
+          t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+          out, "l_returnflag")
+        Tables.parquet(s, out)
+          .filter(col("l_returnflag") === "R")
+          .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("sum_qty"))
+    },
+
     // ---- text lines (log-file shape): write -> line scan round trip --------
     // The corpus is written as plain text (one doc per line — the fixture
     // has no embedded newlines) and re-ingested with the line source; the

@@ -126,6 +126,15 @@ object Tables {
            props: java.util.Properties = new java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Hive-style partitioned parquet write: one directory per value of
+    * `partitionCol`. The 100 TB layout for low-cardinality scan keys — a
+    * reader filtering on the partition column prunes whole directories at
+    * PLANNING time (PartitionFilters in the scan; untouched partitions
+    * are never listed, let alone read).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
   /** Persist a table bucketed+sorted on a join key. Two tables bucketed
     * the same way co-locate their join: the sort-merge join needs no
     * shuffle and no sort (plan-asserted in tests) — the 100 TB recipe for
