@@ -15,24 +15,14 @@ import graft.QueryDefs._
   */
 object EventQueries {
 
-  // Per-process replay dirs are deleted on JVM exit: the pid key prevents
-  // cross-process races, but without cleanup every harness run would
-  // leave two parquet copies in tmp (the old shared-dir scheme was
-  // bounded; pid-keyed dirs must bound themselves).
-  private val cleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-
-  private def deleteDirOnExit(dir: java.nio.file.Path): Unit =
-    if (cleanupRegistered.add(dir))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.Files
-        if (Files.exists(dir)) {
-          val walk = Files.walk(dir)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.deleteIfExists(p))
-          finally walk.close()
-        }
-      }))
+  // Per-process replay dirs: pid keying prevents cross-process races;
+  // TmpDirs deletes ours on clean exit and sweeps siblings orphaned by
+  // SIGKILLed runs, so tmp accumulation stays bounded under any exit mode.
+  private def deleteDirOnExit(dir: java.nio.file.Path): Unit = {
+    TmpDirs.sweepDead(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft_stream_dedup_")
+    TmpDirs.deleteOnExit(dir)
+  }
 
   private val tumblingOracle =
     s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -288,7 +288,7 @@ object ExtensionQueries {
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||
         |      CAST(doc_id % 256 AS VARCHAR) || '.1 call 555-' ||
         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199',
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_hash
         |FROM documents ORDER BY doc_id""".stripMargin) {

@@ -110,9 +110,12 @@ object Repl {
           case i :: c :: Nil => (i, c)
           case _             => ("doc_id", "text")
         }
-        render(s.sketch(ViewId(vid), s"neardup:$thr:$idCol:$textCol")(d =>
-          graft.operators.Dedup.minHashLSH(d, idCol, textCol, threshold = thr.toDouble)
-            .orderBy(col("d1"), col("d2"))))
+        // corpus-LINEAR pair set (a dup-heavy corpus at a loose threshold
+        // emits O(corpus) pairs) — render top rows via TakeOrdered, never
+        // the full-collect sketch memo
+        render(graft.operators.Dedup
+          .minHashLSH(df(vid), idCol, textCol, threshold = thr.toDouble)
+          .orderBy(col("d1"), col("d2")))
       case "simsearch" :: vid :: id :: k :: rest if rest.size == 0 || rest.size == 2 =>
         val (idCol, vecCol) = rest match {
           case i :: c :: Nil => (i, c)

@@ -23,18 +23,11 @@ object SourceQueries {
   // Per-PROCESS scratch root: two concurrent harness processes on the same
   // sf dir must never overwrite each other's round-trip files mid-scan
   // (the same race the stream-replay dirs defend against). Deleted on JVM
-  // exit so repeated runs don't accumulate copies in tmp.
+  // exit; siblings orphaned by SIGKILLed runs are swept on first use.
   private lazy val procRoot: String = {
+    TmpDirs.sweepDead(java.nio.file.Paths.get("/tmp/graft_io"), "p")
     val root = s"/tmp/graft_io/p${ProcessHandle.current().pid()}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }))
+    TmpDirs.deleteOnExit(java.nio.file.Paths.get(root))
     root
   }
 

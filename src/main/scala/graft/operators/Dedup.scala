@@ -31,9 +31,13 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
   /** Train/eval contamination check — the decontamination pass of a
-    * training-data pipeline: flag training docs that share at least
-    * `minHits` distinct n-gram shingles with ANY document of the eval
-    * (benchmark) set, i.e. likely benchmark leakage.
+    * training-data pipeline: flag training docs whose text shares at
+    * least `minHits` distinct n-gram shingles with the eval (benchmark)
+    * set's shingle UNION — i.e. shingles appearing anywhere in the eval
+    * set, possibly spread across several eval documents. (Union
+    * semantics are deliberate: leakage across multiple benchmark items
+    * is still leakage; a per-eval-doc threshold would need the pair
+    * counts, not this single broadcast filter.)
     *
     * Scale shape: the eval side is benchmark-sized — tiny next to a
     * 100 TB train corpus — so its distinct shingle set BROADCASTS, and the

@@ -81,7 +81,10 @@ object Multimodal {
 
   private val gifFramesUdf = udf((b: Array[Byte]) =>
     ImageCodec.gifFrameStats(b).map {
-      case (i, w, h, r, _, _) => FrameStats(i, w, h, r)
+      // mean over ALL channels — on an r==g==b synthesis frame this equals
+      // each channel exactly, but a real colour frame must not report its
+      // red channel as "grey"
+      case (i, w, h, r, g, bl) => FrameStats(i, w, h, (r + g + bl) / 3.0)
     })
 
   private val resizeUdf = udf((b: Array[Byte], tw: Int, th: Int) =>

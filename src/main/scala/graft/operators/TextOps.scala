@@ -252,7 +252,10 @@ object TextOps {
   // PII patterns shared with the DuckDB oracle — deliberately restricted
   // to syntax Java regex and RE2 interpret identically (char classes,
   // bounded quantifiers, \b, \d; no backreferences or lookaround).
-  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // Email classes include A-Z explicitly ((?i) would also be portable,
+  // but explicit classes keep the pattern self-evident): a mixed-case
+  // address surviving "scrubbing" is the failure the operator exists for.
+  val emailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val phonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

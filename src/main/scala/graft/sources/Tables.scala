@@ -40,32 +40,35 @@ object Tables {
       spark.read.parquet(s"$sfDir/$other.parquet")
   }
 
-  // Last sfDir registered per session. WEAK keys (SparkSession does not
-  // override equals, so identity semantics hold): a stopped/discarded
-  // session must not be pinned in memory by this memo forever.
+  // Last (sfDir, registered view plans) per session. WEAK keys
+  // (SparkSession does not override equals, so identity semantics hold):
+  // a stopped/discarded session must not be pinned by this memo forever.
   private val registeredDir =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String])
+      new java.util.WeakHashMap[SparkSession, (String, Map[String, AnyRef])])
 
   /** Register every fixture table as a temp view so `spark.sql` works.
     * Memoized per (session, sfDir): repeated calls — e.g. every
     * `sql_interface` invocation — skip re-opening all the tables.
-    * Switching dirs re-registers (views must never point at a stale scale
-    * factor), and the memo only short-circuits while every fixture view
-    * still exists — an external dropTempView invalidates it.
+    * The memo short-circuits only while every fixture view's catalog plan
+    * is the EXACT object this method registered (reference equality via
+    * the graftshim temp-view probe): an external dropTempView OR a
+    * same-named createOrReplaceTempView invalidates it, so a hijacked
+    * view can never be served as fixture data. (A public
+    * catalog-existence probe cannot see replacement.)
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    // the probe must be TEMP-VIEW-specific: plain tableExists also matches
-    // a same-named permanent table, which would keep the memo "fresh"
-    // after a dropTempView and silently resolve queries against the
-    // permanent table's data
-    def tempViewExists(n: String): Boolean =
-      try spark.catalog.getTable(n).isTemporary
-      catch { case scala.util.control.NonFatal(_) => false }
-    val fresh = registeredDir.get(spark) == sfDir && allTables.forall(tempViewExists)
+    import org.apache.spark.sql.graftshim.Internals
+    val fresh = Option(registeredDir.get(spark)).exists { case (dir, plans) =>
+      dir == sfDir && allTables.forall { n =>
+        Internals.tempViewPlan(spark, n).exists(cur => plans.get(n).exists(_ eq cur))
+      }
+    }
     if (!fresh) {
       allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
-      registeredDir.put(spark, sfDir)
+      val plans = allTables
+        .flatMap(n => Internals.tempViewPlan(spark, n).map(n -> _)).toMap
+      registeredDir.put(spark, (sfDir, plans))
     }
   }
 

@@ -12,4 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Internals {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The catalog's CURRENT plan object for temp view `name` (None if not
+    * registered). Reference-stable until the view is replaced — which is
+    * exactly what the fixture registry's memo must detect: a public
+    * catalog-existence probe sees a same-named replacement as "still
+    * there" and would serve hijacked data.
+    */
+  def tempViewPlan(spark: SparkSession, name: String): Option[AnyRef] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog.getTempView(name)
 }

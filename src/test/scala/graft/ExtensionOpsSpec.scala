@@ -389,6 +389,10 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(!red.contains(p), s"PII survived: $p in $red")
       assert(red.contains(tag), s"placeholder $tag missing in $red")
     }
+    // mixed-case addresses must not survive "scrubbing"
+    val upper = Seq(Tuple1("mail John.Doe@Example.COM today")).toDF("t")
+      .select(TextOps.redactPii(col("t"))).head.getString(0)
+    assert(upper == "mail <EMAIL> today", upper)
     // clean text is untouched
     val clean = "lorem ipsum dolor sit amet"
     val kept = Seq(Tuple1(clean)).toDF("t")

@@ -156,6 +156,23 @@ class PlanAndSourceSpec extends SparkSpec {
     }
   }
 
+  test("registerAll memo re-registers after external view drop OR replacement") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val trueCount = spark.sql("SELECT COUNT(*) FROM region").head.getLong(0)
+    // replacement: a same-named temp view with DIFFERENT data must not be
+    // served as fixture data by a memoized short-circuit
+    Seq((1, "hijacked")).toDF("r_regionkey", "r_name").createOrReplaceTempView("region")
+    Tables.registerAll(spark, sf)
+    assert(spark.sql("SELECT COUNT(*) FROM region").head.getLong(0) == trueCount,
+      "memo served a hijacked view")
+    // drop: a missing view must be restored
+    spark.catalog.dropTempView("region")
+    Tables.registerAll(spark, sf)
+    assert(spark.sql("SELECT COUNT(*) FROM region").head.getLong(0) == trueCount,
+      "memo skipped re-registering a dropped view")
+  }
+
   test("cached-table registry persists once and purges on demand") {
     Tables.purgeCached(sf)
     val a = Tables.openCached(spark, sf, "nation")
