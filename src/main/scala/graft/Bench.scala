@@ -76,7 +76,18 @@ object Bench {
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // self-contained artifact: the driver captures stdout, but a truncated
+    // capture loses the tail of the (long) per-query map — persist the full
+    // line so the bench is reconstructable from disk
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write target/bench_latest.json: $e")
+    }
     spark.stop()
   }
 }

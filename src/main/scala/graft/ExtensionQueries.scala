@@ -145,7 +145,7 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
-    // ---- SimHash near-dup (Hamming ≤ 10) -----------------------------------
+    // ---- SimHash near-dup (Hamming ≤ 3, the Manku et al. web-dedup radius) --
     Q.noOracle("dedup_simhash") {
       (s, d) => sortSmall(
         Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text"),
@@ -290,7 +290,7 @@ object ExtensionQueries {
         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199',
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_hash
+        |    '\b((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b', '<IP>', 'g')) AS redacted_hash
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         val planted = concat(col("text"),

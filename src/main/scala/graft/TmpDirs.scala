@@ -26,9 +26,14 @@ object TmpDirs {
       finally walk.close()
     }
 
-  /** Delete sibling dirs under `parent` named `<prefix><pid>…` whose pid
-    * is dead. Live processes are never touched; a recycled pid at worst
-    * defers cleanup to a later sweep.
+  /** Delete sibling dirs under `parent` named `<prefix><pid>` or
+    * `<prefix><pid>_…` whose pid is dead. Only the FULL pid-segment shape
+    * is treated as pid-owned: leading digits followed by anything else
+    * (e.g. a legacy `<prefix><hexhash>` dir whose hash happens to start
+    * with digits) are NOT parsed as a pid — misreading one could delete a
+    * directory still in use by a concurrently running older build. Live
+    * processes are never touched; a recycled pid at worst defers cleanup
+    * to a later sweep.
     */
   def sweepDead(parent: Path, prefix: String): Unit =
     if (Files.isDirectory(parent)) {
@@ -36,8 +41,11 @@ object TmpDirs {
       try listing.forEach { p =>
         val name = p.getFileName.toString
         if (name.startsWith(prefix)) {
-          val pidStr = name.drop(prefix.length).takeWhile(_.isDigit)
-          if (pidStr.nonEmpty) {
+          val rest = name.drop(prefix.length)
+          val pidStr = rest.takeWhile(_.isDigit)
+          val wholeSegment = pidStr.nonEmpty &&
+            (rest.length == pidStr.length || rest.charAt(pidStr.length) == '_')
+          if (wholeSegment) {
             val alive = ProcessHandle.of(pidStr.toLong)
               .map[java.lang.Boolean](h => h.isAlive).orElse(false)
             if (!alive) deleteRecursively(p)

@@ -263,11 +263,38 @@ object Dedup {
     * on at least one — candidates are therefore pairs colliding on
     * (band, bits), a bucket-local equi join (never all-pairs), and the
     * exact Hamming filter runs on candidates only. Recall is 1.0 by the
-    * pigeonhole argument; filtering power grows with bits-per-band, so
-    * small maxHamming values bucket hardest.
+    * pigeonhole argument.
+    *
+    * Radius vs scale: filtering power is 2^(bits-per-band) =
+    * 2^(64/(maxHamming+1)), so the default is the web-dedup literature's
+    * k = 3 (Manku/Jain/Das Sarma, WWW'07: 64-bit simhash, distance 3) —
+    * four 16-bit bands, ~65k bucket values per band, candidates ~linear
+    * in the corpus (growth measured in ScalingSpec). Radii near 10 leave
+    * bands of 5-6 bits (≲64 values), so at N ≫ 10⁴ every bucket holds
+    * ~N/64 docs and the bucket-local join degrades toward quadratic —
+    * legitimate for small corpora, not a 100 TB default.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 2, maxHamming: Int = 10): DataFrame = {
+                   n: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val (_, cand) = simHashStages(df, idCol, textCol, n, maxHamming)
+    cand
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The simHash candidate stage alone — band-collision pairs BEFORE the
+    * exact Hamming filter (with both fingerprints). Exposed so the scaling
+    * spec can measure candidate growth empirically, mirroring
+    * `minHashLSHCandidates`.
+    */
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2, maxHamming: Int = 3): DataFrame =
+    simHashStages(df, idCol, textCol, n, maxHamming)._2
+
+  private def simHashStages(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, maxHamming: Int): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val fp = simHashFingerprints(df, idCol, textCol, n)
     val nb = maxHamming + 1
     val bandCols = (0 until nb).map { b =>
@@ -281,13 +308,11 @@ object Dedup {
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("simhash"),
         col("bk.band").as("band"), col("bk.bits").as("bits"))
-    buckets.as("l").join(buckets.as("r"), Seq("band", "bits"))
+    val cand = buckets.as("l").join(buckets.as("r"), Seq("band", "bits"))
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"),
         col("l.simhash").as("h1"), col("r.simhash").as("h2"))
       .distinct()
-      .select(col("d1"), col("d2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    (fp, cand)
   }
 }

@@ -117,6 +117,14 @@ object ImageCodec {
     try {
       reader.setInput(iis, false)
       val n = reader.getNumImages(true)
+      // dimension probe before any raster allocation — same bomb guard as
+      // decodeQuietly, applied per frame (a GIF logical screen is small
+      // but a single frame can still declare huge bounds)
+      val bombed = (0 until n).exists { i =>
+        val w = reader.getWidth(i).toLong; val h = reader.getHeight(i).toLong
+        w <= 0 || h <= 0 || w * h > maxPixels
+      }
+      if (bombed) return Seq.empty
       (0 until n).map { i =>
         val (w, h, mr, mg, mb) = stats(reader.read(i))
         (i, w, h, mr, mg, mb)
@@ -131,12 +139,35 @@ object ImageCodec {
     }
   }
 
-  /** `ImageIO.read` that treats a recognized-but-corrupt payload
-    * (IIOException mid-decode) the same as an unrecognized one: null.
+  /** Max pixels a single decoded frame may allocate (64M px ≈ 256 MB of
+    * INT_RGB) — a decompression-bomb PNG declares huge dimensions in tiny
+    * bytes; fully decoding it on the untrusted `binaryFile` ingestion
+    * path is an OOM vector. Over-cap payloads are "undecodable" (None /
+    * null / no frames), the same contract as corrupt bytes.
     */
-  private def decodeQuietly(bytes: Array[Byte]): BufferedImage =
-    try ImageIO.read(new ByteArrayInputStream(bytes))
-    catch { case scala.util.control.NonFatal(_) => null }
+  val maxPixels: Long = 64L * 1024 * 1024
+
+  /** Decode that (a) treats a recognized-but-corrupt payload (IIOException
+    * mid-decode) the same as an unrecognized one — null — and (b) probes
+    * declared dimensions from the header via `ImageReader.getWidth/Height`
+    * BEFORE allocating the raster, rejecting anything over `maxPixels`.
+    */
+  private def decodeQuietly(bytes: Array[Byte]): BufferedImage = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > maxPixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally iis.close()
+  }
 
   private def toPngBytes(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -209,7 +209,10 @@ object TextOps {
     // is free) — callers needing doc metadata on chunks must not pay a
     // second corpus scan + join to re-attach it
     val keep = passthrough.map(col)
-    val withToks = df.select(
+    // null text would otherwise yield one bogus chunk (tokens(null) is a
+    // null array; `greatest` skips the null so nChunks falls back to 1,
+    // hashing the empty string) — null docs have no chunks, drop them
+    val withToks = df.filter(col(textCol).isNotNull).select(
       (col(idCol) +: keep :+ tokens(col(textCol)).as("__toks")).toIndexedSeq: _*)
     // nChunks = ceil(max(n - overlap, 1) / step): the last chunk starts at
     // (nChunks-1)·step < n - overlap + step, so it always has ≥ 1 token
@@ -257,7 +260,10 @@ object TextOps {
   // address surviving "scrubbing" is the failure the operator exists for.
   val emailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val phonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // Octets bounded to 0-255 (plain alternation — still RE2-portable):
+  // \d{1,3} would also swallow software versions like 10.15.700.2.
+  private val octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  val ipPattern: String = s"\\b($octet\\.){3}$octet\\b"
 
   /** PII scrubbing (training-data redaction): emails, NANP-style phone
     * numbers, and dotted-quad IPs → typed placeholders. A pure
@@ -272,15 +278,19 @@ object TextOps {
         phonePattern, "<PHONE>"),
       ipPattern, "<IP>")
 
-  /** Karp-Rabin rolling-hash winnowing fingerprint (local library form
-    * for driver-side strings; same scheme as `winnowFingerprints` over a
-    * rolling Long hash instead of md5).
+  /** Winnowing fingerprint, local library form for driver-side strings —
+    * the SAME hash as the distributed `winnowFingerprints` (lowercase md5
+    * hex of the space-joined k-gram, window minima by lexicographic
+    * order), so the two paths agree fingerprint-for-fingerprint
+    * (parity-tested on random docs).
     */
-  def winnow(tokens: IndexedSeq[String], k: Int, window: Int): Seq[Long] = {
+  def winnow(tokens: IndexedSeq[String], k: Int, window: Int): Seq[String] = {
     if (tokens.length < k) return Seq.empty
-    val B = 1000000007L
+    val md = java.security.MessageDigest.getInstance("MD5")
     val hashes = tokens.sliding(k).map { gram =>
-      gram.foldLeft(0L)((acc, t) => acc * B + t.hashCode.toLong)
+      md.reset()
+      val d = md.digest(gram.mkString(" ").getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
     }.toIndexedSeq
     if (hashes.length <= window) Seq(hashes.min)
     else hashes.sliding(window).map(_.min).toIndexedSeq.distinct

@@ -43,9 +43,16 @@ object Tables {
   // Last (sfDir, registered view plans) per session. WEAK keys
   // (SparkSession does not override equals, so identity semantics hold):
   // a stopped/discarded session must not be pinned by this memo forever.
+  // The plan VALUES are weak too — a LogicalRelation reachable strongly
+  // from the map value holds the owning session, which would re-pin the
+  // weak key through its own entry and defeat collection. The catalog
+  // strongly holds each plan while its view is registered, so the `eq`
+  // freshness probe still sees a live referent; a cleared ref just forces
+  // re-registration.
   private val registeredDir =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, (String, Map[String, AnyRef])])
+      new java.util.WeakHashMap[SparkSession,
+        (String, Map[String, java.lang.ref.WeakReference[AnyRef]])])
 
   /** Register every fixture table as a temp view so `spark.sql` works.
     * Memoized per (session, sfDir): repeated calls — e.g. every
@@ -61,13 +68,15 @@ object Tables {
     import org.apache.spark.sql.graftshim.Internals
     val fresh = Option(registeredDir.get(spark)).exists { case (dir, plans) =>
       dir == sfDir && allTables.forall { n =>
-        Internals.tempViewPlan(spark, n).exists(cur => plans.get(n).exists(_ eq cur))
+        Internals.tempViewPlan(spark, n).exists(cur =>
+          plans.get(n).exists(ref => Option(ref.get).exists(_ eq cur)))
       }
     }
     if (!fresh) {
       allTables.foreach(n => open(spark, sfDir, n).createOrReplaceTempView(n))
       val plans = allTables
-        .flatMap(n => Internals.tempViewPlan(spark, n).map(n -> _)).toMap
+        .flatMap(n => Internals.tempViewPlan(spark, n)
+          .map(p => n -> new java.lang.ref.WeakReference[AnyRef](p))).toMap
       registeredDir.put(spark, (sfDir, plans))
     }
   }

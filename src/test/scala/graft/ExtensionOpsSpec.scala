@@ -72,6 +72,20 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ham.size <= exactPairs.size * 3, s"too many background pairs: ${ham.size}")
   }
 
+  test("SimHash default radius (3) is exactly the radius-10 result filtered to hamming <= 3") {
+    // pigeonhole exactness must not depend on the banding geometry: the
+    // 4x16-bit default and the 11-band radius-10 layout agree wherever
+    // their radii overlap
+    val viaDefault = Dedup.simHashPairs(docs, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val via10 = Dedup.simHashPairs(docs, "doc_id", "text", 2, 10)
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDefault == via10,
+      s"only-default: ${viaDefault.diff(via10)}; only-10: ${via10.diff(viaDefault)}")
+    assert(viaDefault.nonEmpty, "radius-3 result vacuous on the fixture")
+  }
+
   test("cleaning pipeline: LSH near-dup stage ≡ exact dense stage on the fixture") {
     // the catalog query ships the sub-quadratic MinHash-LSH stage while the
     // DuckDB oracle replays exact near-dup SQL — this is the parity that
@@ -209,6 +223,17 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens drops null-text docs instead of emitting a bogus chunk") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.chunkTokens(df, "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // doc 2 (null) yields nothing; doc 3 ("") keeps the [""] one-empty-token
+    // contract (one chunk of one empty token), mirroring tokens()
+    assert(got.toSet == Set((1L, 0, 3L), (3L, 0, 1L)), got.mkString(","))
+  }
+
   test("exact dedup groups every doc exactly once") {
     val g = Dedup.exact(docs, "doc_id", "text")
       .agg(sum("n_copies")).head.getLong(0)
@@ -264,6 +289,24 @@ class ExtensionOpsSpec extends SparkSpec {
     val fa = TextOps.winnow(a, 3, 4).toSet
     val fb = TextOps.winnow(b, 3, 4).toSet
     assert(fa.intersect(fb).nonEmpty, "no shared fingerprints for overlapping text")
+  }
+
+  test("local winnow agrees with distributed winnowFingerprints on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    val vocab = Vector.tabulate(9)(i => s"t$i")
+    val corpora = (0L until 30L).map { id =>
+      val len = rnd.nextInt(20)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val dist = TextOps.winnowFingerprints(
+      corpora.toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    corpora.foreach { case (id, text) =>
+      val local = TextOps.winnow(text.trim.split("\\s+").toIndexedSeq, 3, 4)
+      val expected = if (local.isEmpty) None else Some((local.distinct.size.toLong, local.min))
+      assert(dist.get(id) == expected, s"doc $id: '$text'")
+    }
   }
 
   test("winnowFingerprints equals the sequential model, incl. short docs") {
@@ -398,6 +441,20 @@ class ExtensionOpsSpec extends SparkSpec {
     val kept = Seq(Tuple1(clean)).toDF("t")
       .select(TextOps.redactPii(col("t"))).head.getString(0)
     assert(kept == clean, kept)
+    // octets are bounded 0-255: dotted quads with out-of-range components
+    // (software versions, build ids) must survive
+    Seq("version 10.15.700.2 shipped", "build 999.999.999.999 tag",
+        "lib 1.2.3.456 bump").foreach { v =>
+      val got = Seq(Tuple1(v)).toDF("t")
+        .select(TextOps.redactPii(col("t"))).head.getString(0)
+      assert(got == v, s"version string mangled: $v -> $got")
+    }
+    // boundary IPs still redact
+    Seq("at 255.255.255.255 end", "from 0.0.0.0 bind").foreach { v =>
+      val got = Seq(Tuple1(v)).toDF("t")
+        .select(TextOps.redactPii(col("t"))).head.getString(0)
+      assert(got.contains("<IP>") && !got.matches(".*\\d+\\.\\d+\\.\\d+\\.\\d+.*"), s"$v -> $got")
+    }
   }
 
   test("ImageCodec edges: randomized colour round trips, upscale, 1-frame GIF") {
@@ -422,6 +479,28 @@ class ExtensionOpsSpec extends SparkSpec {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "bmp", bos)
     assert(ImageCodec.decodeStats(bos.toByteArray).contains((6, 4, 40.0, 50.0, 60.0)))
+  }
+
+  test("decompression-bomb PNG (huge declared dims, tiny bytes) is rejected, not decoded") {
+    // patch a valid PNG's IHDR to declare 100000x100000 (10^10 px) and
+    // re-sign the chunk CRC so the reader believes the header — the guard
+    // must trip on the PROBED dimensions before any raster allocation
+    val png = ImageCodec.solidPng(4, 4, 1, 2, 3)
+    val bomb = png.clone()
+    def putInt(at: Int, v: Int): Unit = {
+      bomb(at) = ((v >>> 24) & 0xff).toByte; bomb(at + 1) = ((v >>> 16) & 0xff).toByte
+      bomb(at + 2) = ((v >>> 8) & 0xff).toByte; bomb(at + 3) = (v & 0xff).toByte
+    }
+    putInt(16, 100000) // IHDR width  (signature 8B + len 4B + "IHDR" 4B)
+    putInt(20, 100000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // "IHDR" tag + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    assert(ImageCodec.decodeStats(bomb).isEmpty, "bomb decoded via decodeStats")
+    assert(ImageCodec.resizePng(bomb, 8, 8) == null, "bomb decoded via resizePng")
+    assert(ImageCodec.gifFrameStats(bomb).isEmpty, "bomb decoded via gifFrameStats")
+    // the unpatched original still decodes (the guard is the only change)
+    assert(ImageCodec.decodeStats(png).contains((4, 4, 1.0, 2.0, 3.0)))
   }
 
   test("multimodal: gradient image resize is a real resample, not a crop") {

@@ -110,6 +110,27 @@ class ScalingSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("simHash candidates at the default radius grow ~linearly on a 4x corpus") {
+    // corpus(n) is seed-deterministic, so corpus(300) is a strict prefix of
+    // corpus(1200): planted-pair collision behavior is identical across the
+    // two sizes and the expected candidate growth is exactly ~4x (linear).
+    // The old radius-10 default left 5-6-bit bands whose buckets grow with
+    // the corpus — THAT regime trends toward the quadratic 16x.
+    val small = corpus(300).cache()
+    val big = corpus(1200).cache()
+    small.count(); big.count()
+    val cSmall = Dedup.simHashCandidates(small, "doc_id", "text").count()
+    val cBig = Dedup.simHashCandidates(big, "doc_id", "text").count()
+    assert(cSmall > 0, "no candidates at all on the small corpus — banding broken?")
+    val growth = cBig.toDouble / cSmall
+    assert(growth <= 7.0,
+      s"simHash candidates grew ${growth}x on a 4x corpus ($cSmall -> $cBig) — not linear")
+    // absolute: a vanishing fraction of the 719,400 all-pairs merges
+    assert(cBig <= 1200L * 1199 / 2 / 100,
+      s"simHash examined $cBig of ${1200L * 1199 / 2} pairs — bucketing is not pruning")
+    small.unpersist(); big.unpersist()
+  }
+
   test("minHashLSH scales ~linearly where the dense all-pairs walk scales quadratically") {
     val nSmall = 300
     val nBig = 1200 // 4× docs → ~4× linear work, 16× quadratic work
