@@ -440,6 +440,32 @@ object ExtensionQueries {
           col("doc_id"))
     },
 
+    // ---- Multimodal audio: REAL javax.sound.sampled WAV encode + decode ----
+    // Each doc gets a deterministic 16-bit PCM WAV (two-level alternating
+    // waveform, see AudioCodec.synthWav); Spark decodes it with the real
+    // codec, and the oracle computes duration/rate/channels/mean/rms in
+    // closed form from doc_id — all values are IEEE-exact on both engines
+    // (integer numerators < 2^53, correctly-rounded division and sqrt).
+    Q("multimodal_audio",
+      """SELECT doc_id,
+        |CAST((400 + (doc_id % 50) * 2) / 8.0 AS DOUBLE) AS duration_ms,
+        |CAST(8000 AS INTEGER) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |(a + b) / 2.0 AS mean_amp,
+        |sqrt((a * a + b * b) / 2.0) AS rms
+        |FROM (SELECT doc_id,
+        |        CAST((doc_id * 37) % 20000 - 10000 AS DOUBLE) AS a,
+        |        CAST((doc_id * 53) % 20000 - 10000 AS DOUBLE) AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val wavs = Multimodal.synthesizeWav(
+          t(s, d, "documents").select(col("doc_id")), "doc_id")
+        val assets = Multimodal.toAsset(wavs, "doc_id", "wav", "audio/wav")
+        // sortSmall: map-only codec plan (see multimodal_frames)
+        sortSmall(Multimodal.audioFeatures(assets, "doc_id"), col("doc_id"))
+    },
+
     // ---- End-to-end corpus-cleaning pipeline (the training-data flow) ------
     // Every stage is one of the catalog operators; the oracle replays the
     // identical pipeline in SQL with an EXACT near-dup stage, while the

@@ -34,6 +34,12 @@ case class ImgStats(width: Int, height: Int,
 case class FrameStats(frame_no: Int, width: Int, height: Int,
                       mean_grey: Double)
 
+/** Decoded per-asset audio features (the real WAV codec's output schema;
+  * top-level for the same codegen reason as [[ImgStats]]).
+  */
+case class AudioStats(duration_ms: Double, sample_rate: Int, channels: Int,
+                      mean_amp: Double, rms: Double)
+
 object Multimodal {
 
   /** Wrap a table into the canonical multimodal schema:
@@ -73,6 +79,33 @@ object Multimodal {
   /** Add a real animated-GIF payload column (`gif`) with `frames` frames. */
   def synthesizeGif(df: DataFrame, idCol: String, frames: Int = 4): DataFrame =
     df.withColumn("gif", synthGifUdf(col(idCol), lit(frames)))
+
+  private val synthWavUdf = udf((id: Long) => AudioCodec.synthWav(id))
+
+  /** Add a real WAV payload column (`wav`) derived from the id (see
+    * `AudioCodec.synthWav` for the closed-form waveform the oracle
+    * mirrors).
+    */
+  def synthesizeWav(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("wav", synthWavUdf(col(idCol)))
+
+  private val audioDecodeUdf = udf((b: Array[Byte]) =>
+    AudioCodec.decodeStats(b).map {
+      case (dur, sr, ch, mean, rms) => AudioStats(dur, sr, ch, mean, rms)
+    })
+
+  /** REAL audio decode: (id, duration_ms, sample_rate, channels, mean_amp,
+    * rms) per asset; an undecodable payload yields nulls, never a task
+    * failure.
+    */
+  def audioFeatures(df: DataFrame, idCol: String,
+                    dataCol: Column = col("asset.data")): DataFrame =
+    df.select(col(idCol), audioDecodeUdf(dataCol).as("au"))
+      .select(col(idCol),
+        col("au.duration_ms").as("duration_ms"),
+        col("au.sample_rate").as("sample_rate"),
+        col("au.channels").as("channels"),
+        col("au.mean_amp").as("mean_amp"), col("au.rms").as("rms"))
 
   private val decodeUdf = udf((b: Array[Byte]) =>
     ImageCodec.decodeStats(b).map {

@@ -520,6 +520,64 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(mr - 120.0) < 16.0, s"gradient mean drifted: $mr (crop would give ~56 or ~184)")
   }
 
+  test("AudioCodec: synth WAV round-trips to the closed-form oracle values") {
+    // the exact formulas the multimodal_audio DuckDB oracle mirrors
+    for (id <- Seq(0L, 1L, 7L, 49L, 123L, 9999L)) {
+      val a = (id * 37 % 20000 - 10000).toDouble
+      val b = (id * 53 % 20000 - 10000).toDouble
+      val frames = 400 + (id % 50) * 2
+      val Some((dur, sr, ch, mean, rms)) =
+        AudioCodec.decodeStats(AudioCodec.synthWav(id))
+      assert(sr == 8000 && ch == (1 + id % 2).toInt, s"id=$id: rate/ch $sr/$ch")
+      assert(dur == frames / 8.0, s"id=$id: duration $dur")
+      assert(mean == (a + b) / 2.0, s"id=$id: mean $mean vs ${(a + b) / 2.0}")
+      assert(rms == math.sqrt((a * a + b * b) / 2.0), s"id=$id: rms $rms")
+    }
+  }
+
+  test("AudioCodec: signed samples, stereo interleave, and hand-built PCM decode exactly") {
+    // signs must survive the little-endian 16-bit unpack: {-5, +5} has
+    // mean 0 and rms 5; a decoder that reads unsigned would report ~32765
+    val Some((_, _, _, m1, r1)) =
+      AudioCodec.decodeStats(AudioCodec.pcmWav(16000, 1, Array[Short](-5, 5, -5, 5)))
+    assert(m1 == 0.0 && r1 == 5.0, s"($m1, $r1)")
+    // stereo frame accounting: 6 samples / 2 channels = 3 frames @16kHz
+    val Some((dur2, sr2, ch2, m2, _)) =
+      AudioCodec.decodeStats(AudioCodec.pcmWav(16000, 2,
+        Array[Short](100, 300, 100, 300, 100, 300)))
+    assert(sr2 == 16000 && ch2 == 2 && dur2 == 3 * 1000.0 / 16000 && m2 == 200.0)
+    // extreme values round-trip (no clipping/overflow in the packer)
+    val Some((_, _, _, m3, r3)) =
+      AudioCodec.decodeStats(AudioCodec.pcmWav(8000, 1,
+        Array[Short](Short.MinValue, Short.MaxValue)))
+    assert(m3 == -0.5 && r3 == math.sqrt((32768.0 * 32768 + 32767.0 * 32767) / 2))
+  }
+
+  test("AudioCodec: corrupt, truncated, empty, and non-16-bit payloads yield None") {
+    assert(AudioCodec.decodeStats(null).isEmpty)
+    assert(AudioCodec.decodeStats("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decodeStats(Array.emptyByteArray).isEmpty)
+    // a TRUNCATED header: RIFF magic present, format chunk cut mid-way —
+    // the parser throws, the contract is None, not a task failure
+    assert(AudioCodec.decodeStats(AudioCodec.synthWav(3L).take(20)).isEmpty)
+    // 8-bit PCM is recognized but outside the 16-bit decode contract
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt8, 4)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    assert(AudioCodec.decodeStats(bos8.toByteArray).isEmpty)
+    // and through the DataFrame path: bad assets give null rows, not errors
+    import spark.implicits._
+    val junk = Seq((1L, "junk".getBytes("UTF-8")), (2L, null),
+        (3L, AudioCodec.synthWav(5L).take(30)))
+      .toDF("doc_id", "wav")
+    val assets = Multimodal.toAsset(junk, "doc_id", "wav", "audio/wav")
+    val feats = Multimodal.audioFeatures(assets, "doc_id").collect()
+    assert(feats.length == 3 && feats.forall(_.isNullAt(1)))
+  }
+
   test("multimodal: undecodable and null payloads yield null features, not task failures") {
     import spark.implicits._
     // a TRUNCATED png is the nasty case: ImageIO recognizes the magic
