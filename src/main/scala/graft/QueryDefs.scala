@@ -36,4 +36,21 @@ object QueryDefs {
   /** Exact-decimal sum fragment for oracle SQL (mirror of Det.dsum). */
   def sqlDsum(exprSql: String): String =
     s"CAST(SUM(CAST($exprSql AS DECIMAL(30,6))) AS DOUBLE)"
+
+  // Per-PROCESS scratch root: two concurrent harness processes on the same
+  // sf dir must never overwrite each other's round-trip files mid-scan
+  // (the same race the stream-replay dirs defend against). Deleted on JVM
+  // exit; siblings orphaned by SIGKILLed runs are swept on first use.
+  private lazy val procRoot: String = {
+    TmpDirs.sweepDead(java.nio.file.Paths.get("/tmp/graft_io"), "p")
+    val root = s"/tmp/graft_io/p${ProcessHandle.current().pid()}"
+    TmpDirs.deleteOnExit(java.nio.file.Paths.get(root))
+    root
+  }
+
+  /** Per-(process, sf) scratch dir: sf0.01 verify and sf0.1 bench don't
+    * collide, and neither do concurrent processes.
+    */
+  def ioDir(sfDir: String, leaf: String): String =
+    s"$procRoot/${new java.io.File(sfDir).getName}/$leaf"
 }

@@ -20,22 +20,7 @@ import graft.operators.Det
   */
 object SourceQueries {
 
-  // Per-PROCESS scratch root: two concurrent harness processes on the same
-  // sf dir must never overwrite each other's round-trip files mid-scan
-  // (the same race the stream-replay dirs defend against). Deleted on JVM
-  // exit; siblings orphaned by SIGKILLed runs are swept on first use.
-  private lazy val procRoot: String = {
-    TmpDirs.sweepDead(java.nio.file.Paths.get("/tmp/graft_io"), "p")
-    val root = s"/tmp/graft_io/p${ProcessHandle.current().pid()}"
-    TmpDirs.deleteOnExit(java.nio.file.Paths.get(root))
-    root
-  }
-
-  /** Per-(process, sf) scratch dir: sf0.01 verify and sf0.1 bench don't
-    * collide, and neither do concurrent processes.
-    */
-  private def ioDir(sfDir: String, leaf: String): String =
-    s"$procRoot/${new java.io.File(sfDir).getName}/$leaf"
+  // scratch dirs come from QueryDefs.ioDir (shared with the IVF index build)
 
   val all: Seq[Q] = Seq(
 

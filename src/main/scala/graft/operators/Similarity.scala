@@ -57,16 +57,7 @@ object Similarity {
     val q = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val sims = q.crossJoin(c)
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy(col("q_id"), col("rk"))
+    rerankTopK(q.crossJoin(c).filter(col("q_id") =!= col("n_id")), k)
   }
 
   /** Seeded Gaussian plane matrix (bits × dim) — one shared generator so
@@ -126,7 +117,15 @@ object Similarity {
       .select("q_id", "n_id").distinct()
     val qv = emb.filter(queryPred).select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cv = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val sims = cand.join(qv, Seq("q_id")).join(cv, Seq("n_id"))
+    rerankTopK(cand.join(qv, Seq("q_id")).join(cv, Seq("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")), k)
+  }
+
+  /** Exact cosine re-rank of a candidate frame (q_id, q_vec, n_id, n_vec)
+    * to per-query top-k — the shared tail of every ANN path.
+    */
+  private def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val sims = cand
       .select(col("q_id"), col("n_id"),
         round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -146,33 +145,24 @@ object Similarity {
     *
     * Scale: the centroid table is sketch-sized (nlist·dim doubles,
     * closure-broadcast); assignment is one row-parallel pass; search is
-    * an equi join on the bucket id — no all-pairs anywhere.
+    * an equi join on the bucket id — no all-pairs anywhere. This FUSED
+    * form re-trains the quantizer per call — right for one-shot
+    * exploration; a serving deployment builds once with `buildIvfIndex`
+    * and probes with `ivfTopKFromIndex`.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val cand = ivfCandidates(emb, idCol, vecCol, queryPred, nlist, nprobe, seed)
-    val sims = cand
-      .select(col("q_id"), col("n_id"),
-        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy(col("q_id"), col("rk"))
-  }
+              seed: Long = 42L): DataFrame =
+    rerankTopK(ivfCandidates(emb, idCol, vecCol, queryPred, nlist, nprobe, seed), k)
 
-  /** The IVF candidate stage alone — (q_id, q_vec, n_id, n_vec) for every
-    * corpus vector in a query's `nprobe` nearest centroid buckets, BEFORE
-    * exact re-rank. Exposed so the scaling spec can measure the probed
-    * fraction empirically: the IVF scale claim is that this set is
-    * ≈ (nprobe/nlist)·N per query instead of the brute-force N.
+  /** Train the IVF coarse quantizer: seeded deterministic init (the nlist
+    * hash-smallest vectors) + one Lloyd refinement pass, both distributed;
+    * only the sketch-sized centroid matrix (nlist·dim doubles) is ever
+    * collected. Shared by the fused path and the persisted-index build, so
+    * the two produce identical centroids for identical (data, seed).
     */
-  def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
-                    queryPred: Column, nlist: Int = 16, nprobe: Int = 4,
-                    seed: Long = 42L): DataFrame = {
-    graft.functions.VectorExprs.register(emb.sparkSession)
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, seed: Long): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     // the Lloyd pass never uses ids — ship vectors only (and stay agnostic
@@ -195,31 +185,111 @@ object Similarity {
       .select(col("v")).as[Array[Float]]
       .collect().map(_.map(_.toDouble))
     // one Lloyd pass: mean of each centroid's assigned vectors
-    val refined: Array[Array[Double]] = {
-      val sums = vecs
-        .map(v => (nearest(v, init), v.map(_.toDouble), 1L))
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          (a._1, a._2.zip(b._2).map { case (x, y) => x + y }, a._3 + b._3)
-        }
-        .map { case (_, (c, s, n)) => (c, s.map(_ / n)) }
-        .collect().toMap
-      Array.tabulate(init.length)(i => sums.getOrElse(i, init(i)))
-    }
+    val sums = vecs
+      .map(v => (nearest(v, init), v.map(_.toDouble), 1L))
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        (a._1, a._2.zip(b._2).map { case (x, y) => x + y }, a._3 + b._3)
+      }
+      .map { case (_, (c, s, n)) => (c, s.map(_ / n)) }
+      .collect().toMap
+    Array.tabulate(init.length)(i => sums.getOrElse(i, init(i)))
+  }
+
+  /** The IVF candidate stage alone — (q_id, q_vec, n_id, n_vec) for every
+    * corpus vector in a query's `nprobe` nearest centroid buckets, BEFORE
+    * exact re-rank. Exposed so the scaling spec can measure the probed
+    * fraction empirically: the IVF scale claim is that this set is
+    * ≈ (nprobe/nlist)·N per query instead of the brute-force N.
+    */
+  def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, nlist: Int = 16, nprobe: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     // assignment + probing are the native NearestCentroids expression
     // (codegen'd primitive loops; the centroid matrix decodes once per
-    // task, not per row) — selection order matches `nearest`/a stable
-    // sort: ascending (distance, index)
-    val cs: Seq[Seq[Double]] = refined.toSeq.map(_.toSeq)
+    // task, not per row) — selection order matches the training loop's
+    // `nearest`/a stable sort: ascending (distance, index)
+    val cs: Seq[Seq[Double]] =
+      trainCentroids(emb, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
     import graft.functions.VectorExprs.nearestCentroids
     val corpus = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("bucket", element_at(nearestCentroids(col("n_vec"), cs, 1), 1))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket", explode(nearestCentroids(col("q_vec"), cs, nprobe)))
-    queries.join(corpus, Seq("bucket"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+    observeCandidates(
+      queries.join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")))
+  }
+
+  /** Named observation emitted by both IVF candidate paths (fused and
+    * index-served): `examined` = candidate pairs entering exact re-rank.
+    * Probe selectivity is `examined / (|Q|·(N-1))` — observable in
+    * production via a `QueryExecutionListener` (the metric rides the
+    * normal codegen'd plan; no accumulator plumbing in the hot path).
+    */
+  val candidatesMetric = "graft_ivf_candidates"
+
+  private def observeCandidates(cand: DataFrame): DataFrame =
+    cand.observe(candidatesMetric, count(lit(1)).as("examined"))
+
+  /** Build the IVF index ONCE and persist it — the serving shape for a
+    * real ANN deployment (a 100 TB corpus is indexed by a batch job;
+    * query batches then probe WITHOUT re-training):
+    *   `indexDir/centroids`    nlist rows (bucket, centroid array<double>);
+    *   `indexDir/assignments`  the corpus keyed (n_id, n_vec),
+    *                           Hive-partitioned by bucket so a probe reads
+    *                           only its buckets' files.
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, nlist: Int = 16, seed: Long = 42L): Unit = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val refined = trainCentroids(emb, idCol, vecCol, nlist, seed)
+    refined.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val cs: Seq[Seq[Double]] = refined.toSeq.map(_.toSeq)
+    import graft.functions.VectorExprs.nearestCentroids
+    emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("bucket", element_at(nearestCentroids(col("n_vec"), cs, 1), 1))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/assignments")
+  }
+
+  /** Probe-only IVF top-k against a persisted `buildIvfIndex` artifact: no
+    * Lloyd pass, no assignment pass — the executed plan is two parquet
+    * reads (centroids collected once per query batch, sketch-sized;
+    * assignments PARTITION-PRUNED to the probed buckets) plus the exact
+    * re-rank. The probed bucket set (≤ |Q|·nprobe ints, sketch-sized by
+    * contract — query batches are small relative to the corpus) is
+    * collected so the pruning filter is static at planning time, visible
+    * as `PartitionFilters` in the scan.
+    */
+  def ivfTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.nearestCentroids
+    val cs: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("bucket"))
+      .select(col("centroid"))
+      .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("bucket", explode(nearestCentroids(col("q_vec"), cs, nprobe)))
+    val probed = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(s"$indexDir/assignments")
+      .filter(col("bucket").isin(probed.map(Int.box): _*))
+    val cand = observeCandidates(
+      q.join(corpus, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")))
+    rerankTopK(cand, k)
   }
 
   private def round6(x: Double): Double = Det.round6(x)

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.operators.Similarity
+
+/** The IVF build/serve split: a real ANN deployment builds the index once
+  * (batch job) and serves many query batches against it. These tests pin
+  * the three claims that make the split real:
+  *   1. served results ≡ the fused (train-per-call) path for the same
+  *      (data, nlist, seed, nprobe) — the split changes WHEN training
+  *      happens, never WHAT the query returns;
+  *   2. the serve-time plan contains no training stage and reads the
+  *      assignment parquet PARTITION-PRUNED to the probed buckets;
+  *   3. probe selectivity is observable via the `graft_ivf_candidates`
+  *      metric that rides both candidate paths.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private def embeddings(n: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    Seq.tabulate(n)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+  }
+
+  /** Run `action` and return the observed row of `metricName` from the
+    * last successful execution that carried it (QueryExecutionListener is
+    * async — drained via the graftest shim).
+    */
+  private def observed(metricName: String)(action: => Unit): Option[org.apache.spark.sql.Row] = {
+    @volatile var row: Option[org.apache.spark.sql.Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach(r => row = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action
+      org.apache.spark.graftest.ListenerDrain.drain(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    row
+  }
+
+  test("served top-k from a persisted index equals the fused train-per-call path") {
+    val emb = embeddings(500).cache(); emb.count()
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/parity"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
+    val fused = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 6, 10, nlist = 16, nprobe = 4, seed = 42L).collect().toSeq
+    val served = Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 6),
+      "vec_id", "embedding", dir, 10, nprobe = 4).collect().toSeq
+    assert(served == fused,
+      s"build/serve split changed results: served=${served.take(3)} fused=${fused.take(3)}")
+    emb.unpersist()
+  }
+
+  test("serve-time plan has no training stage and partition-prunes the assignment scan") {
+    val emb = embeddings(400).cache(); emb.count()
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/plan"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
+    val served = Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 4),
+      "vec_id", "embedding", dir, 10, nprobe = 4)
+    val plan = served.queryExecution.executedPlan.toString
+    // the Lloyd pass runs through Dataset.groupByKey, whose physical
+    // signature is AppendColumns — absent means no training at serve time
+    assert(!plan.contains("AppendColumns"), s"training stage in serve plan:\n$plan")
+    // the assignment read must carry a static bucket predicate into the
+    // scan's partition filters — only the probed buckets' files are read
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"assignment scan not partition-pruned:\n$plan")
+    val pruned = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"))
+    assert(pruned.exists(_.contains("bucket")),
+      s"no non-empty PartitionFilters on bucket:\n$plan")
+    emb.unpersist()
+  }
+
+  test("probed-fraction is observable via the graft_ivf_candidates metric on both paths") {
+    val emb = embeddings(1000).cache(); emb.count()
+    val nQueries = 5
+    // fused path
+    val fusedExamined = observed(Similarity.candidatesMetric) {
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") < nQueries, 10, nlist = 16, nprobe = 4).collect()
+    }.map(_.getLong(0))
+    // served path
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/metric"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
+    val servedExamined = observed(Similarity.candidatesMetric) {
+      Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < nQueries),
+        "vec_id", "embedding", dir, 10, nprobe = 4).collect()
+    }.map(_.getLong(0))
+    val brute = nQueries.toLong * (1000 - 1)
+    for ((label, ex) <- Seq("fused" -> fusedExamined, "served" -> servedExamined)) {
+      assert(ex.isDefined, s"$label path emitted no $label candidates metric")
+      val frac = ex.get.toDouble / brute
+      assert(frac < 0.55, s"$label examined ${ex.get} of $brute ($frac) — probing is not pruning")
+      assert(frac > 0.05, s"$label examined only $frac — buckets degenerate")
+    }
+    // identical training (same data, nlist, seed) ⇒ identical probe sets
+    assert(fusedExamined == servedExamined,
+      s"fused ($fusedExamined) and served ($servedExamined) probe sets differ")
+    emb.unpersist()
+  }
+}
