@@ -544,14 +544,21 @@ object ExtensionQueries {
     },
 
     // ---- Misra-Gries over a tuple key (reference sketches schema subsets) --
+    // The sketch key is the actual (l_returnflag, l_linestatus) STRUCT
+    // (native MisraGriesSketch aggregate — no string rendering); the
+    // output renders the struct for the SQL oracle's string GROUP BY.
     Q("heavy_hitters_mg_tuple",
       """SELECT l_returnflag || '|' || l_linestatus AS value, COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY value ASC NULLS FIRST""".stripMargin) {
-      (s, d) => t(s, d, "lineitem")
-        .agg(MisraGries.sketchTuple(
-          Seq(col("l_returnflag"), col("l_linestatus")), 10, "|").as("mg"))
-        .select(explode(col("mg")).as(Seq("value", "cnt")))
-        .orderBy(col("value").asc_nulls_first)
+      (s, d) =>
+        graft.functions.VectorExprs.register(s)
+        t(s, d, "lineitem")
+          .agg(MisraGries.sketchStruct(
+            Seq(col("l_returnflag"), col("l_linestatus")), 10).as("mg"))
+          .select(explode(col("mg")).as(Seq("key", "cnt")))
+          .select(concat(col("key.l_returnflag"), lit("|"),
+            col("key.l_linestatus")).as("value"), col("cnt"))
+          .orderBy(col("value").asc_nulls_first)
     }
   )
 }

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{concat_ws, udaf}
+import org.apache.spark.sql.functions.{call_function, lit, struct, udaf}
 
 /** Misra-Gries heavy-hitters sketch as a typed Spark Aggregator.
   *
@@ -71,17 +71,15 @@ object MisraGries {
     udaf(new MisraGries(k), Encoders.STRING).apply(c)
 
   /** Tuple-key form — the reference sketches multi-column rows
-    * (`ref:P/sketches/FreqKSketch.java` over a schema subset): the key is
-    * the separator-joined string rendering of the columns. Two caveats
-    * on the string encoding: (1) `concat_ws` skips nulls, so null and
-    * empty-string tuple parts collide; (2) a part CONTAINING the
-    * separator injects false tuple boundaries — under sep="|",
-    * ("a|b", "c") and ("a", "b|c") render identically. The default
-    * separator is the non-printable \u0001 (absent from fixture data);
-    * callers choosing a printable separator, or needing null fidelity,
-    * must pre-encode (escape or length-prefix) the parts.
+    * (`ref:P/sketches/FreqKSketch.java` over a schema subset). The key is
+    * the actual column-value STRUCT via the native [[MisraGriesSketch]]
+    * aggregate: null parts and separator-containing strings are faithful
+    * (the earlier string-rendered form silently skipped null parts and
+    * could merge distinct tuples; see MisraGriesSketch's scaladoc).
+    * Output: map<struct<...>, bigint>. Requires the graft native functions
+    * registered in the session — `VectorExprs.register(spark)` (the
+    * HeavyHitters entry points do this).
     */
-  def sketchTuple(cols: Seq[Column], k: Int, sep: String = "\u0001"): Column =
-    udaf(new MisraGries(k), Encoders.STRING)
-      .apply(concat_ws(sep, cols.map(_.cast("string")): _*))
+  def sketchStruct(cols: Seq[Column], k: Int): Column =
+    call_function("graft_mg_sketch", struct(cols: _*), lit(k))
 }

@@ -61,13 +61,26 @@ object HeavyHitters {
   /** Tuple-key exact probe — the reference probes multi-column row
     * candidates (`ExactFreqSketch` over a schema subset): candidates are
     * value tuples in `keys` order, matched via an in-set struct predicate
-    * (codegen'd; no join, one shuffle of matching rows only).
+    * (codegen'd; no join, one shuffle of matching rows only). A candidate
+    * with a NULL part cannot equi-match a struct literal (three-valued
+    * logic would drop it), so null-bearing candidates probe through
+    * per-field null-safe equality (`<=>`) instead — candidates are
+    * sketch-sized (≤ k), so the OR chain stays tiny and codegen'd.
     */
   def exactProbeTuples(df: DataFrame, keys: Seq[String],
                        candidates: Seq[Seq[Any]]): DataFrame = {
+    val grouped = df.groupBy(keys.map(col).toIndexedSeq: _*)
+    if (candidates.isEmpty)
+      return grouped.agg(count(lit(1)).as("cnt")).filter(lit(false))
+    val (withNull, noNull) = candidates.partition(_.exists(_ == null))
     val keyStruct = struct(keys.map(col): _*)
-    val lits = candidates.map(t => struct(t.map(lit): _*))
-    df.filter(keyStruct.isin(lits: _*))
+    val preds =
+      (if (noNull.nonEmpty)
+        Seq(keyStruct.isin(noNull.map(t => struct(t.map(lit): _*)): _*))
+      else Nil) ++
+      withNull.map(t =>
+        keys.zip(t).map { case (kc, v) => col(kc) <=> lit(v) }.reduce(_ && _))
+    df.filter(preds.reduce(_ || _))
       .groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"))
       .orderBy(keys.map(k => col(k).asc_nulls_first).toIndexedSeq: _*)
@@ -86,12 +99,18 @@ object HeavyHitters {
 
   /** Filter the base table against an ALREADY-COMPUTED heavy set (e.g. the
     * exact-probe output of the two-phase flow) instead of recomputing the
-    * groupBy — broadcast of ≤ |heavy| key tuples, no extra shuffle.
+    * groupBy — broadcast of ≤ |heavy| key tuples, no extra shuffle. The
+    * join is NULL-SAFE per key part (`<=>`): a heavy tuple containing a
+    * null must still select/reject its rows (plain equi-join three-valued
+    * logic would silently drop them).
     */
   def filterToHeavy(df: DataFrame, keys: Seq[String], heavy: DataFrame,
-                    keep: Boolean): DataFrame =
-    df.join(broadcast(heavy.select(keys.map(col).toIndexedSeq: _*)), keys,
-      if (keep) "left_semi" else "left_anti")
+                    keep: Boolean): DataFrame = {
+    val aliased = heavy.select(
+      keys.map(k => col(k).as(s"__hh_$k")).toIndexedSeq: _*)
+    val cond = keys.map(k => col(k) <=> col(s"__hh_$k")).reduce(_ && _)
+    df.join(broadcast(aliased), cond, if (keep) "left_semi" else "left_anti")
+  }
 
   /** The composed two-phase heavy-hitter flow — the reference's signature
     * sketch interaction (paper §3.3/§4.4: `ref:P/sketches/FreqKSketch.java`
@@ -109,32 +128,21 @@ object HeavyHitters {
     * Returns the heavy base-table rows. Guarantees: MG has no false
     * negatives above N/(k+1), and phase 2 replaces MG's lower-bound counts
     * with exact ones, so for minCount > N/(k+1) the result is exactly the
-    * rows whose tuple frequency ≥ minCount; with k > |distinct tuples| the
-    * chain is exact for ANY minCount. Keys must render uniquely as strings
-    * (the sketch key is the `sep`-joined rendering; see
-    * [[graft.functions.MisraGries.sketchTuple]] for the null/separator
-    * caveats).
+    * rows whose tuple frequency >= minCount; with k > |distinct tuples| the
+    * chain is exact for ANY minCount. The sketch key is the actual value
+    * STRUCT ([[graft.functions.MisraGriesSketch]]), and both the probe and
+    * the final join are null-safe — tuples with null parts or
+    * arbitrary-content strings flow through every phase faithfully.
     */
-  def twoPhase(df: DataFrame, keys: Seq[String], k: Int, minCount: Long,
-               sep: String = "\u0001"): DataFrame = {
+  def twoPhase(df: DataFrame, keys: Seq[String], k: Int, minCount: Long): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     val cands = df
-      .agg(graft.functions.MisraGries.sketchTuple(keys.map(col), k, sep).as("mg"))
+      .agg(graft.functions.MisraGries.sketchStruct(keys.map(col), k).as("mg"))
       .select(explode(map_keys(col("mg"))).as("cand"))
-      .collect() // ≤ k candidate tuples — sketch-sized by contract
-      .map(_.getString(0).split(java.util.regex.Pattern.quote(sep), -1).toSeq)
-      // a NULL key part is SKIPPED by the string rendering (concat_ws), so
-      // its candidate splits into FEWER parts than keys.size — such tuples
-      // cannot be probed through the rendering (and could never equi-match
-      // a struct literal anyway); drop them instead of building a
-      // mismatched-arity struct literal that fails analysis. MORE parts
-      // than keys.size means a key VALUE contains the separator — fail
-      // loudly rather than silently dropping a possibly-heavy tuple
-      .filter { parts =>
-        require(parts.length <= keys.size,
-          s"twoPhase: a sketched key value contains the separator " +
-            s"(candidate splits into ${parts.length} parts for ${keys.size} " +
-            s"keys) — pass a `sep` absent from the data")
-        parts.length == keys.size
+      .collect() // <= k candidate tuples — sketch-sized by contract
+      .map { r =>
+        val t = r.getStruct(0)
+        (0 until t.length).map(t.get): Seq[Any]
       }
       .toSeq
     val exact = exactProbeTuples(df, keys, cands)

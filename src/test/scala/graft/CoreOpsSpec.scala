@@ -158,18 +158,20 @@ class CoreOpsSpec extends SparkSpec {
     assert(kept == truth)
   }
 
-  test("twoPhase equals the exact heavy set and survives NULL key values") {
+  test("twoPhase equals the exact heavy set, including NULL and separator-laden keys") {
     import spark.implicits._
-    // heavy groups: (a,1) x5, (b,2) x4; light: (c,3) x1; null-keyed: x3
-    // (heavy by count, but unprobe-able through the string rendering —
-    // must be dropped, not crash candidate-struct construction)
+    // heavy groups: (a,1) x5, (b,2) x4, (d,NULL) x3, ("x|y","z") x3;
+    // light: (c,3) x1. The struct-keyed sketch + null-safe probe/join must
+    // return ALL heavy tuples — the old string rendering silently dropped
+    // the null-keyed one and was ambiguous under separator content.
     val rows = Seq.fill(5)(("a", "1")) ++ Seq.fill(4)(("b", "2")) ++
-      Seq(("c", "3")) ++ Seq.fill(3)(("d", null))
+      Seq(("c", "3")) ++ Seq.fill(3)(("d", null)) ++ Seq.fill(3)(("x|y", "z"))
     val df = rows.toDF("k1", "k2")
     val heavy = HeavyHitters.twoPhase(df, Seq("k1", "k2"), k = 10, minCount = 3L)
       .groupBy("k1", "k2").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(heavy == Map(("a", "1") -> 5L, ("b", "2") -> 4L), heavy.toString)
+    assert(heavy == Map(("a", "1") -> 5L, ("b", "2") -> 4L,
+      ("d", null) -> 3L, ("x|y", "z") -> 3L), heavy.toString)
   }
 
   test("set-op views obey inclusion-exclusion") {

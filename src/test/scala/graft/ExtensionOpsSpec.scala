@@ -46,20 +46,51 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"UDF node leaked into the LSH plan:\n$plan")
   }
 
-  test("sketchTuple: default \\u0001 separator keeps separator-containing parts distinct") {
+  test("sketchStruct: separator-content and null parts are faithful tuple keys") {
     import spark.implicits._
-    val df = Seq(("a|b", "c"), ("a", "b|c"), ("a", null)).toDF("x", "y")
-    val dflt = df.agg(functions.MisraGries.sketchTuple(Seq(col("x"), col("y")), 10).as("mg"))
-      .head.getMap[String, Long](0)
-    // under the non-printable default the two pipe-bearing tuples stay distinct; the documented
-    // concat_ws caveat still applies: the null part is SKIPPED, so ("a", null)
-    // renders as bare "a"
-    assert(dflt.keySet == Set("a|b\u0001c", "a\u0001b|c", "a"), dflt.keySet.toString)
-    // a printable separator inside a part injects false tuple boundaries —
-    // the exact failure mode the non-printable default avoids
-    val pipe = df.agg(functions.MisraGries.sketchTuple(Seq(col("x"), col("y")), 10, "|").as("mg"))
-      .head.getMap[String, Long](0)
-    assert(pipe("a|b|c") == 2L, pipe.toString)
+    functions.VectorExprs.register(spark)
+    // the two failure modes of the old string rendering: parts containing
+    // any would-be separator, and null parts (previously skipped so
+    // ("a", null) collapsed to bare "a" — and could collide with ("a",""))
+    val df = Seq(("a|b", "c"), ("a", "b|c"), ("a", null), ("a", null), ("a", ""))
+      .toDF("x", "y")
+    val got = df.agg(functions.MisraGries.sketchStruct(Seq(col("x"), col("y")), 10).as("mg"))
+      .select(explode(col("mg")).as(Seq("k", "cnt")))
+      .collect()
+      .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getString(1)) -> r.getLong(1))
+      .toMap
+    assert(got == Map(("a|b", "c") -> 1L, ("a", "b|c") -> 1L,
+      ("a", null) -> 2L, ("a", "") -> 1L), got.toString)
+  }
+
+  test("sketchStruct MG guarantees hold distributed (serialize + merge across partitions)") {
+    import spark.implicits._
+    functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(5L)
+    // skewed draw so some tuples cross the N/(k+1) threshold; ~10% null parts
+    val rows = Seq.fill(4000)((
+      math.min(rnd.nextInt(8), rnd.nextInt(8)).toString,
+      if (rnd.nextInt(10) == 0) null else "v"))
+    val n = rows.size.toLong
+    val k = 5
+    // 7 partitions force partial buffers through serialize/deserialize/merge
+    val sketch = rows.toDF("x", "y").repartition(7)
+      .agg(functions.MisraGries.sketchStruct(Seq(col("x"), col("y")), k).as("mg"))
+      .select(explode(col("mg")).as(Seq("t", "cnt")))
+      .collect()
+      .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getString(1)) -> r.getLong(1))
+      .toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sketch.size <= k, s"buffer exceeded k: ${sketch.size}")
+    sketch.foreach { case (t, c) =>
+      val tc = truth.getOrElse(t, 0L)
+      assert(c <= tc, s"overcount $t: $c > $tc")
+      assert(c >= tc - n / (k + 1), s"undercount beyond bound for $t")
+    }
+    truth.foreach { case (t, c) =>
+      if (c > n / (k + 1))
+        assert(sketch.contains(t), s"missed heavy tuple $t (freq $c of $n)")
+    }
   }
 
   test("SimHash: planted pairs at small Hamming distance, background far") {
