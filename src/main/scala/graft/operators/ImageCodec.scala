@@ -105,38 +105,130 @@ object ImageCodec {
   }
 
   /** Decode every frame of a multi-frame GIF to
-    * (frameNo, width, height, meanR, meanG, meanB). Empty for
-    * null/undecodable bytes.
+    * (frameNo, width, height, meanR, meanG, meanB) of the COMPOSED frame:
+    * GIF frames are often delta-encoded (a small patch raster at a
+    * left/top offset plus a disposal code), so each frame's stats are
+    * taken over the logical-screen canvas after drawing the frame and
+    * honoring the previous frames' disposal metadata — what a viewer
+    * shows — not over the raw patch raster. Width/height reported are the
+    * canvas dimensions. Uncovered canvas (never-drawn or
+    * restored-to-background) reads as black. Empty for null/undecodable
+    * bytes.
     */
   def gifFrameStats(bytes: Array[Byte]): Seq[(Int, Int, Int, Double, Double, Double)] = {
     if (bytes == null) return Seq.empty
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-    val readers = ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) { iis.close(); return Seq.empty }
-    val reader = readers.next()
+    if (iis == null) return Seq.empty // no stream SPI — treat as undecodable
     try {
-      reader.setInput(iis, false)
-      val n = reader.getNumImages(true)
-      // dimension probe before any raster allocation — same bomb guard as
-      // decodeQuietly, applied per frame (a GIF logical screen is small
-      // but a single frame can still declare huge bounds)
-      val bombed = (0 until n).exists { i =>
-        val w = reader.getWidth(i).toLong; val h = reader.getHeight(i).toLong
-        w <= 0 || h <= 0 || w * h > maxPixels
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        // probe every frame's declared geometry BEFORE any raster
+        // allocation — same bomb guard as decodeQuietly, and the canvas
+        // (logical screen ∪ frame extents) must fit the cap too
+        val frames = (0 until n).map { i =>
+          val w = reader.getWidth(i).toLong
+          val h = reader.getHeight(i).toLong
+          if (w <= 0 || h <= 0 || w * h > maxPixels)
+            return Seq.empty
+          val (left, top, disposal) = gifFrameMeta(reader, i)
+          (i, w.toInt, h.toInt, left, top, disposal)
+        }
+        val (sw, sh) = gifLogicalScreen(reader)
+        val cw = math.max(sw, frames.map(f => f._4 + f._2).max)
+        val ch = math.max(sh, frames.map(f => f._5 + f._3).max)
+        if (cw.toLong * ch > maxPixels) return Seq.empty
+        val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+        frames.map { case (i, _, _, left, top, disposal) =>
+          val patch = reader.read(i)
+          // restoreToPrevious needs the pre-draw canvas back after this
+          // frame is shown
+          val saved =
+            if (disposal == "restoreToPrevious") copyCanvas(canvas) else null
+          val g2 = canvas.createGraphics()
+          try g2.drawImage(patch, left, top, null)
+          finally g2.dispose()
+          val (w, h, mr, mg, mb) = stats(canvas)
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              // clear the frame's region (background reads as black)
+              val g = canvas.createGraphics()
+              try {
+                g.setColor(java.awt.Color.BLACK)
+                g.fillRect(left, top, patch.getWidth, patch.getHeight)
+              } finally g.dispose()
+            case "restoreToPrevious" =>
+              val g = canvas.createGraphics()
+              try g.drawImage(saved, 0, 0, null)
+              finally g.dispose()
+            case _ => // none / doNotDispose: canvas persists
+          }
+          (i, w, h, mr, mg, mb)
+        }
+      } catch {
+        // a recognized-but-corrupt payload throws mid-read (IIOException);
+        // corrupt assets yield no frames, never a task failure
+        case scala.util.control.NonFatal(_) => Seq.empty
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** (left, top, disposalMethod) from a GIF frame's native metadata;
+    * defaults (0, 0, "none") when nodes are absent.
+    */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader,
+                           i: Int): (Int, Int, String) = {
+    val root = reader.getImageMetadata(i)
+      .getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    var left = 0; var top = 0; var disposal = "none"
+    val kids = root.getChildNodes
+    var j = 0
+    while (j < kids.getLength) {
+      val node = kids.item(j).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      node.getNodeName match {
+        case "ImageDescriptor" =>
+          left = node.getAttribute("imageLeftPosition").toInt
+          top = node.getAttribute("imageTopPosition").toInt
+        case "GraphicControlExtension" =>
+          val d = node.getAttribute("disposalMethod")
+          if (d.nonEmpty) disposal = d
+        case _ =>
       }
-      if (bombed) return Seq.empty
-      (0 until n).map { i =>
-        val (w, h, mr, mg, mb) = stats(reader.read(i))
-        (i, w, h, mr, mg, mb)
-      }
-    } catch {
-      // a recognized-but-corrupt payload throws mid-read (IIOException);
-      // corrupt assets yield no frames, never a task failure
-      case scala.util.control.NonFatal(_) => Seq.empty
-    } finally {
-      reader.dispose()
-      iis.close()
+      j += 1
     }
+    (left, top, disposal)
+  }
+
+  /** Logical-screen (canvas) dimensions from the GIF stream metadata;
+    * (0, 0) when absent — callers fall back to frame extents.
+    */
+  private def gifLogicalScreen(reader: javax.imageio.ImageReader): (Int, Int) =
+    try {
+      val root = reader.getStreamMetadata
+        .getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = root.getChildNodes
+      var j = 0
+      while (j < kids.getLength) {
+        val node = kids.item(j).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (node.getNodeName == "LogicalScreenDescriptor")
+          return (node.getAttribute("logicalScreenWidth").toInt,
+            node.getAttribute("logicalScreenHeight").toInt)
+        j += 1
+      }
+      (0, 0)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+
+  private def copyCanvas(img: BufferedImage): BufferedImage = {
+    val c = new BufferedImage(img.getWidth, img.getHeight, img.getType)
+    val g = c.createGraphics()
+    try g.drawImage(img, 0, 0, null)
+    finally g.dispose()
+    c
   }
 
   /** Max pixels a single decoded frame may allocate (64M px ≈ 256 MB of
@@ -154,6 +246,7 @@ object ImageCodec {
     */
   private def decodeQuietly(bytes: Array[Byte]): BufferedImage = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    if (iis == null) return null // no stream SPI registered — undecodable
     try {
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null

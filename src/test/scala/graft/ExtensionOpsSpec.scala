@@ -512,6 +512,68 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ImageCodec.decodeStats(bos.toByteArray).contains((6, 4, 40.0, 50.0, 60.0)))
   }
 
+  test("gifFrameStats composes delta-encoded frames per offset + disposal metadata") {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    def greyFrame(w: Int, h: Int, grey: Int): java.awt.image.BufferedImage = {
+      val v = (grey & 0xff).toByte
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array[Byte](v, 0), Array[Byte](v, 0), Array[Byte](v, 0))
+      new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    }
+    // hand-authored delta GIF: full 8x8 base, then a 2x2 patch at (3,3)
+    // that must be CLEARED after display, then a 2x2 patch at (0,0)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      def write(img: java.awt.image.BufferedImage, left: Int, top: Int,
+                disposal: String): Unit = {
+        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        var gce: IIOMetadataNode = null
+        (0 until root.getChildNodes.getLength).foreach { j =>
+          val n = root.getChildNodes.item(j).asInstanceOf[IIOMetadataNode]
+          if (n.getNodeName == "ImageDescriptor") {
+            n.setAttribute("imageLeftPosition", left.toString)
+            n.setAttribute("imageTopPosition", top.toString)
+          } else if (n.getNodeName == "GraphicControlExtension") gce = n
+        }
+        if (gce == null) {
+          gce = new IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", "10")
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+        }
+        gce.setAttribute("disposalMethod", disposal)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      write(greyFrame(8, 8, 100), 0, 0, "doNotDispose")
+      write(greyFrame(2, 2, 200), 3, 3, "restoreToBackgroundColor")
+      write(greyFrame(2, 2, 50), 0, 0, "none")
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val got = ImageCodec.gifFrameStats(bos.toByteArray)
+    assert(got.length == 3)
+    // every composed frame spans the 8x8 logical screen, not the patch
+    assert(got.forall(f => f._2 == 8 && f._3 == 8), got.toString)
+    val means = got.map(_._4)
+    assert(means(0) == 100.0, s"base frame: ${means(0)}")
+    // frame 1 composes onto the base: 60 px of 100 + 4 px of 200 — a
+    // raw-patch stat would report 200
+    assert(means(1) == (60 * 100 + 4 * 200) / 64.0, s"delta frame: ${means(1)}")
+    // frame 1's region was restored to background (black) before frame 2
+    // drew its own patch over the top-left corner
+    assert(means(2) == (56 * 100 + 4 * 50 + 4 * 0) / 64.0, s"post-disposal: ${means(2)}")
+  }
+
   test("decompression-bomb PNG (huge declared dims, tiny bytes) is rejected, not decoded") {
     // patch a valid PNG's IHDR to declare 100000x100000 (10^10 px) and
     // re-sign the chunk CRC so the reader believes the header — the guard
