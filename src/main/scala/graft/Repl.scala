@@ -36,6 +36,11 @@ object Repl {
       |                                         LSH top-k cosine neighbours of row <id>
       |                                         (cols default vec_id/embedding)
       |  chunk <view> <size> <overlap>          context-window token chunks (doc_id/text)
+      |  pack <view> <size> <overlap> <budget>  chunk then pack into per-source token
+      |                                         bins; prints (source, bin, n_chunks,
+      |                                         n_tokens)
+      |  mix <view> <srcCol> <T> <targetRows>   temperature-scaled source mixing;
+      |                                         prints per-source kept counts
       |  contaminate <trainView> <evalView> <n> <minHits>
       |                                         train docs sharing >= minHits n-gram
       |                                         shingles with the eval view
@@ -132,6 +137,24 @@ object Repl {
         render(graft.operators.TextOps
           .chunkTokens(df(vid), "doc_id", "text", size.toInt, overlap.toInt)
           .orderBy(col("doc_id"), col("chunk_no")))
+      case "pack" :: vid :: size :: overlap :: budget :: Nil =>
+        // chunk -> packBins, summarized per (source, bin) — bins are
+        // corpus-linear, so render's TakeOrdered keeps the driver safe
+        val chunks = graft.operators.TextOps.chunkTokens(
+          df(vid), "doc_id", "text", size.toInt, overlap.toInt,
+          passthrough = Seq("source"))
+        render(graft.operators.TextOps
+          .packBins(chunks, "source", Seq("doc_id", "chunk_no"), "n_chunk_tokens", budget.toInt)
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("n_tokens"))
+          .orderBy(col("source"), col("bin")))
+      case "mix" :: vid :: srcCol :: t :: target :: Nil =>
+        // per-source kept counts of the mixed sample (few sources by
+        // contract — sketch-sized summary, not the sampled rows)
+        render(graft.operators.Sampling
+          .temperatureMix(df(vid), srcCol, t.toDouble, target.toLong)
+          .groupBy(col(srcCol)).agg(count(lit(1)).as("kept"))
+          .orderBy(col(srcCol)))
       case "contaminate" :: trainVid :: evalVid :: n :: minHits :: Nil =>
         render(graft.operators.Dedup
           .contamination(df(trainVid), df(evalVid), "doc_id", "text",

@@ -13,12 +13,16 @@ object Internals {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
-  /** The catalog's CURRENT plan object for temp view `name` (None if not
-    * registered). Reference-stable until the view is replaced — which is
+  /** The catalog's CURRENT stored view object for temp view `name` (None
+    * if not registered). This must be the RAW `TemporaryViewRelation` the
+    * catalog map holds — `getTempView` builds a fresh `View` wrapper per
+    * call, so its identity is useless for a freshness probe (an eq-based
+    * memo over it NEVER short-circuits). The raw object is
+    * reference-stable until the view is dropped or replaced — which is
     * exactly what the fixture registry's memo must detect: a public
     * catalog-existence probe sees a same-named replacement as "still
     * there" and would serve hijacked data.
     */
   def tempViewPlan(spark: SparkSession, name: String): Option[AnyRef] =
-    spark.asInstanceOf[classic.SparkSession].sessionState.catalog.getTempView(name)
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog.getRawTempView(name)
 }

@@ -173,6 +173,26 @@ class PlanAndSourceSpec extends SparkSpec {
       "memo skipped re-registering a dropped view")
   }
 
+  test("registerAll memo still short-circuits after System.gc()") {
+    // the memo's plan refs are WEAK; the load-bearing assumption is that
+    // the catalog strongly holds each registered plan, so a GC must not
+    // clear the refs and silently force re-registration on every call.
+    // Identity hashes (not the refs themselves) are captured so the test
+    // does not add its own strong hold and mask a catalog regression.
+    import org.apache.spark.sql.graftshim.Internals
+    Tables.registerAll(spark, sf)
+    val before = Tables.allTables.map(n =>
+      n -> System.identityHashCode(Internals.tempViewPlan(spark, n).get)).toMap
+    System.gc(); Thread.sleep(50); System.gc()
+    Tables.registerAll(spark, sf)
+    Tables.allTables.foreach { n =>
+      val now = System.identityHashCode(Internals.tempViewPlan(spark, n).get)
+      assert(now == before(n),
+        s"$n was re-registered after GC — the weak memo refs were collected, " +
+          "so the catalog no longer strongly holds the registered plan")
+    }
+  }
+
   test("cached-table registry persists once and purges on demand") {
     Tables.purgeCached(sf)
     val a = Tables.openCached(spark, sf, "nation")

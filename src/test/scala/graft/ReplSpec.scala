@@ -72,6 +72,8 @@ class ReplSpec extends SparkSpec {
       "filter documents-1 doc_id % 2 = 1",
       "chunk documents-1 64 16",
       "contaminate filter-3 filter-4 3 10",
+      "pack documents-1 64 16 512",
+      "mix documents-1 source 2.0 200",
       "quit")
     // fixture has planted near-dup pairs → at least one d1/d2/jacc data row
     val dupHeader = out.linesIterator.indexWhere(_.startsWith("d1\t"))
@@ -93,6 +95,17 @@ class ReplSpec extends SparkSpec {
     assert(contHeader >= 0, s"contaminate must render a doc_id/n_hits table:\n$out")
     assert(out.linesIterator.drop(contHeader + 1).next().split("\t").length == 2,
       s"no contaminated rows rendered:\n$out")
+    // pack: per-(source, bin) fill stats with at least one packed bin
+    val packHeader = out.linesIterator.indexWhere(_.startsWith("source\tbin"))
+    assert(packHeader >= 0, s"pack must render a source/bin table:\n$out")
+    assert(out.linesIterator.drop(packHeader + 1).next().split("\t").length == 4,
+      s"no packed bins rendered:\n$out")
+    // mix: per-source kept counts, each a (source, kept) pair
+    val mixHeader = out.linesIterator.indexWhere(_.startsWith("source\tkept"))
+    assert(mixHeader >= 0, s"mix must render a source/kept table:\n$out")
+    val mixRows = out.linesIterator.drop(mixHeader + 1).takeWhile(_.contains("\t")).toSeq
+    assert(mixRows.nonEmpty && mixRows.forall(_.split("\t")(1).toLong > 0),
+      s"mix kept-counts missing or zero:\n$out")
   }
 
   test("filter predicates keep embedded whitespace intact") {
