@@ -496,6 +496,30 @@ object ExtensionQueries {
         sortSmall(Multimodal.audioFeatures(assets, "doc_id"), col("doc_id"))
     },
 
+    // ---- Multimodal video: minimal RIFF-AVI (uncompressed DIB) container ---
+    // Each doc gets a deterministic 3-frame 24-bit AVI; Spark parses the
+    // container and stats every frame, and the oracle predicts dimensions,
+    // fps, and per-frame channel means in closed form from doc_id — a
+    // stub parser could not reproduce them.
+    Q("multimodal_video",
+      """SELECT doc_id, f.frame_no,
+        |CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS height,
+        |CAST(10 AS DOUBLE) AS fps,
+        |CAST((doc_id + f.frame_no * 17) % 256 AS DOUBLE) AS mean_r,
+        |CAST((doc_id * 7 + f.frame_no * 29) % 256 AS DOUBLE) AS mean_g,
+        |CAST((doc_id * 13 + f.frame_no * 41) % 256 AS DOUBLE) AS mean_b
+        |FROM documents CROSS JOIN (VALUES (0),(1),(2)) f(frame_no)
+        |ORDER BY doc_id, frame_no""".stripMargin) {
+      (s, d) =>
+        val avis = Multimodal.synthesizeAvi(
+          t(s, d, "documents").select(col("doc_id")), "doc_id")
+        val assets = Multimodal.toAsset(avis, "doc_id", "avi", "video/x-msvideo")
+        // sortSmall: map-only codec plan (see multimodal_frames)
+        sortSmall(Multimodal.videoFrameFeatures(assets, "doc_id"),
+          col("doc_id"), col("frame_no"))
+    },
+
     // ---- End-to-end corpus-cleaning pipeline (the training-data flow) ------
     // Every stage is one of the catalog operators; the oracle replays the
     // identical pipeline in SQL with an EXACT near-dup stage, while the

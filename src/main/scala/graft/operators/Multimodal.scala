@@ -40,6 +40,12 @@ case class FrameStats(frame_no: Int, width: Int, height: Int,
 case class AudioStats(duration_ms: Double, sample_rate: Int, channels: Int,
                       mean_amp: Double, rms: Double)
 
+/** Per-frame features of an AVI video asset ([[VideoCodec]]'s output
+  * schema; top-level for the same codegen reason as [[ImgStats]]).
+  */
+case class VideoFrameStats(frame_no: Int, width: Int, height: Int, fps: Double,
+                           mean_r: Double, mean_g: Double, mean_b: Double)
+
 object Multimodal {
 
   /** Wrap a table into the canonical multimodal schema:
@@ -106,6 +112,32 @@ object Multimodal {
         col("au.sample_rate").as("sample_rate"),
         col("au.channels").as("channels"),
         col("au.mean_amp").as("mean_amp"), col("au.rms").as("rms"))
+
+  private val synthAviUdf = udf((id: Long) => VideoCodec.synthAvi(id))
+
+  /** Add a real AVI payload column (`avi`) derived from the id (see
+    * `VideoCodec.synthAvi` for the closed-form per-frame colours the
+    * oracle mirrors).
+    */
+  def synthesizeAvi(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("avi", synthAviUdf(col(idCol)))
+
+  private val videoFramesUdf = udf((b: Array[Byte]) =>
+    VideoCodec.aviFrameStats(b).map {
+      case (i, w, h, fps, r, g, bl) => VideoFrameStats(i, w, h, fps, r, g, bl)
+    })
+
+  /** REAL video frame sampling: parse every frame of an uncompressed-DIB
+    * AVI asset to (id, frame_no, width, height, fps, channel means); an
+    * undecodable payload explodes to zero frames, never a task failure.
+    */
+  def videoFrameFeatures(df: DataFrame, idCol: String,
+                         dataCol: Column = col("asset.data")): DataFrame =
+    df.select(col(idCol), explode(videoFramesUdf(dataCol)).as("fr"))
+      .select(col(idCol), col("fr.frame_no").as("frame_no"),
+        col("fr.width").as("width"), col("fr.height").as("height"),
+        col("fr.fps").as("fps"), col("fr.mean_r").as("mean_r"),
+        col("fr.mean_g").as("mean_g"), col("fr.mean_b").as("mean_b"))
 
   private val decodeUdf = udf((b: Array[Byte]) =>
     ImageCodec.decodeStats(b).map {

@@ -671,6 +671,76 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(feats.length == 3 && feats.forall(_.isNullAt(1)))
   }
 
+  test("VideoCodec: synth AVI round-trips to the closed-form oracle values") {
+    for (id <- Seq(0L, 1L, 8L, 255L, 1234L)) {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id * 3 % 9).toInt
+      val got = VideoCodec.aviFrameStats(VideoCodec.synthAvi(id))
+      assert(got.length == 3, s"id=$id: ${got.length} frames")
+      got.zipWithIndex.foreach { case ((i, gw, gh, fps, mr, mg, mb), f) =>
+        assert(i == f && gw == w && gh == h && fps == 10.0, s"id=$id f=$f header")
+        assert(mr == ((id + f * 17) % 256).toDouble, s"id=$id f=$f r=$mr")
+        assert(mg == ((id * 7 + f * 29) % 256).toDouble, s"id=$id f=$f g=$mg")
+        assert(mb == ((id * 13 + f * 41) % 256).toDouble, s"id=$id f=$f b=$mb")
+      }
+    }
+  }
+
+  test("VideoCodec parser is generic RIFF, not a writer mirror") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // splice a JUNK chunk (odd size → word padding) between hdrl and movi,
+    // and rename the frame tag 00db -> 00dc (compressed-flavour tag, same
+    // payload) — a parser that just mirrors the writer's byte offsets
+    // breaks on both
+    val base = VideoCodec.aviDib(4, 4, 25, Seq(0x102030, 0x405060))
+    def findTag(b: Array[Byte], tag: String, from: Int): Int = {
+      val t = tag.getBytes("US-ASCII")
+      (from until b.length - 4).find(i => (0 until 4).forall(j => b(i + j) == t(j))).get
+    }
+    val moviList = findTag(base, "movi", 0) - 8 // LIST header start
+    val junkBody = 7 // odd on purpose
+    val junk = ByteBuffer.allocate(8 + junkBody + 1).order(ByteOrder.LITTLE_ENDIAN)
+    junk.put("JUNK".getBytes("US-ASCII")).putInt(junkBody)
+      .put(Array.fill[Byte](junkBody + 1)(0x5a))
+    val spliced = base.take(moviList) ++ junk.array() ++ base.drop(moviList)
+    // fix the RIFF size field and rewrite frame tags
+    val bb = ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    var at = findTag(spliced, "00db", 0)
+    while (at > 0) {
+      spliced(at + 3) = 'c'.toByte
+      at = (at + 4 until spliced.length - 4).find(i =>
+        (0 until 4).forall(j => spliced(i + j) == "00db".getBytes("US-ASCII")(j))).getOrElse(-1)
+    }
+    val got = VideoCodec.aviFrameStats(spliced)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == Seq((0, 4, 4, 25.0), (1, 4, 4, 25.0)),
+      got.toString)
+    assert(got.head._5 == 0x10.toDouble && got.head._6 == 0x20.toDouble &&
+      got.head._7 == 0x30.toDouble, got.head.toString)
+  }
+
+  test("VideoCodec: corrupt, truncated, and null payloads yield no frames") {
+    assert(VideoCodec.aviFrameStats(null).isEmpty)
+    assert(VideoCodec.aviFrameStats("not a video".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.aviFrameStats(Array.emptyByteArray).isEmpty)
+    val good = VideoCodec.synthAvi(3L)
+    // truncated mid-movi: intact header, clipped frame data — parse must
+    // stop cleanly (frames whose payload is cut are skipped)
+    val cut = VideoCodec.aviFrameStats(good.take(good.length - 40))
+    assert(cut.length < 3, s"clipped tail still produced ${cut.length} frames")
+    // hostile chunk size: first movi frame claims MaxInt bytes
+    val evil = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def findTag(b: Array[Byte], tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      (0 until b.length - 4).find(i => (0 until 4).forall(j => b(i + j) == t(j))).get
+    }
+    bb.putInt(findTag(evil, "00db") + 4, Int.MaxValue)
+    VideoCodec.aviFrameStats(evil) // must neither throw nor hang
+    // a PNG fed to the video path is politely rejected
+    assert(VideoCodec.aviFrameStats(ImageCodec.solidPng(4, 4, 1, 2, 3)).isEmpty)
+  }
+
   test("multimodal: undecodable and null payloads yield null features, not task failures") {
     import spark.implicits._
     // a TRUNCATED png is the nasty case: ImageIO recognizes the magic
