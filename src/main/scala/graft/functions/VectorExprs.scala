@@ -322,9 +322,10 @@ object VectorExprs {
     ("graft_fdot", 2, exprs => FloatVectorDot(exprs.head, exprs(1))),
     ("graft_nearest_centroids", 3, exprs => NearestCentroids(exprs.head, exprs(1), exprs(2))),
     ("graft_hyperplane_sig", 2, exprs => HyperplaneSignature(exprs.head, exprs(1))),
-    // an AggregateFunction builder — the analyzer wraps it in an
-    // AggregateExpression like any registered aggregate
-    ("graft_mg_sketch", 2, exprs => MisraGriesSketch(exprs.head, exprs(1))))
+    // AggregateFunction builders — the analyzer wraps them in
+    // AggregateExpressions like any registered aggregate
+    ("graft_mg_sketch", 2, exprs => MisraGriesSketch(exprs.head, exprs(1))),
+    ("graft_nextk_page", 3, exprs => NextKPageAgg(exprs.head, exprs(1), exprs(2))))
 
   /** Arity-checked builder for `name`. */
   def builderFor(name: String, arity: Int,

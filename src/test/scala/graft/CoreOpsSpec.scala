@@ -141,6 +141,29 @@ class CoreOpsSpec extends SparkSpec {
     assert(total == li.count(), "3 flags => one page covers everything")
   }
 
+  test("NextK bounded page sketch equals the unbounded groupBy model (randomized)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the bounded per-partition buffer must be EXACT, not approximate:
+    // randomized skewed keys (with nulls), mixed asc/desc, many partitions
+    val rnd = new scala.util.Random(23L)
+    val rows = Seq.fill(3000)((
+      if (rnd.nextInt(12) == 0) null else s"g${rnd.nextInt(40)}",
+      rnd.nextInt(25).toLong))
+    val df = rows.toDF("s", "v").repartition(13)
+    for (order <- Seq(Seq(SortKey("s"), SortKey("v")),
+                      Seq(SortKey("v", asc = false), SortKey("s")))) {
+      val got = NextK.page(df, order, None, 15).collect().toSeq.map(_.toSeq)
+      val model = df.groupBy(order.map(o => col(o.name)): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(order.map(_.toCol): _*)
+        .limit(15)
+        .select((order.map(o => col(o.name)) :+ col("cnt")): _*)
+        .collect().toSeq.map(_.toSeq)
+      assert(got == model, s"order=$order\n got=$got\n model=$model")
+    }
+  }
+
   test("heavy hitters exact: no false negatives above threshold") {
     val thresh = 5L
     val got = HeavyHitters.exact(li, Seq("l_partkey"), thresh, 100000)

@@ -41,7 +41,10 @@ class PlanGuardSpec extends SparkSpec {
       "Repl.scala"          -> 1,
       "StreamWindows.scala" -> 2,
       "Lamp.scala"          -> 1,
-      "Similarity.scala"    -> 2,
+      // trainCentroids: seeded init + Lloyd partials (nlist rows each);
+      // ivfTopKFromIndex: centroid table + probed bucket set (≤ |Q|·nprobe
+      // ints) — all four sketch-sized by contract
+      "Similarity.scala"    -> 4,
       "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       "Sampling.scala"      -> 1)  // temperatureMix: one row per source
