@@ -572,6 +572,48 @@ class ExtensionOpsSpec extends SparkSpec {
     // frame 1's region was restored to background (black) before frame 2
     // drew its own patch over the top-left corner
     assert(means(2) == (56 * 100 + 4 * 50 + 4 * 0) / 64.0, s"post-disposal: ${means(2)}")
+    // restoreToPrevious: the canvas reverts to its PRE-FRAME state (the
+    // full base), so frame 2 composes onto an unblemished 100-grey canvas
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val ios2 = ImageIO.createImageOutputStream(bos2)
+    val writer2 = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer2.setOutput(ios2)
+      writer2.prepareWriteSequence(null)
+      def write2(img: java.awt.image.BufferedImage, left: Int, top: Int,
+                 disposal: String): Unit = {
+        val meta = writer2.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        var gce: IIOMetadataNode = null
+        (0 until root.getChildNodes.getLength).foreach { j =>
+          val n = root.getChildNodes.item(j).asInstanceOf[IIOMetadataNode]
+          if (n.getNodeName == "ImageDescriptor") {
+            n.setAttribute("imageLeftPosition", left.toString)
+            n.setAttribute("imageTopPosition", top.toString)
+          } else if (n.getNodeName == "GraphicControlExtension") gce = n
+        }
+        if (gce == null) {
+          gce = new IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", "10")
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+        }
+        gce.setAttribute("disposalMethod", disposal)
+        meta.setFromTree(fmt, root)
+        writer2.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      write2(greyFrame(8, 8, 100), 0, 0, "doNotDispose")
+      write2(greyFrame(2, 2, 200), 3, 3, "restoreToPrevious")
+      write2(greyFrame(2, 2, 50), 0, 0, "none")
+      writer2.endWriteSequence()
+    } finally { writer2.dispose(); ios2.close() }
+    val prev = ImageCodec.gifFrameStats(bos2.toByteArray).map(_._4)
+    assert(prev(1) == (60 * 100 + 4 * 200) / 64.0, s"rtp delta frame: ${prev(1)}")
+    assert(prev(2) == (60 * 100 + 4 * 50) / 64.0,
+      s"restoreToPrevious must revert to the pre-frame canvas: ${prev(2)}")
   }
 
   test("decompression-bomb PNG (huge declared dims, tiny bytes) is rejected, not decoded") {
