@@ -134,6 +134,53 @@ object SourceQueries {
           col("doc_id"))
     },
 
+    // ---- binaryFile audio: file-per-asset WAV ingestion --------------------
+    // Same certification shape as source_binaryfile_decode, for the audio
+    // family: one REAL .wav file per selected doc is written by a
+    // distributed job, re-ingested through the binaryFile source, and
+    // decoded with the real javax.sound codec; the oracle predicts every
+    // decoded field in closed form from the doc_id in the file NAME.
+    Q("source_binaryfile_audio",
+      """SELECT doc_id,
+        |CAST((400 + (doc_id % 50) * 2) / 8.0 AS DOUBLE) AS duration_ms,
+        |CAST(8000 AS INTEGER) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |(a + b) / 2.0 AS mean_amp,
+        |sqrt((a * a + b * b) / 2.0) AS rms
+        |FROM (SELECT doc_id,
+        |        CAST((doc_id * 37) % 20000 - 10000 AS DOUBLE) AS a,
+        |        CAST((doc_id * 53) % 20000 - 10000 AS DOUBLE) AS b
+        |      FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "wav_files")
+        val dirPath = java.nio.file.Paths.get(out)
+        java.nio.file.Files.createDirectories(dirPath)
+        val listing = java.nio.file.Files.list(dirPath)
+        try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally listing.close()
+        val wavs = graft.operators.Multimodal.synthesizeWav(
+          t(s, d, "documents").select(col("doc_id")).filter(col("doc_id") % 7 === 0),
+          "doc_id")
+        wavs.select(col("doc_id"), col("wav")).foreachPartition {
+          rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, s"${r.getLong(0)}.wav"),
+                r.getAs[Array[Byte]](1))
+            }
+        }
+        val files = Tables.binaryFiles(s, s"$out/*.wav")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.wav$", 1).cast("long").as("doc_id"),
+            col("content"))
+        // sortSmall: a plain orderBy's range-sampling job would re-list
+        // and re-decode every file a second time
+        sortSmall(
+          graft.operators.Multimodal.audioFeatures(files, "doc_id", col("content")),
+          col("doc_id"))
+    },
+
     // ---- ORC round trip ----------------------------------------------------
     Q("source_orc_roundtrip",
       s"""SELECT p_brand, COUNT(*) AS cnt, ${sqlDsum("p_retailprice")} AS sum_price

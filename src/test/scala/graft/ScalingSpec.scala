@@ -131,6 +131,30 @@ class ScalingSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("NextK page shuffles partitions*k rows, independent of distinct-key count") {
+    import spark.implicits._
+    import graft.operators.{NextK, SortKey}
+    // two corpora with 4x the distinct keys; the bounded page sketch must
+    // shuffle the SAME number of records (one <=k-entry buffer per
+    // partition) — the groupBy form it replaced shuffles every distinct
+    // key, growing 4x here and unboundedly at 100 TB
+    def run(n: Int): Long = {
+      val df = (0 until n).map(i => (s"k${i % (n / 2)}", i.toLong))
+        .toDF("s", "v").repartition(8).cache()
+      df.count()
+      val recs = shuffleRecords {
+        val page = NextK.page(df, Seq(SortKey("s"), SortKey("v")), None, 10).collect()
+        assert(page.length == 10)
+      }
+      df.unpersist()
+      recs
+    }
+    val small = run(2000)
+    val large = run(8000)
+    assert(large == small,
+      s"page shuffle must not scale with distinct keys: $small -> $large records")
+  }
+
   test("simHash candidates at the default radius grow ~linearly on a 4x corpus") {
     // corpus(n) is seed-deterministic, so corpus(300) is a strict prefix of
     // corpus(1200): planted-pair collision behavior is identical across the
