@@ -150,9 +150,10 @@ class CoreOpsSpec extends SparkSpec {
     val rows = Seq.fill(3000)((
       if (rnd.nextInt(12) == 0) null else s"g${rnd.nextInt(40)}",
       rnd.nextInt(25).toLong))
-    val df = rows.toDF("s", "v").repartition(13)
-    for (order <- Seq(Seq(SortKey("s"), SortKey("v")),
+    for (parts <- Seq(1, 3, 13);
+         order <- Seq(Seq(SortKey("s"), SortKey("v")),
                       Seq(SortKey("v", asc = false), SortKey("s")))) {
+      val df = rows.toDF("s", "v").repartition(parts)
       val got = NextK.page(df, order, None, 15).collect().toSeq.map(_.toSeq)
       val model = df.groupBy(order.map(o => col(o.name)): _*)
         .agg(count(lit(1)).as("cnt"))
@@ -160,7 +161,7 @@ class CoreOpsSpec extends SparkSpec {
         .limit(15)
         .select((order.map(o => col(o.name)) :+ col("cnt")): _*)
         .collect().toSeq.map(_.toSeq)
-      assert(got == model, s"order=$order\n got=$got\n model=$model")
+      assert(got == model, s"parts=$parts order=$order\n got=$got\n model=$model")
     }
   }
 

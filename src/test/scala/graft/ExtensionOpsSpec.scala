@@ -63,6 +63,27 @@ class ExtensionOpsSpec extends SparkSpec {
       ("a", null) -> 2L, ("a", "") -> 1L), got.toString)
   }
 
+  test("sketchStruct handles wide mixed-type keys (long/double/date/decimal)") {
+    import spark.implicits._
+    functions.VectorExprs.register(spark)
+    // four fields of distinct physical layouts through UnsafeRow keying;
+    // k > distinct so counts are exact and fully checkable
+    val df = Seq(
+      (1L, 1.5, "2024-01-02", "12.34"), (1L, 1.5, "2024-01-02", "12.34"),
+      (2L, -0.5, "2023-12-31", "99.99"), (1L, 1.5, "2024-01-03", "12.34"))
+      .toDF("a", "b", "d0", "m0")
+      .select(col("a"), col("b"), col("d0").cast("date").as("d"),
+        col("m0").cast("decimal(10,2)").as("m"))
+    val got = df.repartition(3)
+      .agg(functions.MisraGries.sketchStruct(
+        Seq(col("a"), col("b"), col("d"), col("m")), 10).as("mg"))
+      .select(explode(col("mg")).as(Seq("k", "cnt")))
+      .collect()
+      .map(r => r.getStruct(0).toSeq.map(_.toString) -> r.getLong(1)).toMap
+    assert(got.values.sum == 4 && got.size == 3, got.toString)
+    assert(got(Seq("1", "1.5", "2024-01-02", "12.34")) == 2L, got.toString)
+  }
+
   test("sketchStruct MG guarantees hold distributed (serialize + merge across partitions)") {
     import spark.implicits._
     functions.VectorExprs.register(spark)
@@ -686,6 +707,24 @@ class ExtensionOpsSpec extends SparkSpec {
       AudioCodec.decodeStats(AudioCodec.pcmWav(8000, 1,
         Array[Short](Short.MinValue, Short.MaxValue)))
     assert(m3 == -0.5 && r3 == math.sqrt((32768.0 * 32768 + 32767.0 * 32767) / 2))
+  }
+
+  test("AudioCodec: big-endian AIFF decodes through the same path as WAV") {
+    // the decoder branches on AudioFormat.isBigEndian — AIFF is the
+    // JDK-native big-endian container, so a sign/byte-order bug that WAV
+    // can't see surfaces here ({-5, +5}: unsigned or swapped reads give
+    // means far from 0)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = java.nio.ByteBuffer.allocate(8)
+    pcm.putShort(-5).putShort(5).putShort(-5).putShort(5)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val Some((dur, sr, ch, mean, rms)) = AudioCodec.decodeStats(bos.toByteArray)
+    assert(sr == 8000 && ch == 1 && dur == 0.5 && mean == 0.0 && rms == 5.0,
+      s"($dur, $sr, $ch, $mean, $rms)")
   }
 
   test("AudioCodec: corrupt, truncated, empty, and non-16-bit payloads yield None") {
