@@ -189,6 +189,42 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!frame.storageLevel.useMemory, "owner release must unpersist")
   }
 
+  test("ivfDupPairs: subset of exact pairs, recall floor, sub-quadratic candidates") {
+    import spark.implicits._
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfDupPairs(emb, "vec_id", "embedding", 0.45,
+        nlist = 16, nprobe = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-verify stage ⇒ NO false positive is ever possible
+    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+    // recall floor at the fixture's weak-similarity threshold (θ≈60°);
+    // deterministic (seeded centroids), measured 6/7 at these params
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below floor (found ${approx.size}/${exact.size})")
+    // candidate volume is the scale claim: with nlist ∝ √N the shared-
+    // bucket pair set must stay well under the N²/2 brute-force walk
+    val rnd = new scala.util.Random(31L)
+    val n = 2000
+    val big = Seq.tabulate(n)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+      .cache()
+    big.count()
+    graft.functions.VectorExprs.register(spark)
+    val cs = Similarity.trainCentroids(big, "vec_id", "embedding", 64, 42L)
+      .toSeq.map(_.toSeq)
+    import graft.functions.VectorExprs.nearestCentroids
+    val tagged = big.select(col("vec_id"),
+      explode(nearestCentroids(col("embedding"), cs, 3)).as("bucket"))
+    val cand = tagged.select(col("vec_id").as("d1"), col("bucket"))
+      .join(tagged.select(col("vec_id").as("d2"), col("bucket")), Seq("bucket"))
+      .filter(col("d1") < col("d2")).select("d1", "d2").distinct().count()
+    val brute = n.toLong * (n - 1) / 2
+    val frac = cand.toDouble / brute
+    assert(frac < 0.35, s"candidates $cand of $brute ($frac) — bucketing is not pruning")
+    big.unpersist()
+  }
+
   test("cosineDupPairs skips zero-norm vectors instead of crashing") {
     import spark.implicits._
     val base = Seq(
