@@ -2,13 +2,27 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the one Spark-internal API the engine bridges to
-  * (`graftshim.Internals.ofRows` → `classic.Dataset.ofRows`). The method is
-  * `private[sql]`, NOT public Spark API, so a Spark upgrade may move or
-  * rename it — this spec turns that breakage into a named failure instead
-  * of an opaque NoSuchMethodError at runtime.
+/** Pins the Spark-internal APIs the engine bridges to through
+  * `graftshim.Internals`. They are `private[sql]`/catalyst surface, NOT
+  * public Spark API, so a Spark upgrade may move or rename them — this
+  * spec turns that breakage into a named failure instead of an opaque
+  * NoSuchMethodError at runtime.
   */
 class ShimPinSpec extends AnyFunSuite {
+
+  test("SessionCatalog.getRawTempView(String) still exists and stays identity-stable") {
+    val catalog = Class.forName("org.apache.spark.sql.catalyst.catalog.SessionCatalog")
+    val hit = catalog.getMethods.exists { m =>
+      m.getName == "getRawTempView" && m.getParameterCount == 1 &&
+        m.getParameterTypes()(0) == classOf[String]
+    }
+    assert(hit,
+      "Spark upgrade broke the graftshim bridge: " +
+        "SessionCatalog.getRawTempView(String) is gone. Update " +
+        "graftshim.Internals.tempViewPlan — the registerAll memo needs the RAW " +
+        "stored view object (getTempView builds a fresh wrapper per call, which " +
+        "makes an identity-based freshness probe never match).")
+  }
 
   test("classic.Dataset.ofRows(classic.SparkSession, LogicalPlan) still exists") {
     val companion = Class.forName("org.apache.spark.sql.classic.Dataset$")
