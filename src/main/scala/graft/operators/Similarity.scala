@@ -333,6 +333,37 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** `ivfDupPairs` served from a persisted `buildIvfIndex` artifact: the
+    * stored assignments already carry (id, vector, nearest bucket), and
+    * additional probes re-derive from the STORED centroid table — no
+    * Lloyd pass or training job at serve time, mirroring
+    * `ivfTopKFromIndex`. Identical results to the fused form for the same
+    * (data, nlist, seed, nprobe) — parity-tested.
+    */
+  def ivfDupPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, threshold: Double,
+                           nprobe: Int = 2): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.nearestCentroids
+    val cs: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("bucket")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+      .select(col("n_id").as("id"), col("n_vec").as("vec"))
+    val tagged = assigned.select(col("id"),
+      explode(nearestCentroids(col("vec"), cs, nprobe)).as("bucket"))
+    val candIds = tagged.select(col("id").as("d1"), col("bucket"))
+      .join(tagged.select(col("id").as("d2"), col("bucket")), Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val v1 = assigned.select(col("id").as("d1"), col("vec").as("v1"))
+    val v2 = assigned.select(col("id").as("d2"), col("vec").as("v2"))
+    candIds.join(v1, Seq("d1")).join(v2, Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(cosineNative(col("v1"), col("v2")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   private def round6(x: Double): Double = Det.round6(x)
 
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): all pairs

@@ -80,6 +80,24 @@ class IvfIndexSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("dup pairs served from a persisted index equal the fused form") {
+    import org.apache.spark.sql.functions.col
+    val emb = embeddings(600).cache(); emb.count()
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/dup"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
+    val fused = Similarity.ivfDupPairs(emb, "vec_id", "embedding", 0.7,
+        nlist = 16, nprobe = 2)
+      .orderBy(col("d1"), col("d2")).collect().toSeq
+    val served = Similarity.ivfDupPairsFromIndex(spark, dir, 0.7, nprobe = 2)
+      .orderBy(col("d1"), col("d2")).collect().toSeq
+    assert(served == fused,
+      s"index-served dup pairs diverge: served=${served.take(3)} fused=${fused.take(3)}")
+    val plan = Similarity.ivfDupPairsFromIndex(spark, dir, 0.7, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("AppendColumns"), s"training stage in serve plan:\n$plan")
+    emb.unpersist()
+  }
+
   test("probed-fraction is observable via the graft_ivf_candidates metric on both paths") {
     val emb = embeddings(1000).cache(); emb.count()
     val nQueries = 5

@@ -43,8 +43,9 @@ class PlanGuardSpec extends SparkSpec {
       "Lamp.scala"          -> 1,
       // trainCentroids: seeded init + Lloyd partials (nlist rows each);
       // ivfTopKFromIndex: centroid table + probed bucket set (≤ |Q|·nprobe
-      // ints) — all four sketch-sized by contract
-      "Similarity.scala"    -> 4,
+      // ints); ivfDupPairsFromIndex: centroid table — all sketch-sized by
+      // contract
+      "Similarity.scala"    -> 5,
       "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       "Sampling.scala"      -> 1)  // temperatureMix: one row per source
