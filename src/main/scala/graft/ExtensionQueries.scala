@@ -50,8 +50,12 @@ object ExtensionQueries {
   private def ivfIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = QueryDefs.ioDir(d, "ivf_index")
     if (ivfIndexBuilt.add(dir))
-      Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+      // un-memoize on failure: a half-written index (e.g. centroids
+      // flushed, assignments aborted) must be rebuilt by the next
+      // invocation, not silently served as truncated results
+      try Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
         dir, nlist = 16)
+      catch { case e: Throwable => ivfIndexBuilt.remove(dir); throw e }
     dir
   }
 

@@ -64,8 +64,13 @@ case class MisraGriesSketch(
 
   private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
   // per-(deserialized)-instance scratch — each task deserializes its own
-  // expression tree, and a task is single-threaded
-  @transient private lazy val keyProj = UnsafeProjection.create(Array(child.dataType))
+  // expression tree, and a task is single-threaded. Floating keys are
+  // normalized (-0.0 → 0.0, canonical NaN) so sketch keys group exactly
+  // like SQL GROUP BY, not by raw bytes.
+  @transient private lazy val keyProj = UnsafeProjection.create(Seq(
+    org.apache.spark.sql.graftshim.Internals.normalizeFloats(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, child.dataType, nullable = true))))
   @transient private lazy val scratch = new GenericInternalRow(1)
 
   override def createAggregationBuffer(): mutable.HashMap[UnsafeRow, Long] =

@@ -91,8 +91,14 @@ case class NextKPageAgg(
           if (asc(i)) Ascending else Descending) // canonical null placement
     })
   }
-  @transient private lazy val keyProj =
-    UnsafeProjection.create(keySchema.fields.map(_.dataType))
+  // floating keys are normalized (-0.0 → 0.0, canonical NaN) so the page
+  // groups exactly like SQL GROUP BY / the groupBy plan this replaces —
+  // without it, 0.0 and -0.0 would be distinct byte-wise UnsafeRow keys
+  @transient private lazy val keyProj = UnsafeProjection.create(
+    keySchema.fields.zipWithIndex.toIndexedSeq.map { case (f, i) =>
+      org.apache.spark.sql.graftshim.Internals.normalizeFloats(
+        BoundReference(i, f.dataType, f.nullable))
+    })
 
   override def createAggregationBuffer(): java.util.TreeMap[InternalRow, java.lang.Long] =
     new java.util.TreeMap[InternalRow, java.lang.Long](ordering)

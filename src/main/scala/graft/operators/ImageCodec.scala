@@ -126,6 +126,18 @@ object ImageCodec {
       try {
         reader.setInput(iis, false)
         val n = reader.getNumImages(true)
+        // non-GIF formats have no disposal/offset metadata: stat each
+        // frame raster directly (the pre-compositing behavior — a PNG
+        // asset still yields its one frame rather than silently zero)
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) {
+          return (0 until n).map { i =>
+            val w = reader.getWidth(i).toLong
+            val h = reader.getHeight(i).toLong
+            if (w <= 0 || h <= 0 || w * h > maxPixels) return Seq.empty
+            val (fw, fh, mr, mg, mb) = stats(reader.read(i))
+            (i, fw, fh, mr, mg, mb)
+          }
+        }
         // probe every frame's declared geometry BEFORE any raster
         // allocation — same bomb guard as decodeQuietly, and the canvas
         // (logical screen ∪ frame extents) must fit the cap too

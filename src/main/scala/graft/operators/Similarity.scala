@@ -278,8 +278,14 @@ object Similarity {
       .orderBy(col("bucket"))
       .select(col("centroid"))
       .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
-    val q = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // materialize the query batch ONCE (sketch-sized by contract): the
+    // batch feeds both the probed-bucket collection and the candidate
+    // join, and leaving it lazy would re-execute the whole query-side
+    // subplan (often a filter over the full corpus) for each
+    val qBatch = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qBatch.collect(): _*), qBatch.schema)
+    val q = qLocal
       .withColumn("bucket", explode(nearestCentroids(col("q_vec"), cs, nprobe)))
     val probed = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted

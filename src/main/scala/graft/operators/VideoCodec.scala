@@ -151,8 +151,15 @@ object VideoCodec {
 
       // generic word-aligned RIFF walk; chunk sizes are clamped against
       // the actual payload so a hostile header cannot push the cursor out
-      // of bounds or loop forever (the cursor strictly advances)
-      def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+      // of bounds or loop forever (the cursor strictly advances), and
+      // nesting depth is capped — legal AVI uses ≤ 3 LIST levels, while a
+      // crafted tower of nested LISTs would otherwise recurse once per
+      // 12-byte header and throw StackOverflowError (a VirtualMachineError
+      // that escapes NonFatal, i.e. a task failure)
+      val maxDepth = 16
+      def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean,
+               depth: Int): Unit = {
+        if (depth > maxDepth) return
         var p = start
         while (p + 8 <= end) {
           val tag = bb.getInt(p)
@@ -162,7 +169,8 @@ object VideoCodec {
             val listType = if (size >= 4) bb.getInt(p + 8) else 0
             walk(p + 12, p + 8 + size,
               inMovi || listType == fourcc("movi"),
-              inStrl || listType == fourcc("strl"))
+              inStrl || listType == fourcc("strl"),
+              depth + 1)
           } else if (inStrl && tag == fourcc("strh") && size >= 32) {
             // only the first video stream's timing is read
             if (bb.getInt(p + 8) == fourcc("vids") && scale == 0) {
@@ -182,7 +190,7 @@ object VideoCodec {
           p += 8 + size + (size & 1) // word alignment
         }
       }
-      walk(12, bytes.length, inMovi = false, inStrl = false)
+      walk(12, bytes.length, inMovi = false, inStrl = false, depth = 0)
 
       if (width <= 0 || height <= 0 || bitCount != 24 || compression != 0 ||
           scale <= 0 || rate <= 0 ||

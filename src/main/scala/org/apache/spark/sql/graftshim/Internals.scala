@@ -25,4 +25,12 @@ object Internals {
     */
   def tempViewPlan(spark: SparkSession, name: String): Option[AnyRef] =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalog.getRawTempView(name)
+
+  /** `NormalizeFloatingNumbers.normalize` (-0.0 → 0.0, canonical NaN) is
+    * `private[sql]`; the struct-keyed sketches apply it to their key
+    * projections so sketch keys group exactly like SQL GROUP BY.
+    */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -165,6 +165,26 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("NextK page groups 0.0 with -0.0 and NaN with NaN, like the groupBy plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // groupBy keys pass through NormalizeFloatingNumbers; the bounded
+    // aggregate normalizes its key projection the same way — without it,
+    // 0.0/-0.0 are distinct UnsafeRow bytes and the page splits counts
+    val df = Seq(0.0, -0.0, 0.0, 1.5, Double.NaN, Double.NaN)
+      .toDF("v").repartition(3)
+    val order = Seq(SortKey("v"))
+    // compare via string rendering: Scala == on NaN is false even for
+    // identical rows, which is exactly what this test exercises
+    val got = NextK.page(df, order, None, 10).collect().toSeq.map(_.toSeq.map(String.valueOf))
+    val model = df.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .orderBy(order.map(_.toCol): _*)
+      .collect().toSeq.map(_.toSeq.map(String.valueOf))
+    assert(got == model, s"got=$got model=$model")
+    assert(got.contains(Seq("0.0", "3")), s"0.0/-0.0 not merged: $got")
+    assert(got.contains(Seq("NaN", "2")), s"NaNs not merged: $got")
+  }
+
   test("heavy hitters exact: no false negatives above threshold") {
     val thresh = 5L
     val got = HeavyHitters.exact(li, Seq("l_partkey"), thresh, 100000)

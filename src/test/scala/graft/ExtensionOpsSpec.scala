@@ -84,6 +84,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got(Seq("1", "1.5", "2024-01-02", "12.34")) == 2L, got.toString)
   }
 
+  test("sketchStruct groups 0.0 with -0.0 (SQL GROUP BY float semantics)") {
+    import spark.implicits._
+    functions.VectorExprs.register(spark)
+    val got = Seq(("a", 0.0), ("a", -0.0), ("a", 1.0)).toDF("x", "y")
+      .agg(functions.MisraGries.sketchStruct(Seq(col("x"), col("y")), 10).as("mg"))
+      .select(explode(col("mg")).as(Seq("k", "cnt")))
+      .collect()
+      .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getDouble(1)) -> r.getLong(1))
+      .toMap
+    assert(got == Map(("a", 0.0) -> 2L, ("a", 1.0) -> 1L), got.toString)
+  }
+
   test("sketchStruct MG guarantees hold distributed (serialize + merge across partitions)") {
     import spark.implicits._
     functions.VectorExprs.register(spark)
@@ -579,45 +591,49 @@ class ExtensionOpsSpec extends SparkSpec {
       new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
     }
+    // ONE metadata-authoring helper serves both GIFs below: builds each
+    // frame's ImageDescriptor offsets + GraphicControlExtension disposal
+    def deltaGif(frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { case (img, left, top, disposal) =>
+          val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+          val fmt = "javax_imageio_gif_image_1.0"
+          val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+          var gce: IIOMetadataNode = null
+          (0 until root.getChildNodes.getLength).foreach { j =>
+            val n = root.getChildNodes.item(j).asInstanceOf[IIOMetadataNode]
+            if (n.getNodeName == "ImageDescriptor") {
+              n.setAttribute("imageLeftPosition", left.toString)
+              n.setAttribute("imageTopPosition", top.toString)
+            } else if (n.getNodeName == "GraphicControlExtension") gce = n
+          }
+          if (gce == null) {
+            gce = new IIOMetadataNode("GraphicControlExtension")
+            gce.setAttribute("userInputFlag", "FALSE")
+            gce.setAttribute("transparentColorFlag", "FALSE")
+            gce.setAttribute("delayTime", "10")
+            gce.setAttribute("transparentColorIndex", "0")
+            root.appendChild(gce)
+          }
+          gce.setAttribute("disposalMethod", disposal)
+          meta.setFromTree(fmt, root)
+          writer.writeToSequence(new IIOImage(img, null, meta), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
     // hand-authored delta GIF: full 8x8 base, then a 2x2 patch at (3,3)
     // that must be CLEARED after display, then a 2x2 patch at (0,0)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
-    try {
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      def write(img: java.awt.image.BufferedImage, left: Int, top: Int,
-                disposal: String): Unit = {
-        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
-        val fmt = "javax_imageio_gif_image_1.0"
-        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
-        var gce: IIOMetadataNode = null
-        (0 until root.getChildNodes.getLength).foreach { j =>
-          val n = root.getChildNodes.item(j).asInstanceOf[IIOMetadataNode]
-          if (n.getNodeName == "ImageDescriptor") {
-            n.setAttribute("imageLeftPosition", left.toString)
-            n.setAttribute("imageTopPosition", top.toString)
-          } else if (n.getNodeName == "GraphicControlExtension") gce = n
-        }
-        if (gce == null) {
-          gce = new IIOMetadataNode("GraphicControlExtension")
-          gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
-          gce.setAttribute("delayTime", "10")
-          gce.setAttribute("transparentColorIndex", "0")
-          root.appendChild(gce)
-        }
-        gce.setAttribute("disposalMethod", disposal)
-        meta.setFromTree(fmt, root)
-        writer.writeToSequence(new IIOImage(img, null, meta), null)
-      }
-      write(greyFrame(8, 8, 100), 0, 0, "doNotDispose")
-      write(greyFrame(2, 2, 200), 3, 3, "restoreToBackgroundColor")
-      write(greyFrame(2, 2, 50), 0, 0, "none")
-      writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
-    val got = ImageCodec.gifFrameStats(bos.toByteArray)
+    val got = ImageCodec.gifFrameStats(deltaGif(Seq(
+      (greyFrame(8, 8, 100), 0, 0, "doNotDispose"),
+      (greyFrame(2, 2, 200), 3, 3, "restoreToBackgroundColor"),
+      (greyFrame(2, 2, 50), 0, 0, "none"))))
     assert(got.length == 3)
     // every composed frame spans the 8x8 logical screen, not the patch
     assert(got.forall(f => f._2 == 8 && f._3 == 8), got.toString)
@@ -631,43 +647,10 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(means(2) == (56 * 100 + 4 * 50 + 4 * 0) / 64.0, s"post-disposal: ${means(2)}")
     // restoreToPrevious: the canvas reverts to its PRE-FRAME state (the
     // full base), so frame 2 composes onto an unblemished 100-grey canvas
-    val bos2 = new java.io.ByteArrayOutputStream()
-    val ios2 = ImageIO.createImageOutputStream(bos2)
-    val writer2 = ImageIO.getImageWritersByFormatName("gif").next()
-    try {
-      writer2.setOutput(ios2)
-      writer2.prepareWriteSequence(null)
-      def write2(img: java.awt.image.BufferedImage, left: Int, top: Int,
-                 disposal: String): Unit = {
-        val meta = writer2.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
-        val fmt = "javax_imageio_gif_image_1.0"
-        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
-        var gce: IIOMetadataNode = null
-        (0 until root.getChildNodes.getLength).foreach { j =>
-          val n = root.getChildNodes.item(j).asInstanceOf[IIOMetadataNode]
-          if (n.getNodeName == "ImageDescriptor") {
-            n.setAttribute("imageLeftPosition", left.toString)
-            n.setAttribute("imageTopPosition", top.toString)
-          } else if (n.getNodeName == "GraphicControlExtension") gce = n
-        }
-        if (gce == null) {
-          gce = new IIOMetadataNode("GraphicControlExtension")
-          gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
-          gce.setAttribute("delayTime", "10")
-          gce.setAttribute("transparentColorIndex", "0")
-          root.appendChild(gce)
-        }
-        gce.setAttribute("disposalMethod", disposal)
-        meta.setFromTree(fmt, root)
-        writer2.writeToSequence(new IIOImage(img, null, meta), null)
-      }
-      write2(greyFrame(8, 8, 100), 0, 0, "doNotDispose")
-      write2(greyFrame(2, 2, 200), 3, 3, "restoreToPrevious")
-      write2(greyFrame(2, 2, 50), 0, 0, "none")
-      writer2.endWriteSequence()
-    } finally { writer2.dispose(); ios2.close() }
-    val prev = ImageCodec.gifFrameStats(bos2.toByteArray).map(_._4)
+    val prev = ImageCodec.gifFrameStats(deltaGif(Seq(
+      (greyFrame(8, 8, 100), 0, 0, "doNotDispose"),
+      (greyFrame(2, 2, 200), 3, 3, "restoreToPrevious"),
+      (greyFrame(2, 2, 50), 0, 0, "none")))).map(_._4)
     assert(prev(1) == (60 * 100 + 4 * 200) / 64.0, s"rtp delta frame: ${prev(1)}")
     assert(prev(2) == (60 * 100 + 4 * 50) / 64.0,
       s"restoreToPrevious must revert to the pre-frame canvas: ${prev(2)}")
@@ -834,6 +817,31 @@ class ExtensionOpsSpec extends SparkSpec {
       got.toString)
     assert(got.head._5 == 0x10.toDouble && got.head._6 == 0x20.toDouble &&
       got.head._7 == 0x30.toDouble, got.head.toString)
+  }
+
+  test("gifFrameStats on a non-GIF image falls back to raw per-frame stats") {
+    // a decodable PNG has no disposal metadata — it must still yield its
+    // one frame (pre-compositing behavior), not silently explode to zero
+    val got = ImageCodec.gifFrameStats(ImageCodec.solidPng(6, 5, 10, 20, 30))
+    assert(got == Seq((0, 6, 5, 10.0, 20.0, 30.0)), got.toString)
+  }
+
+  test("VideoCodec: hostile nested-LIST tower parses cleanly (no stack overflow)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // ~12k nested 12-byte LIST headers: without a depth cap the recursive
+    // walk would throw StackOverflowError (a VirtualMachineError that
+    // escapes NonFatal, i.e. a task failure)
+    val levels = 12000
+    val bb = ByteBuffer.allocate(12 + levels * 12).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + levels * 12)
+      .put("AVI ".getBytes("US-ASCII"))
+    var remaining = levels * 12 - 8
+    (0 until levels).foreach { _ =>
+      bb.put("LIST".getBytes("US-ASCII")).putInt(remaining max 4)
+        .put("hdrl".getBytes("US-ASCII"))
+      remaining -= 12
+    }
+    assert(VideoCodec.aviFrameStats(bb.array()).isEmpty) // and does not throw
   }
 
   test("VideoCodec: corrupt, truncated, and null payloads yield no frames") {

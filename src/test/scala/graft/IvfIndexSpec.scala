@@ -1,9 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.operators.Similarity
 
@@ -25,25 +23,6 @@ class IvfIndexSpec extends SparkSpec {
     val rnd = new scala.util.Random(17L)
     Seq.tabulate(n)(i =>
       (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
-  }
-
-  /** Run `action` and return the observed row of `metricName` from the
-    * last successful execution that carried it (QueryExecutionListener is
-    * async — drained via the graftest shim).
-    */
-  private def observed(metricName: String)(action: => Unit): Option[org.apache.spark.sql.Row] = {
-    @volatile var row: Option[org.apache.spark.sql.Row] = None
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get(metricName).foreach(r => row = Some(r))
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      action
-      org.apache.spark.graftest.ListenerDrain.drain(spark.sparkContext)
-    } finally spark.listenerManager.unregister(listener)
-    row
   }
 
   test("served top-k from a persisted index equals the fused train-per-call path") {
@@ -102,14 +81,14 @@ class IvfIndexSpec extends SparkSpec {
     val emb = embeddings(1000).cache(); emb.count()
     val nQueries = 5
     // fused path
-    val fusedExamined = observed(Similarity.candidatesMetric) {
+    val fusedExamined = observedMetric(Similarity.candidatesMetric) {
       Similarity.ivfTopK(emb, "vec_id", "embedding",
         col("vec_id") < nQueries, 10, nlist = 16, nprobe = 4).collect()
     }.map(_.getLong(0))
     // served path
     val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/metric"
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
-    val servedExamined = observed(Similarity.candidatesMetric) {
+    val servedExamined = observedMetric(Similarity.candidatesMetric) {
       Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < nQueries),
         "vec_id", "embedding", dir, 10, nprobe = 4).collect()
     }.map(_.getLong(0))

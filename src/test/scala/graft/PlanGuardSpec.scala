@@ -42,10 +42,11 @@ class PlanGuardSpec extends SparkSpec {
       "StreamWindows.scala" -> 2,
       "Lamp.scala"          -> 1,
       // trainCentroids: seeded init + Lloyd partials (nlist rows each);
-      // ivfTopKFromIndex: centroid table + probed bucket set (≤ |Q|·nprobe
-      // ints); ivfDupPairsFromIndex: centroid table — all sketch-sized by
-      // contract
-      "Similarity.scala"    -> 5,
+      // ivfTopKFromIndex: centroid table + query batch (sketch-sized by
+      // contract, materialized once so the query subplan doesn't execute
+      // twice) + probed bucket set (≤ |Q|·nprobe ints);
+      // ivfDupPairsFromIndex: centroid table
+      "Similarity.scala"    -> 6,
       "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       "Sampling.scala"      -> 1)  // temperatureMix: one row per source

@@ -101,26 +101,14 @@ class ScalingSpec extends SparkSpec {
     // measured through the production-observable graft_ivf_candidates
     // metric (Dataset.observe riding the normal plan), not a test-only
     // count — the same signal a deployment's QueryExecutionListener reads
-    var metricExamined = -1L
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit =
-        qe.observedMetrics.get(operators.Similarity.candidatesMetric)
-          .foreach(r => metricExamined = r.getLong(0))
-      override def onFailure(funcName: String,
-                             qe: org.apache.spark.sql.execution.QueryExecution,
-                             exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    val examined = try {
-      val counted = operators.Similarity.ivfCandidates(emb, "vec_id", "embedding",
+    var counted = -1L
+    val metric = observedMetric(operators.Similarity.candidatesMetric) {
+      counted = operators.Similarity.ivfCandidates(emb, "vec_id", "embedding",
         col("vec_id") < nQueries, nlist = 16, nprobe = 4).count()
-      org.apache.spark.graftest.ListenerDrain.drain(spark.sparkContext)
-      assert(metricExamined == counted,
-        s"observed metric $metricExamined != counted rows $counted")
-      metricExamined
-    } finally spark.listenerManager.unregister(listener)
+    }
+    val examined = metric.map(_.getLong(0)).getOrElse(-1L)
+    assert(examined == counted,
+      s"observed metric $examined != counted rows $counted")
     val brute = nQueries.toLong * (n - 1)
     val frac = examined.toDouble / brute
     // expectation nprobe/nlist = 0.25; slack for bucket-size skew (queries

@@ -9,6 +9,30 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `action` and return the observed row of `metricName` from the
+    * last successful execution that carried it (QueryExecutionListener is
+    * async — drained via the graftest shim). Shared by every suite that
+    * reads `Dataset.observe` metrics.
+    */
+  def observedMetric(metricName: String)(action: => Unit): Option[org.apache.spark.sql.Row] = {
+    @volatile var row: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach(r => row = Some(r))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action
+      org.apache.spark.graftest.ListenerDrain.drain(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    row
+  }
 }
 
 object SparkSpec {
