@@ -106,7 +106,7 @@ object Repl {
             (a, b) => a.unionByName(b).groupBy("bucket")
               .agg(sum("cnt").as("cnt")))
           .map { case (p, df) =>
-            val total = df.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+            val total = df.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
             f"$p%.2f -> $total rows"
           }
           .mkString("\n")

@@ -290,7 +290,7 @@ object Similarity {
     val probed = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val corpus = spark.read.parquet(s"$indexDir/assignments")
-      .filter(col("bucket").isin(probed.map(Int.box): _*))
+      .filter(col("bucket").isin(probed.map(Int.box).toIndexedSeq: _*))
     val cand = observeCandidates(
       q.join(corpus, Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))
