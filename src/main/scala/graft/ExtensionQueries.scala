@@ -193,12 +193,13 @@ object ExtensionQueries {
     // ---- IVF-bucketed embedding near-dup (approximate scale path) ----------
     // Exact-verified candidates from shared coarse buckets: always a
     // subset of dedup_embedding's exact pairs (no false positives; recall
-    // measured in ExtensionOpsSpec). no_oracle because recall < 1 at the
-    // fixture's weak-similarity threshold — see the operator scaladoc.
+    // measured in ExtensionOpsSpec). Served from the SAME memoized
+    // persisted index as similarity_ivf_index — no training at query time
+    // (IvfIndexSpec pins served ≡ fused). no_oracle because recall < 1 at
+    // the fixture's weak-similarity threshold — see the operator scaladoc.
     Q.noOracle("dedup_embedding_ivf") {
       (s, d) => sortSmall(
-        Similarity.ivfDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          0.45, nlist = 16, nprobe = 3),
+        Similarity.ivfDupPairsFromIndex(s, ivfIndexDir(s, d), 0.45, nprobe = 3),
         col("d1"), col("d2"))
     },
 
