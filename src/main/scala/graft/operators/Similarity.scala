@@ -270,7 +270,8 @@ object Similarity {
     * as `PartitionFilters` in the scan.
     */
   def ivfTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
-                       indexDir: String, k: Int, nprobe: Int = 4): DataFrame = {
+                       indexDir: String, k: Int, nprobe: Int = 4,
+                       maxQueryBatch: Int = 100000): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.nearestCentroids
@@ -281,10 +282,17 @@ object Similarity {
     // materialize the query batch ONCE (sketch-sized by contract): the
     // batch feeds both the probed-bucket collection and the candidate
     // join, and leaving it lazy would re-execute the whole query-side
-    // subplan (often a filter over the full corpus) for each
+    // subplan (often a filter over the full corpus) for each. The
+    // limit(max+1) makes the contract fail FAST: an oversized batch (say
+    // the whole corpus passed as "queries") raises a named error instead
+    // of silently collecting corpus-sized vectors onto the driver
     val qBatch = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val qRows = qBatch.limit(maxQueryBatch + 1).collect()
+    require(qRows.length <= maxQueryBatch,
+      s"ivfTopKFromIndex query batch exceeds maxQueryBatch=$maxQueryBatch rows — " +
+        "query batches are sketch-sized by contract; split the batch or raise the cap")
     val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qBatch.collect(): _*), qBatch.schema)
+      java.util.Arrays.asList(qRows: _*), qBatch.schema)
     val q = qLocal
       .withColumn("bucket", explode(nearestCentroids(col("q_vec"), cs, nprobe)))
     val probed = q.select(col("bucket")).distinct()

@@ -77,6 +77,22 @@ class IvfIndexSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("oversized query batches fail fast instead of collecting onto the driver") {
+    val emb = embeddings(300).cache(); emb.count()
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/cap"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(emb, "vec_id", "embedding", dir, 10,
+        nprobe = 2, maxQueryBatch = 100)
+    }
+    assert(e.getMessage.contains("maxQueryBatch"), e.getMessage)
+    // at or under the cap the same call serves normally
+    assert(Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dir, 10, nprobe = 2, maxQueryBatch = 100)
+      .count() > 0)
+    emb.unpersist()
+  }
+
   test("probed-fraction is observable via the graft_ivf_candidates metric on both paths") {
     val emb = embeddings(1000).cache(); emb.count()
     val nQueries = 5
