@@ -168,6 +168,34 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Sub-document (boilerplate) dedup ----------------------------------
+    // 10-token spans counted across distinct docs; spans in >1 doc are
+    // boilerplate. The planted near-dup/exact-dup docs share spans, so
+    // the per-doc dropped counts are non-trivial, and the oracle replays
+    // the identical span chunking + distinct-doc counting in SQL.
+    Q("dedup_subdoc",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |         greatest(CAST(floor((len(t) + 9) / 10.0) AS INTEGER), 1) AS n_chunks
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_slice(t, chunk_no * 10 + 1, chunk_no * 10 + 10)) AS BIGINT) AS n_chunk_tokens,
+        |         md5(array_to_string(list_slice(t, chunk_no * 10 + 1, chunk_no * 10 + 10), ' ')) AS chunk_hash
+        |  FROM n CROSS JOIN UNNEST(range(0, n_chunks)) AS c(chunk_no)),
+        |sd AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1)
+        |SELECT c.doc_id, COUNT(*) AS n_spans,
+        |       COUNT(CASE WHEN sd.n_docs > 1 THEN 1 END) AS n_dropped_spans,
+        |       CAST(COALESCE(SUM(CASE WHEN sd.n_docs <= 1 THEN c.n_chunk_tokens END), 0) AS BIGINT) AS n_kept_tokens
+        |FROM chunks c JOIN sd USING (chunk_hash)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) => Dedup.subdocDedup(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 10, maxDocs = 1)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- SimHash near-dup (Hamming ≤ 3, the Manku et al. web-dedup radius) --
     Q.noOracle("dedup_simhash") {
       (s, d) => sortSmall(

@@ -30,6 +30,38 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Sub-document (boilerplate) dedup — the line-dedup pass of a
+    * training-data pipeline (RefinedWeb/Gopher-style): split each doc
+    * into fixed-size non-overlapping token spans, count each span's
+    * DISTINCT-document occurrences corpus-wide, and mark spans appearing
+    * in more than `maxDocs` documents as boilerplate (navigation bars,
+    * headers, license footers repeat verbatim across pages; genuine
+    * content doesn't). Returns per-doc
+    * (id, n_spans, n_dropped_spans, n_kept_tokens) — the cleaning stats a
+    * pipeline gates on. Spans reuse `TextOps.chunkTokens` (overlap 0), so
+    * "span" is a real newline-free line surrogate; on a corpus with
+    * actual lines, split on newlines upstream and pass line-sized spans.
+    *
+    * Scale shape: explode to spans (map-side), one shuffle keyed by span
+    * hash for the distinct-doc counts, and the spans⋈counts join is
+    * co-partitioned on that same hash (no extra exchange); the final
+    * per-doc rollup is a second linear shuffle. Only (hash, id) pairs
+    * move — never text.
+    */
+  def subdocDedup(df: DataFrame, idCol: String, textCol: String,
+                  spanTokens: Int = 10, maxDocs: Int = 1): DataFrame = {
+    val spans = TextOps.chunkTokens(df, idCol, textCol, spanTokens, 0)
+    val spanDocs = spans.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    spans.join(spanDocs, Seq("chunk_hash"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when(col("n_docs") > maxDocs, 1)).as("n_dropped_spans"),
+        coalesce(sum(when(col("n_docs") <= maxDocs, col("n_chunk_tokens"))), lit(0L))
+          .as("n_kept_tokens"))
+  }
+
   /** Train/eval contamination check — the decontamination pass of a
     * training-data pipeline: flag training docs whose text shares at
     * least `minHits` distinct n-gram shingles with the eval (benchmark)

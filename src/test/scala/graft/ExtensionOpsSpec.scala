@@ -126,6 +126,25 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("subdocDedup drops corpus-repeated boilerplate spans, keeps unique content") {
+    import spark.implicits._
+    // three 'pages' sharing a verbatim 10-token header; unique bodies
+    val header = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"$header aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+      (2L, s"$header kkk lll mmm nnn ooo ppp qqq rrr sss ttt"),
+      (3L, s"$header uuu vvv www xxx yyy zzz a1 a2 a3 a4"),
+      (4L, "lone doc with fully unique words only here now ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.subdocDedup(docsDf, "doc_id", "text", spanTokens = 10, maxDocs = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // pages: 2 spans each (header + body); header dropped, 10-token body kept
+    for (id <- 1L to 3L)
+      assert(got(id) == ((2L, 1L, 10L)), s"doc $id: ${got(id)}")
+    // the lone doc: 10 tokens → one span, nothing dropped
+    assert(got(4L) == ((1L, 0L, 10L)), got(4L).toString)
+  }
+
   test("SimHash: planted pairs at small Hamming distance, background far") {
     val ham = Dedup.simHashPairs(docs, "doc_id", "text", 2, 10)
       .select("d1", "d2").collect()
