@@ -41,6 +41,8 @@ object Repl {
       |                                         n_tokens)
       |  mix <view> <srcCol> <T> <targetRows>   temperature-scaled source mixing;
       |                                         prints per-source kept counts
+      |  subdoc <view> <spanTokens> <maxDocs>   per-doc boilerplate-span stats (spans
+      |                                         repeated in > maxDocs docs are dropped)
       |  contaminate <trainView> <evalView> <n> <minHits>
       |                                         train docs sharing >= minHits n-gram
       |                                         shingles with the eval view
@@ -155,6 +157,10 @@ object Repl {
           .temperatureMix(df(vid), srcCol, t.toDouble, target.toLong)
           .groupBy(col(srcCol)).agg(count(lit(1)).as("kept"))
           .orderBy(col(srcCol)))
+      case "subdoc" :: vid :: spanTokens :: maxDocs :: Nil =>
+        render(graft.operators.Dedup
+          .subdocDedup(df(vid), "doc_id", "text", spanTokens.toInt, maxDocs.toInt)
+          .orderBy(col("doc_id")))
       case "contaminate" :: trainVid :: evalVid :: n :: minHits :: Nil =>
         render(graft.operators.Dedup
           .contamination(df(trainVid), df(evalVid), "doc_id", "text",

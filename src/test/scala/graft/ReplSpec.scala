@@ -74,6 +74,7 @@ class ReplSpec extends SparkSpec {
       "contaminate filter-3 filter-4 3 10",
       "pack documents-1 64 16 512",
       "mix documents-1 source 2.0 200",
+      "subdoc documents-1 10 1",
       "quit")
     // fixture has planted near-dup pairs → at least one d1/d2/jacc data row
     val dupHeader = out.linesIterator.indexWhere(_.startsWith("d1\t"))
@@ -103,9 +104,15 @@ class ReplSpec extends SparkSpec {
     // mix: per-source kept counts, each a (source, kept) pair
     val mixHeader = out.linesIterator.indexWhere(_.startsWith("source\tkept"))
     assert(mixHeader >= 0, s"mix must render a source/kept table:\n$out")
-    val mixRows = out.linesIterator.drop(mixHeader + 1).takeWhile(_.contains("\t")).toSeq
+    val mixRows = out.linesIterator.drop(mixHeader + 1)
+      .takeWhile(l => l.contains("\t") && l.split("\t")(1).forall(_.isDigit)).toSeq
     assert(mixRows.nonEmpty && mixRows.forall(_.split("\t")(1).toLong > 0),
       s"mix kept-counts missing or zero:\n$out")
+    // subdoc: per-doc span stats table
+    val sdHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\tn_spans"))
+    assert(sdHeader >= 0, s"subdoc must render a doc_id/n_spans table:\n$out")
+    assert(out.linesIterator.drop(sdHeader + 1).next().split("\t").length == 4,
+      s"no subdoc rows rendered:\n$out")
   }
 
   test("filter predicates keep embedded whitespace intact") {
