@@ -123,16 +123,33 @@ object Similarity {
 
   /** Exact cosine re-rank of a candidate frame (q_id, q_vec, n_id, n_vec)
     * to per-query top-k — the shared tail of every ANN path.
+    *
+    * Shape: the bounded [[graft.functions.NextKPageAgg]] buffer grouped by
+    * `q_id` with page key (sim DESC, n_id ASC): each partition keeps a
+    * ≤ k-entry buffer per query and partials merge pairwise, so only
+    * `partitions · |Q| · k` tiny rows ever shuffle. The
+    * `row_number().over(Window.partitionBy(q_id))` form this replaces
+    * sorted a query's ENTIRE candidate set in one task — at IVF scale
+    * that is ≈ (nprobe/nlist)·N rows through a single straggler task per
+    * query, the one plan that cannot survive a 100× corpus. Bounded-vs-
+    * window parity and the flat shuffle bound are pinned in
+    * ExtensionOpsSpec/ScalingSpec.
     */
-  private def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
+  private[graft] def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(cand.sparkSession)
     val sims = cand
       .select(col("q_id"), col("n_id"),
         round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    // keys are distinct per group by construction ((q_id, n_id) unique in
+    // every candidate path), so the page's dedup counts are all 1 and the
+    // page IS the row_number sequence
+    sims.groupBy(col("q_id"))
+      .agg(call_function("graft_nextk_page",
+        struct(col("sim"), col("n_id")),
+        typedlit(Seq(false, true)), lit(k)).as("pg"))
+      .select(col("q_id"), posexplode(col("pg")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.key.n_id").as("n_id"), col("e.key.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -224,16 +241,25 @@ object Similarity {
         .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")))
   }
 
-  /** Named observation emitted by both IVF candidate paths (fused and
-    * index-served): `examined` = candidate pairs entering exact re-rank.
-    * Probe selectivity is `examined / (|Q|·(N-1))` — observable in
-    * production via a `QueryExecutionListener` (the metric rides the
+  /** Stable PREFIX of the observation emitted by both IVF candidate paths
+    * (fused and index-served): `examined` = candidate pairs entering exact
+    * re-rank. Probe selectivity is `examined / (|Q|·(N-1))` — observable
+    * in production via a `QueryExecutionListener` (the metric rides the
     * normal codegen'd plan; no accumulator plumbing in the hot path).
+    *
+    * Each call suffixes a process-unique counter: Spark rejects duplicate
+    * observed-metric names within one plan, so a fixed name would break
+    * any query composing two IVF stages (union/join of two top-k results).
+    * Listeners match on the prefix (`name == prefix || name.startsWith
+    * (prefix + "_")`).
     */
   val candidatesMetric = "graft_ivf_candidates"
 
+  private val observeSeq = new java.util.concurrent.atomic.AtomicLong
+
   private def observeCandidates(cand: DataFrame): DataFrame =
-    cand.observe(candidatesMetric, count(lit(1)).as("examined"))
+    cand.observe(s"${candidatesMetric}_${observeSeq.incrementAndGet()}",
+      count(lit(1)).as("examined"))
 
   /** Build the IVF index ONCE and persist it — the serving shape for a
     * real ANN deployment (a 100 TB corpus is indexed by a batch job;

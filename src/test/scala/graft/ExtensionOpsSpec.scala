@@ -380,6 +380,28 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("bounded rerankTopK reproduces the window-sort top-k exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // the shared ANN tail is a bounded per-query page aggregate; this is
+    // the dependency-free window model it replaced (single-task sort per
+    // query — correct, but not the 100× plan), kept as the parity oracle
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val cand = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+    val bounded = Similarity.rerankTopK(cand, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    val model = cand
+      .select(col("q_id"), col("n_id"),
+        round(Similarity.cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("q_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(model.nonEmpty && bounded.toSeq == model.toSeq)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(1)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 6).as("c"))

@@ -143,6 +143,36 @@ class ScalingSpec extends SparkSpec {
       s"page shuffle must not scale with distinct keys: $small -> $large records")
   }
 
+  test("ANN re-rank shuffles bounded pages, not the candidate set") {
+    import spark.implicits._
+    // the re-rank stage must move only partitions·|Q|·k page partials —
+    // the row_number window form it replaced shuffled EVERY candidate row
+    // into one task per query (4·(n-1) records here, growing with the
+    // corpus; the bounded form stays flat)
+    def run(n: Int): Long = {
+      val rnd = new scala.util.Random(5L)
+      val emb = Seq.tabulate(n)(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val cand = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+        .repartition(8).cache()
+      cand.count() // materialize outside the measured window
+      val recs = shuffleRecords {
+        assert(operators.Similarity.rerankTopK(cand, 10).count() == 40L)
+      }
+      cand.unpersist()
+      recs
+    }
+    val small = run(500)
+    val large = run(2000)
+    assert(small < 4L * 499,
+      s"re-rank shuffled $small records on a 1996-candidate frame — the candidate set crossed a shuffle")
+    assert(large < small * 2,
+      s"re-rank shuffle grew with the corpus ($small -> $large records on 4x candidates) — not bounded")
+  }
+
   test("simHash candidates at the default radius grow ~linearly on a 4x corpus") {
     // corpus(n) is seed-deterministic, so corpus(300) is a strict prefix of
     // corpus(1200): planted-pair collision behavior is identical across the

@@ -13,7 +13,9 @@ trait SparkSpec extends AnyFunSuite {
   /** Run `action` and return the observed row of `metricName` from the
     * last successful execution that carried it (QueryExecutionListener is
     * async — drained via the graftest shim). Shared by every suite that
-    * reads `Dataset.observe` metrics.
+    * reads `Dataset.observe` metrics. Matches the name OR a
+    * `name_<suffix>` variant — production observe names carry a unique
+    * counter suffix so two observed stages can compose in one plan.
     */
   def observedMetric(metricName: String)(action: => Unit): Option[org.apache.spark.sql.Row] = {
     @volatile var row: Option[org.apache.spark.sql.Row] = None
@@ -21,7 +23,9 @@ trait SparkSpec extends AnyFunSuite {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit =
-        qe.observedMetrics.get(metricName).foreach(r => row = Some(r))
+        qe.observedMetrics.collect {
+          case (n, r) if n == metricName || n.startsWith(metricName + "_") => r
+        }.foreach(r => row = Some(r))
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
