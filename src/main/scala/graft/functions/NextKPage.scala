@@ -124,8 +124,11 @@ case class NextKPageAgg(
 
   override def update(b: java.util.TreeMap[InternalRow, java.lang.Long],
                       input: InternalRow): java.util.TreeMap[InternalRow, java.lang.Long] = {
-    val v = child.eval(input).asInstanceOf[InternalRow] // CreateStruct: never null
-    offer(b, keyProj(v), 1L, copyOnInsert = true)
+    val v = child.eval(input).asInstanceOf[InternalRow]
+    // CreateStruct never yields null, but the function is SQL-registered —
+    // a caller passing a nullable struct column directly gets skip-the-row
+    // semantics (matching how agg functions ignore null inputs), not an NPE
+    if (v ne null) offer(b, keyProj(v), 1L, copyOnInsert = true)
     b
   }
 

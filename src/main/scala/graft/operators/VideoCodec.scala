@@ -164,7 +164,9 @@ object VideoCodec {
         while (p + 8 <= end) {
           val tag = bb.getInt(p)
           val size = bb.getInt(p + 4)
-          if (size < 0 || p + 8 + size > end) return // corrupt: stop cleanly
+          // Long arithmetic: a hostile size near Int.MaxValue would wrap
+          // `p + 8 + size` negative and slip past an Int comparison
+          if (size < 0 || p + 8L + size > end) return // corrupt: stop cleanly
           if (tag == fourcc("LIST")) {
             val listType = if (size >= 4) bb.getInt(p + 8) else 0
             walk(p + 12, p + 8 + size,

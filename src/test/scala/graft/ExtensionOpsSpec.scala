@@ -902,7 +902,10 @@ class ExtensionOpsSpec extends SparkSpec {
       (0 until b.length - 4).find(i => (0 until 4).forall(j => b(i + j) == t(j))).get
     }
     bb.putInt(findTag(evil, "00db") + 4, Int.MaxValue)
-    VideoCodec.aviFrameStats(evil) // must neither throw nor hang
+    // must neither throw nor hang; the Long-arithmetic bound check stops
+    // the movi walk AT the hostile chunk (an Int check would wrap negative,
+    // accept the bogus frame, and read bytes belonging to later chunks)
+    assert(VideoCodec.aviFrameStats(evil).isEmpty)
     // a PNG fed to the video path is politely rejected
     assert(VideoCodec.aviFrameStats(ImageCodec.solidPng(4, 4, 1, 2, 3)).isEmpty)
   }
