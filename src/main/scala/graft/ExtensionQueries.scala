@@ -54,8 +54,9 @@ object ExtensionQueries {
   private def ivfIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = QueryDefs.ioDir(d, "ivf_index")
     ivfIndexBuilt.computeIfAbsent(dir, _ => {
-      Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
-        dir, nlist = 16)
+      val emb = t(s, d, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        dir, nlist = Similarity.autoNlist(emb.count()))
       java.lang.Boolean.TRUE
     })
     dir
@@ -261,9 +262,15 @@ object ExtensionQueries {
     },
 
     // ---- IVF coarse-quantizer ANN (scale path #2; recall-tested) -----------
+    // nlist auto-sizes to √N (standard IVF practice) — the fixed nlist=16
+    // it replaces probed HALF the corpus per query at nprobe=8, a fraction
+    // that only grows worse as N does
     Q.noOracle("similarity_ivf") {
-      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 5, 10, nlist = 16, nprobe = 8)
+      (s, d) =>
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, 10,
+          nlist = Similarity.autoNlist(emb.count()), nprobe = 8)
     },
 
     // ---- IVF with a PERSISTED index: build once, serve probe-only ----------

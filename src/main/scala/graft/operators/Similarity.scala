@@ -172,45 +172,108 @@ object Similarity {
               seed: Long = 42L): DataFrame =
     rerankTopK(ivfCandidates(emb, idCol, vecCol, queryPred, nlist, nprobe, seed), k)
 
-  /** Train the IVF coarse quantizer: seeded deterministic init (the nlist
-    * hash-smallest vectors) + one Lloyd refinement pass, both distributed;
-    * only the sketch-sized centroid matrix (nlist·dim doubles) is ever
-    * collected. Shared by the fused path and the persisted-index build, so
-    * the two produce identical centroids for identical (data, seed).
+  /** Standard IVF list sizing, `nlist ∝ √N` (floored at 16): pair cost of
+    * the dup path is ≈ N²·nprobe²/nlist, so √N lists give O(N^1.5) total;
+    * per-query search cost is ≈ nprobe·N/nlist + nlist centroid scans,
+    * minimized at the same √N. Catalog queries size from a table count.
+    */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
+
+  /** Train the IVF coarse quantizer — kmeans++ init + Lloyd iterations to
+    * movement convergence, the shape real IVF practice (FAISS-style) uses:
+    *
+    *  1. a DETERMINISTIC sample (the `nlist·8` hash-smallest vectors — one
+    *     distributed top-k, no RNG in the scan) seeds kmeans++ on the
+    *     driver: centers picked distance²-weighted with a seeded generator,
+    *     so spread scales with cluster mass instead of the hash-smallest
+    *     init's arbitrary placement (which routinely dropped several of
+    *     nlist buckets into one dense region, starving recall);
+    *  2. distributed Lloyd passes (map-side partial sums per bucket, one
+    *     sketch-sized aggregate per pass) until the largest centroid
+    *     movement falls under 1e-3 of the sample's mean vector norm, capped
+    *     at `maxIters` — empty clusters keep their previous centroid.
+    *
+    * Only sketch-sized state is ever collected (the init sample and the
+    * nlist·dim partial means). Shared by the fused path and the
+    * persisted-index build, so the two produce identical centroids for
+    * identical (data, nlist, seed).
     */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int, seed: Long): Array[Array[Double]] = {
+                     nlist: Int, seed: Long, maxIters: Int = 8): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     // the Lloyd pass never uses ids — ship vectors only (and stay agnostic
     // to the id type, unlike a cast-to-long of string ids)
     val vecs = emb.select(col(vecCol)).as[Array[Float]]
-    def l2(a: Array[Float], c: Array[Double]): Double = {
+    def l2f(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
+      s
+    }
+    def l2d(a: Array[Double], c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
       s
     }
     def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
       var best = 0; var bd = Double.MaxValue; var i = 0
-      while (i < cs.length) { val d = l2(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+      while (i < cs.length) { val d = l2f(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
       best
     }
-    // deterministic init: the nlist hash-smallest vectors seed the centroids
-    val init: Array[Array[Double]] = emb
+    // ---- kmeans++ init on the deterministic hash-ordered sample --------
+    val sample: Array[Array[Double]] = emb
       .select(col(vecCol).as("v"), xxhash64(col(idCol), lit(seed)).as("h"))
-      .orderBy(col("h")).limit(nlist)
+      .orderBy(col("h")).limit(math.max(nlist * 8, 256))
       .select(col("v")).as[Array[Float]]
       .collect().map(_.map(_.toDouble))
-    // one Lloyd pass: mean of each centroid's assigned vectors
-    val sums = vecs
-      .map(v => (nearest(v, init), v.map(_.toDouble), 1L))
-      .groupByKey(_._1)
-      .reduceGroups { (a, b) =>
-        (a._1, a._2.zip(b._2).map { case (x, y) => x + y }, a._3 + b._3)
+    if (sample.isEmpty) return Array.empty
+    val k = math.min(nlist, sample.length)
+    val rnd = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer(sample(0))
+    val d2 = Array.fill(sample.length)(Double.MaxValue)
+    while (centers.length < k) {
+      val c = centers.last
+      var i = 0
+      while (i < sample.length) {
+        val d = l2d(sample(i), c); if (d < d2(i)) d2(i) = d; i += 1
       }
-      .map { case (_, (c, s, n)) => (c, s.map(_ / n)) }
-      .collect().toMap
-    Array.tabulate(init.length)(i => sums.getOrElse(i, init(i)))
+      val total = d2.sum
+      if (total <= 0) {
+        // all sample points coincide with chosen centers — duplicate one
+        // (the resulting empty buckets are harmless: Lloyd keeps them put)
+        centers += sample(centers.length % sample.length)
+      } else {
+        var r = rnd.nextDouble() * total
+        var j = 0
+        while (j < sample.length - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+        while (d2(j) <= 0 && j < sample.length - 1) j += 1 // never re-pick a center
+        centers += sample(j)
+      }
+    }
+    // ---- Lloyd to convergence ------------------------------------------
+    val meanNorm = sample.map(v => math.sqrt(l2d(v, new Array[Double](v.length))))
+      .sum / sample.length
+    val eps = 1e-3 * math.max(meanNorm, 1e-12)
+    var cs: Array[Array[Double]] = centers.toArray
+    var moved = Double.MaxValue
+    var iter = 0
+    while (iter < maxIters && moved > eps) {
+      val cur = cs // stable closure capture for this pass
+      val sums = vecs
+        .map(v => (nearest(v, cur), v.map(_.toDouble), 1L))
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          (a._1, a._2.zip(b._2).map { case (x, y) => x + y }, a._3 + b._3)
+        }
+        .map { case (_, (c, s, n)) => (c, s.map(_ / n)) }
+        .collect().toMap
+      val next = Array.tabulate(cs.length)(i => sums.getOrElse(i, cs(i)))
+      moved = cs.zip(next).map { case (a, b) => math.sqrt(l2d(a, b)) }.max
+      cs = next
+      iter += 1
+    }
+    cs
   }
 
   /** The IVF candidate stage alone — (q_id, q_vec, n_id, n_vec) for every

@@ -256,6 +256,56 @@ class ExtensionOpsSpec extends SparkSpec {
     big.unpersist()
   }
 
+  test("ivfDupPairs finds planted near-dups at cosine 0.9 with auto-sized nlist") {
+    import spark.implicits._
+    // the regime the operator is FOR (training-data dedup: high-threshold
+    // near-dups), on a corpus where ground truth is planted by
+    // construction: each base vector gets a twin with ~0.3%-norm noise
+    // (cosine ≈ 0.9975), random gaussian cross-pairs sit far below 0.9
+    val rnd = new scala.util.Random(41L)
+    val dim = 32
+    val rows = Array.tabulate(300) { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+      Seq((i.toLong, v), (1000L + i, dup))
+    }.flatten.toSeq
+    val planted = rows.toDF("vec_id", "embedding").cache()
+    planted.count()
+    val exact = Similarity.cosineDupPairs(planted, "vec_id", "embedding", 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 295, s"corpus broken: only ${exact.size} planted pairs visible")
+    val approx = Similarity.ivfDupPairs(planted, "vec_id", "embedding", 0.9,
+        nlist = Similarity.autoNlist(600), nprobe = 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), s"false positives: ${approx.diff(exact)}")
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95,
+      s"recall $recall below floor at cosine 0.9 (found ${approx.size}/${exact.size})")
+    planted.unpersist()
+  }
+
+  test("trainCentroids converges to the true means of well-separated clusters") {
+    import spark.implicits._
+    // 4 gaussian blobs at mutual distance ~14 with spread 0.1: kmeans++
+    // init must seed one center per blob (the hash-smallest init this
+    // replaced routinely dropped two inits into one blob, and one Lloyd
+    // pass could not recover), and convergence must land each centroid on
+    // its blob mean
+    val rnd = new scala.util.Random(7L)
+    val trueMeans = Array.tabulate(4)(c => Array.tabulate(8)(j => if (j == c * 2) 10.0 else 0.0))
+    val rows = (0 until 400).map { i =>
+      val c = i % 4
+      (i.toLong, trueMeans(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cs = Similarity.trainCentroids(df, "vec_id", "embedding", 4, 42L)
+    assert(cs.length == 4)
+    trueMeans.foreach { tm =>
+      val d = cs.map(c => math.sqrt(c.zip(tm).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(d < 0.2, s"no converged centroid near blob mean ${tm.toSeq}: nearest at distance $d")
+    }
+  }
+
   test("cosineDupPairs skips zero-norm vectors instead of crashing") {
     import spark.implicits._
     val base = Seq(
