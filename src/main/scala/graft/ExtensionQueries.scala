@@ -228,9 +228,12 @@ object ExtensionQueries {
     // persisted index as similarity_ivf_index — no training at query time
     // (IvfIndexSpec pins served ≡ fused). no_oracle because recall < 1 at
     // the fixture's weak-similarity threshold — see the operator scaladoc.
+    // nprobe=4 against the auto-sized (√N) list count: recall 13/14 at the
+    // fixture's weak cosine 0.45, with a probed fraction that SHRINKS as
+    // the corpus grows (4/√N) instead of the fixed-nlist 4/16
     Q.noOracle("dedup_embedding_ivf") {
       (s, d) => sortSmall(
-        Similarity.ivfDupPairsFromIndex(s, ivfIndexDir(s, d), 0.45, nprobe = 3),
+        Similarity.ivfDupPairsFromIndex(s, ivfIndexDir(s, d), 0.45, nprobe = 4),
         col("d1"), col("d2"))
     },
 

@@ -403,7 +403,10 @@ object Similarity {
     * pair set (zero false positives — pinned in tests). Unlike the text
     * LSH path, recall is NOT 1.0 at moderate thresholds: fixture pairs at
     * cosine ≈ 0.45 (θ ≈ 60° in 64-dim) straddle coarse buckets, measured
-    * 13/14 at (nlist=16, nprobe=3). That is inherent to bucketing at weak
+    * 13/14 at (auto nlist=23, nprobe=4) on the sf0.01 fixture — while the
+    * high-threshold regime the operator is FOR measures ≥ 0.95 recall at
+    * cosine 0.9 on a planted corpus (pinned in ExtensionOpsSpec). The
+    * weak-threshold shortfall is inherent to bucketing at weak
     * similarity — which is exactly why `cosineDupPairs` (exact, N²/2 by
     * contract) remains the exactness path and this is the scale path for
     * the high-threshold near-dup regime typical of training-data dedup,
@@ -448,13 +451,27 @@ object Similarity {
                            nprobe: Int = 2): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.nearestCentroids
-    val cs: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy(col("bucket")).select(col("centroid"))
-      .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
     val assigned = spark.read.parquet(s"$indexDir/assignments")
-      .select(col("n_id").as("id"), col("n_vec").as("vec"))
-    val tagged = assigned.select(col("id"),
-      explode(nearestCentroids(col("vec"), cs, nprobe)).as("bucket"))
+      .select(col("n_id").as("id"), col("n_vec").as("vec"), col("bucket"))
+    // probe 1 IS the stored assignment (the Hive partition column, read
+    // from directory metadata): recomputing it from the centroid table
+    // would be a full redundant pass over the corpus. At nprobe=1 the
+    // candidate stage is therefore a pure column-pruned (id, bucket) read
+    // with NO centroid scan — plan-asserted in IvfIndexSpec; probes
+    // 2..nprobe need the distance ranking anyway, so one NearestCentroids
+    // evaluation derives them (positions 2.. of the probe list — position
+    // 1 equals the stored bucket for the index's own centroid table)
+    val tagged =
+      if (nprobe <= 1) assigned.select(col("id"), col("bucket"))
+      else {
+        val cs: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
+          .orderBy(col("bucket")).select(col("centroid"))
+          .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+        assigned.select(col("id"),
+          explode(concat(array(col("bucket")),
+            slice(nearestCentroids(col("vec"), cs, nprobe), 2, nprobe - 1)))
+            .as("bucket"))
+      }
     val candIds = tagged.select(col("id").as("d1"), col("bucket"))
       .join(tagged.select(col("id").as("d2"), col("bucket")), Seq("bucket"))
       .filter(col("d1") < col("d2"))

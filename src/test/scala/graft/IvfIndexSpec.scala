@@ -77,6 +77,25 @@ class IvfIndexSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("dup-pair serve at nprobe=1 reuses stored buckets with no centroid scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = embeddings(400).cache(); emb.count()
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/dup1"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
+    val served = Similarity.ivfDupPairsFromIndex(spark, dir, 0.7, nprobe = 1)
+    // probe 1 is the stored partition column: the candidate stage must not
+    // re-derive assignments (a full redundant NearestCentroids pass over
+    // the corpus) — and the fused nprobe=1 form must agree exactly
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_nearest_centroids"),
+      s"serve plan recomputes bucket assignments from centroids:\n$plan")
+    val fused = Similarity.ivfDupPairs(emb, "vec_id", "embedding", 0.7,
+        nlist = 16, nprobe = 1)
+      .orderBy(col("d1"), col("d2")).collect().toSeq
+    assert(served.orderBy(col("d1"), col("d2")).collect().toSeq == fused)
+    emb.unpersist()
+  }
+
   test("oversized query batches fail fast instead of collecting onto the driver") {
     val emb = embeddings(300).cache(); emb.count()
     val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/cap"
