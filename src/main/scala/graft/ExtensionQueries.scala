@@ -197,6 +197,35 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Sub-document dedup, transform form --------------------------------
+    // The cleaned documents themselves: kept (non-boilerplate) spans
+    // re-joined in span order. The oracle replays the identical chunking,
+    // keeps n_docs <= 1 spans, and string_aggs them back per doc — docs
+    // that are 100% boilerplate (exact dups) drop out on BOTH engines.
+    Q("dedup_subdoc_clean",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |         greatest(CAST(floor((len(t) + 9) / 10.0) AS INTEGER), 1) AS n_chunks
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, CAST(c.chunk_no AS INTEGER) AS chunk_no,
+        |         array_to_string(list_slice(t, chunk_no * 10 + 1, chunk_no * 10 + 10), ' ') AS chunk_text,
+        |         md5(array_to_string(list_slice(t, chunk_no * 10 + 1, chunk_no * 10 + 10), ' ')) AS chunk_hash
+        |  FROM n CROSS JOIN UNNEST(range(0, n_chunks)) AS c(chunk_no)),
+        |sd AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        |       string_agg(c.chunk_text, ' ' ORDER BY c.chunk_no) AS clean_text,
+        |       COUNT(*) AS n_kept_spans
+        |FROM chunks c JOIN sd USING (chunk_hash)
+        |WHERE sd.n_docs <= 1
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) => Dedup.subdocDedupClean(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 10, maxDocs = 1)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- SimHash near-dup (Hamming ≤ 3, the Manku et al. web-dedup radius) --
     Q.noOracle("dedup_simhash") {
       (s, d) => sortSmall(

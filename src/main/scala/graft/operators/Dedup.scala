@@ -49,17 +49,50 @@ object Dedup {
     * move — never text.
     */
   def subdocDedup(df: DataFrame, idCol: String, textCol: String,
-                  spanTokens: Int = 10, maxDocs: Int = 1): DataFrame = {
-    val spans = TextOps.chunkTokens(df, idCol, textCol, spanTokens, 0)
-    val spanDocs = spans.groupBy(col("chunk_hash"))
-      .agg(countDistinct(col(idCol)).as("n_docs"))
-    spans.join(spanDocs, Seq("chunk_hash"))
+                  spanTokens: Int = 10, maxDocs: Int = 1): DataFrame =
+    subdocSpanCounts(df, idCol, textCol, spanTokens, emitText = false)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),
         count(when(col("n_docs") > maxDocs, 1)).as("n_dropped_spans"),
         coalesce(sum(when(col("n_docs") <= maxDocs, col("n_chunk_tokens"))), lit(0L))
           .as("n_kept_tokens"))
+
+  /** The TRANSFORM sibling of [[subdocDedup]]: the span-stripped document
+    * itself — kept spans re-joined in original span order — plus the kept
+    * span count. A doc whose every span is boilerplate (e.g. an exact
+    * duplicate at maxDocs=1: all its spans recur in the twin) disappears
+    * from the output, which is the pipeline-correct gating for a document
+    * that is 100% boilerplate.
+    *
+    * Scale shape: identical linear shuffles as the stats form, except the
+    * kept span TEXT rides the final per-doc rollup — per-doc payload, the
+    * same order as rewriting the corpus at all, and the per-doc
+    * collect_list is doc-sized by construction.
+    */
+  def subdocDedupClean(df: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int = 10, maxDocs: Int = 1): DataFrame =
+    subdocSpanCounts(df, idCol, textCol, spanTokens, emitText = true)
+      .filter(col("n_docs") <= maxDocs)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
+            x => x.getField("chunk_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept_spans"))
+
+  /** Shared head of both sub-document dedup forms: spans + corpus-wide
+    * distinct-doc counts, co-partitioned on the span hash (the join reuses
+    * the groupBy's hash partitioning — no extra exchange).
+    */
+  private def subdocSpanCounts(df: DataFrame, idCol: String, textCol: String,
+                               spanTokens: Int, emitText: Boolean): DataFrame = {
+    val spans = TextOps.chunkTokens(df, idCol, textCol, spanTokens, 0,
+      emitText = emitText)
+    val spanDocs = spans.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    spans.join(spanDocs, Seq("chunk_hash"))
   }
 
   /** Train/eval contamination check — the decontamination pass of a

@@ -202,7 +202,8 @@ object TextOps {
     */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
                   size: Int, overlap: Int,
-                  passthrough: Seq[String] = Nil): DataFrame = {
+                  passthrough: Seq[String] = Nil,
+                  emitText: Boolean = false): DataFrame = {
     require(size > overlap && overlap >= 0, "need size > overlap >= 0")
     val step = size - overlap
     // `passthrough` columns ride along map-side (selecting extra columns
@@ -227,7 +228,11 @@ object TextOps {
         slice(col("__toks"), col("chunk_no") * lit(step) + lit(1), lit(size)).as("__chunk")).toIndexedSeq: _*)
       .select((col(idCol) +: keep :+ col("chunk_no") :+
         functions.size(col("__chunk")).cast("long").as("n_chunk_tokens") :+
-        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash")).toIndexedSeq: _*)
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash") :++
+        // chunk text is big next to its hash — emitted only for callers
+        // that reconstruct documents (subdocDedupClean), never by default
+        (if (emitText) Seq(concat_ws(" ", col("__chunk")).as("chunk_text"))
+         else Nil)).toIndexedSeq: _*)
   }
 
   /** Greedy offset packing of chunks into fixed token budgets — the

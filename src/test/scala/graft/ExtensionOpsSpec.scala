@@ -145,6 +145,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 10L)), got(4L).toString)
   }
 
+  test("subdocDedupClean emits kept spans in order; 100%-boilerplate docs vanish") {
+    import spark.implicits._
+    // 3-token spans: "nav bar home" recurs across all docs → boilerplate;
+    // doc 3 is NOTHING BUT the boilerplate span, so it has no clean text
+    val df = Seq(
+      (1L, "nav bar home alpha beta gamma delta eps zeta"),
+      (2L, "nav bar home one two three"),
+      (3L, "nav bar home")).toDF("doc_id", "text")
+    val out = Dedup.subdocDedupClean(df, "doc_id", "text", spanTokens = 3, maxDocs = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, "alpha beta gamma delta eps zeta", 2L),
+      (2L, "one two three", 1L)), s"got $out")
+  }
+
   test("SimHash: planted pairs at small Hamming distance, background far") {
     val ham = Dedup.simHashPairs(docs, "doc_id", "text", 2, 10)
       .select("d1", "d2").collect()
