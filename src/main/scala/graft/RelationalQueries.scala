@@ -102,6 +102,69 @@ object RelationalQueries {
           .orderBy(col("revenue").desc_nulls_last, col("n_name").asc)
     },
 
+    // ---- TPC-H Q18-style large-volume customers ----------------------------
+    // Group-by + HAVING over the fact table, then join + top-k: the heavy
+    // lineitem aggregation is the only shuffle; the surviving order set is
+    // selectivity-tiny (sum_qty > 300 ≈ the 99.7th percentile), so it
+    // BROADCASTS through orders and customer — no fact-fact shuffle join.
+    Q("q18_large_volume",
+      s"""WITH big AS (
+         |  SELECT l_orderkey, sum_qty FROM (
+         |    SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+         |    FROM lineitem GROUP BY 1)
+         |  WHERE sum_qty > 300)
+         |SELECT c_name, o_custkey, o_orderkey,
+         |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+         |       o_totalprice, sum_qty
+         |FROM big JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |ORDER BY o_totalprice DESC NULLS LAST, order_ts ASC, o_orderkey ASC
+         |LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(Det.dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        val ord = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        cust.join(broadcast(ord.join(broadcast(big), Seq("l_orderkey"))),
+            Seq("o_custkey"))
+          .select(col("c_name"), col("o_custkey"), col("l_orderkey").as("o_orderkey"),
+            Det.fmtTs(col("o_orderdate")).as("order_ts"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc_nulls_last, col("order_ts").asc,
+            col("o_orderkey").asc)
+          .limit(10)
+    },
+
+    // ---- TPC-H Q16-style supplier counts -----------------------------------
+    // Distinct-count aggregation over a fact⋈dim join with an anti-joined
+    // exclusion list: suppliers in bad standing (negative balance) are
+    // anti-joined out BEFORE the join (broadcast — the list is tiny), part
+    // broadcasts as the dim, and the countDistinct is the one shuffle.
+    Q("q16_supplier_cnt",
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC, p_size ASC""".stripMargin) {
+      (s, d) =>
+        val bad = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("l_suppkey"))
+        val li = Joins.anti(
+          t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+          bad, Seq("l_suppkey"))
+        val part = t(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))
+        Joins.withDim(li, part, Seq("l_partkey"))
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc_nulls_last, col("p_brand").asc,
+            col("p_size").asc)
+    },
+
     // ---- ROLLUP ------------------------------------------------------------
     Q("rollup_counts",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem

@@ -30,6 +30,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"all-pairs join shape leaked into: $offenders")
   }
 
+  test("q18/q16 join the selectivity-small side by broadcast, not shuffle") {
+    // q18: the HAVING-filtered order set and its joins must both broadcast
+    // (the only SMJ-legal shuffle is the lineitem aggregation itself);
+    // q16: the part dim and the bad-supplier anti list broadcast
+    for (name <- Seq("q18_large_volume", "q16_supplier_cnt")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name plans no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffles a join that should broadcast:\n$plan")
+    }
+  }
+
   test("driver-side collect() stays within the sketch/view contract") {
     // file -> number of contract collects (each collects a SKETCH-sized
     // result: memoized sketch rows, progressive partials, REPL render,
