@@ -606,6 +606,30 @@ object ExtensionQueries {
           col("doc_id"), col("frame_no"))
     },
 
+    // ---- Multimodal video: MJPEG frames in the same RIFF container ---------
+    // Real JPEG-compressed frames ('00dc', biCompression 'MJPG') decoded
+    // through the bomb-guarded ImageIO path. The oracle stays closed-form
+    // for a LOSSY codec because solid grey at JPEG quality 100 round-trips
+    // bit-exact (all-ones quant tables, DC-only blocks, exact fixed-point
+    // grey↔YCbCr) — verified per-value in ExtensionOpsSpec.
+    Q("multimodal_video_mjpeg",
+      """SELECT doc_id, f.frame_no,
+        |CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |CAST(8 + (doc_id * 3) % 9 AS INTEGER) AS height,
+        |CAST(10 AS DOUBLE) AS fps,
+        |CAST((doc_id * 11 + f.frame_no * 37) % 256 AS DOUBLE) AS mean_r,
+        |CAST((doc_id * 11 + f.frame_no * 37) % 256 AS DOUBLE) AS mean_g,
+        |CAST((doc_id * 11 + f.frame_no * 37) % 256 AS DOUBLE) AS mean_b
+        |FROM documents CROSS JOIN (VALUES (0),(1),(2)) f(frame_no)
+        |ORDER BY doc_id, frame_no""".stripMargin) {
+      (s, d) =>
+        val avis = Multimodal.synthesizeAviMjpeg(
+          t(s, d, "documents").select(col("doc_id")), "doc_id")
+        val assets = Multimodal.toAsset(avis, "doc_id", "avi", "video/x-msvideo")
+        sortSmall(Multimodal.videoFrameFeatures(assets, "doc_id"),
+          col("doc_id"), col("frame_no"))
+    },
+
     // ---- End-to-end corpus-cleaning pipeline (the training-data flow) ------
     // Every stage is one of the catalog operators; the oracle replays the
     // identical pipeline in SQL with an EXACT near-dup stage, while the

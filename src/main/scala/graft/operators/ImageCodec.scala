@@ -256,7 +256,7 @@ object ImageCodec {
     * declared dimensions from the header via `ImageReader.getWidth/Height`
     * BEFORE allocating the raster, rejecting anything over `maxPixels`.
     */
-  private def decodeQuietly(bytes: Array[Byte]): BufferedImage = {
+  private[operators] def decodeQuietly(bytes: Array[Byte]): BufferedImage = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     if (iis == null) return null // no stream SPI registered — undecodable
     try {
@@ -281,7 +281,7 @@ object ImageCodec {
   }
 
   /** Channel sums in Long, one division — exact for solid colours. */
-  private def stats(img: BufferedImage): (Int, Int, Double, Double, Double) = {
+  private[operators] def stats(img: BufferedImage): (Int, Int, Double, Double, Double) = {
     val w = img.getWidth
     val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L

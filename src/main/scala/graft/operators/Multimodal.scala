@@ -122,6 +122,16 @@ object Multimodal {
   def synthesizeAvi(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("avi", synthAviUdf(col(idCol)))
 
+  private val synthAviMjpegUdf = udf((id: Long) => VideoCodec.synthAviMjpeg(id))
+
+  /** MJPEG sibling of [[synthesizeAvi]]: real JPEG frames inside the same
+    * RIFF container (see `VideoCodec.synthAviMjpeg` for the closed-form
+    * grey levels the oracle mirrors — exact because solid grey at JPEG
+    * quality 100 round-trips losslessly).
+    */
+  def synthesizeAviMjpeg(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("avi", synthAviMjpegUdf(col(idCol)))
+
   private val videoFramesUdf = udf((b: Array[Byte]) =>
     VideoCodec.aviFrameStats(b).map {
       case (i, w, h, fps, r, g, bl) => VideoFrameStats(i, w, h, fps, r, g, bl)

@@ -4,13 +4,16 @@ import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JDK video codec backing the multimodal operators: a minimal
-  * RIFF-AVI container with uncompressed 24-bit DIB frames ('00db'
-  * chunks, the classic `fccHandler='DIB '` layout) — written and parsed
-  * here byte-for-byte, no external library. Completes the multimodal
-  * family (image [[ImageCodec]] / audio [[AudioCodec]] / video) on the
-  * same closed-form-oracle pattern: synthesis is deterministic per id, so
-  * DuckDB predicts the PARSER's output from the id alone and a hash match
-  * certifies the whole container round trip.
+  * RIFF-AVI container with either uncompressed 24-bit DIB frames ('00db',
+  * the classic `fccHandler='DIB '` layout) or MJPEG frames ('00dc' JPEG
+  * bodies, `biCompression='MJPG'` — the codec real video corpora actually
+  * contain, decoded through the shared bomb-guarded `javax.imageio`
+  * path). Written and parsed here byte-for-byte, no external library.
+  * Completes the multimodal family (image [[ImageCodec]] / audio
+  * [[AudioCodec]] / video) on the same closed-form-oracle pattern:
+  * synthesis is deterministic per id, so DuckDB predicts the PARSER's
+  * output from the id alone and a hash match certifies the whole
+  * container round trip.
   *
   * The parser is a generic RIFF walk (word-aligned chunks, LIST recursion,
   * JUNK/unknown chunks skipped, '00db'/'00dc' both accepted), not a mirror
@@ -21,18 +24,86 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - DIB frames are uncompressed; a solid colour round-trips bit-exact,
   *    and channel means (Long sums, one division) are exact doubles.
   *  - fps = dwRate/dwScale in doubles — exact for integral rates.
-  *  - like WAV (and unlike the image formats), there is no decompression
-  *    bomb vector in the frame payload itself: decoded bytes ⊆ payload
-  *    bytes. Declared DIMENSIONS are still probed against
-  *    [[ImageCodec.maxPixels]] before any per-frame work, and chunk sizes
-  *    are bounded by the payload length, so a hostile header can neither
-  *    allocate nor loop unboundedly.
+  *  - DIB frames, like WAV, carry no decompression bomb vector (decoded
+  *    bytes ⊆ payload bytes); MJPEG frames DO, so they route through
+  *    [[ImageCodec.decodeQuietly]]'s header-probed [[ImageCodec.maxPixels]]
+  *    guard. Declared container DIMENSIONS are also probed against
+  *    maxPixels before any per-frame work, and chunk sizes are bounded by
+  *    the payload length, so a hostile header can neither allocate nor
+  *    loop unboundedly.
   */
 object VideoCodec {
 
   private def fourcc(s: String): Int = {
     require(s.length == 4)
     (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) | ((s(3) & 0xff) << 24)
+  }
+
+  private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(fourcc(tag)).putInt(body.length).put(body)
+    if ((body.length & 1) == 1) bb.put(0.toByte) // RIFF word alignment
+    bb.array()
+  }
+  private def list(tag: String, children: Array[Byte]*): Array[Byte] = {
+    val kids = children.map(_.length).sum
+    val bb = ByteBuffer.allocate(12 + kids).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(fourcc("LIST")).putInt(4 + kids).putInt(fourcc(tag))
+    children.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Shared RIFF-AVI container builder: headers describe (width, height,
+    * fps, handler, biCompression); `framePayloads` are the already-encoded
+    * per-frame bodies under `frameTag` ('00db' raw / '00dc' compressed).
+    */
+  private def aviContainer(width: Int, height: Int, fps: Int,
+                           handler: String, biCompression: Int,
+                           frameTag: String,
+                           framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && framePayloads.nonEmpty)
+    val bufSize = framePayloads.map(_.length).max
+    val avih = {
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000000 / fps) // dwMicroSecPerFrame
+        .putInt(bufSize * fps) // dwMaxBytesPerSec
+        .putInt(0).putInt(0) // padding, flags
+        .putInt(framePayloads.size) // dwTotalFrames
+        .putInt(0).putInt(1) // initialFrames, dwStreams
+        .putInt(bufSize) // suggestedBufferSize
+        .putInt(width).putInt(height)
+      bb.array()
+    }
+    val strh = {
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(fourcc("vids")).putInt(fourcc(handler))
+        .putInt(0).putInt(0).putInt(0) // flags, prio/lang, initialFrames
+        .putInt(1).putInt(fps) // dwScale, dwRate → fps
+        .putInt(0).putInt(framePayloads.size) // start, dwLength
+        .putInt(bufSize).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+      bb.putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort) // rcFrame
+      bb.array()
+    }
+    val strf = {
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24) // planes, bitCount
+        .putInt(biCompression).putInt(bufSize) // compression, sizeImage
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val frames = framePayloads.map(chunk(frameTag, _))
+    val payload: Array[Byte] = list("hdrl", chunk("avih", avih),
+      list("strl", chunk("strh", strh), chunk("strf", strf))) ++
+      list("movi", frames: _*)
+    val out = new ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(fourcc("RIFF")).putInt(4 + payload.length).putInt(fourcc("AVI "))
+    out.write(head.array())
+    out.write(payload)
+    out.toByteArray
   }
 
   /** Encode solid-colour frames (each an 0xRRGGBB int) as an uncompressed
@@ -42,52 +113,6 @@ object VideoCodec {
     require(width > 0 && height > 0 && fps > 0 && frameColors.nonEmpty)
     val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
     val frameBytes = rowBytes * height
-
-    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
-        .order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(fourcc(tag)).putInt(body.length).put(body)
-      if ((body.length & 1) == 1) bb.put(0.toByte) // RIFF word alignment
-      bb.array()
-    }
-    def list(tag: String, children: Array[Byte]*): Array[Byte] = {
-      val kids = children.map(_.length).sum
-      val bb = ByteBuffer.allocate(12 + kids).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(fourcc("LIST")).putInt(4 + kids).putInt(fourcc(tag))
-      children.foreach(bb.put)
-      bb.array()
-    }
-
-    val avih = {
-      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(1000000 / fps) // dwMicroSecPerFrame
-        .putInt(frameBytes * fps) // dwMaxBytesPerSec
-        .putInt(0).putInt(0) // padding, flags
-        .putInt(frameColors.size) // dwTotalFrames
-        .putInt(0).putInt(1) // initialFrames, dwStreams
-        .putInt(frameBytes) // suggestedBufferSize
-        .putInt(width).putInt(height)
-      bb.array()
-    }
-    val strh = {
-      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(fourcc("vids")).putInt(fourcc("DIB "))
-        .putInt(0).putInt(0).putInt(0) // flags, prio/lang, initialFrames
-        .putInt(1).putInt(fps) // dwScale, dwRate → fps
-        .putInt(0).putInt(frameColors.size) // start, dwLength
-        .putInt(frameBytes).putInt(-1).putInt(0) // bufSize, quality, sampleSize
-      bb.putShort(0).putShort(0)
-        .putShort(width.toShort).putShort(height.toShort) // rcFrame
-      bb.array()
-    }
-    val strf = {
-      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(40).putInt(width).putInt(height)
-        .putShort(1).putShort(24) // planes, bitCount
-        .putInt(0).putInt(frameBytes) // BI_RGB, sizeImage
-        .putInt(0).putInt(0).putInt(0).putInt(0)
-      bb.array()
-    }
     val frames = frameColors.map { rgb =>
       val body = new Array[Byte](frameBytes)
       val b = (rgb & 0xff).toByte
@@ -103,18 +128,46 @@ object VideoCodec {
         }
         y += 1
       }
-      chunk("00db", body)
+      body
     }
+    aviContainer(width, height, fps, "DIB ", 0, "00db", frames)
+  }
 
-    val payload: Array[Byte] = list("hdrl", chunk("avih", avih),
-      list("strl", chunk("strh", strh), chunk("strf", strf))) ++
-      list("movi", frames: _*)
-    val out = new ByteArrayOutputStream()
-    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-    head.putInt(fourcc("RIFF")).putInt(4 + payload.length).putInt(fourcc("AVI "))
-    out.write(head.array())
-    out.write(payload)
-    out.toByteArray
+  /** Encode solid-GREY frames as an MJPEG AVI ('00dc' JPEG frames,
+    * biCompression 'MJPG' — the format real-world video corpora actually
+    * contain). Grey at ImageIO quality 1.0 round-trips BIT-EXACT: the
+    * libjpeg quality-100 quantization tables are all ones, a solid frame
+    * has only DC coefficients, and r=g=b maps to (Y=v, Cb=Cr=128) exactly
+    * in the fixed-point colour transform — verified per-value in tests, and
+    * what makes a closed-form DuckDB oracle possible for a LOSSY codec.
+    */
+  def aviMjpeg(width: Int, height: Int, fps: Int, greys: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && greys.nonEmpty)
+    aviContainer(width, height, fps, "MJPG", fourcc("MJPG"), "00dc",
+      greys.map(jpegGrey(width, height, _)))
+  }
+
+  private def jpegGrey(w: Int, h: Int, grey: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (grey << 16) | (grey << 8) | grey
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f) // quality 100: all-ones quant tables
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   // ---- deterministic synthesis formulas (mirrored verbatim in the DuckDB
@@ -132,6 +185,15 @@ object VideoCodec {
       (r << 16) | (g << 8) | b
     }
     aviDib(w, h, 10, colors)
+  }
+
+  // ---- MJPEG synthesis formulas (mirrored verbatim in the DuckDB oracle) ---
+  //   width = 8 + id % 9    height = 8 + (id*3) % 9    fps = 10   frames = 3
+  //   frame f: grey = (id*11 + f*37) % 256  (all three channels)
+  def synthAviMjpeg(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id * 3 % 9).toInt
+    aviMjpeg(w, h, 10, (0 until 3).map(f => ((id * 11 + f * 37) % 256).toInt))
   }
 
   /** Parse an uncompressed-DIB AVI payload to per-frame
@@ -194,33 +256,52 @@ object VideoCodec {
       }
       walk(12, bytes.length, inMovi = false, inStrl = false, depth = 0)
 
-      if (width <= 0 || height <= 0 || bitCount != 24 || compression != 0 ||
-          scale <= 0 || rate <= 0 ||
+      if (width <= 0 || height <= 0 || scale <= 0 || rate <= 0 ||
           width.toLong * height > ImageCodec.maxPixels) return Seq.empty
       val fps = rate.toDouble / scale
-      val rowBytes = (width * 3 + 3) & ~3
-      val expected = rowBytes * height
-      frames.result().zipWithIndex.flatMap { case ((off, len), i) =>
-        if (len < expected) None // truncated frame: skip, don't crash
-        else {
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < height) {
-            var x = 0
-            while (x < width) {
-              val o = off + y * rowBytes + x * 3
-              sb += bytes(o) & 0xff
-              sg += bytes(o + 1) & 0xff
-              sr += bytes(o + 2) & 0xff
-              x += 1
+      if (compression == fourcc("MJPG")) {
+        // MJPEG: each frame body is a standalone JPEG, decoded through the
+        // shared bomb-guarded ImageIO path (header dims probed against
+        // maxPixels BEFORE any pixel allocation). A frame that fails to
+        // decode — or decodes to dimensions disagreeing with the container
+        // header — is corrupt: skipped, never a task failure.
+        frames.result().zipWithIndex.flatMap { case ((off, len), i) =>
+          if (len <= 0) None
+          else {
+            val img = ImageCodec.decodeQuietly(
+              java.util.Arrays.copyOfRange(bytes, off, off + len))
+            if (img == null || img.getWidth != width || img.getHeight != height) None
+            else {
+              val (_, _, r, g, b) = ImageCodec.stats(img)
+              Some((i, width, height, fps, r, g, b))
             }
-            y += 1
           }
-          val n = width.toLong * height
-          Some((i, width, height, fps,
-            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
         }
-      }
+      } else if (compression == 0 && bitCount == 24) {
+        val rowBytes = (width * 3 + 3) & ~3
+        val expected = rowBytes * height
+        frames.result().zipWithIndex.flatMap { case ((off, len), i) =>
+          if (len < expected) None // truncated frame: skip, don't crash
+          else {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                val o = off + y * rowBytes + x * 3
+                sb += bytes(o) & 0xff
+                sg += bytes(o + 1) & 0xff
+                sr += bytes(o + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = width.toLong * height
+            Some((i, width, height, fps,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+          }
+        }
+      } else Seq.empty // unsupported codec: no frames, not a failure
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 }

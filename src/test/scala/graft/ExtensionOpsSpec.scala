@@ -951,6 +951,50 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(VideoCodec.aviFrameStats(bb.array()).isEmpty) // and does not throw
   }
 
+  test("VideoCodec MJPEG: lossy frames round-trip bit-exact on solid grey") {
+    for (id <- Seq(0L, 5L, 123L, 254L)) {
+      val got = VideoCodec.aviFrameStats(VideoCodec.synthAviMjpeg(id))
+      assert(got.length == 3, s"id=$id: ${got.length} frames")
+      got.foreach { case (f, w, h, fps, r, g, b) =>
+        val grey = ((id * 11 + f * 37) % 256).toDouble
+        assert(w == (8 + id % 9).toInt && h == (8 + id * 3 % 9).toInt && fps == 10.0,
+          s"id=$id f=$f dims/fps: ($w,$h,$fps)")
+        // THE load-bearing assertion: JPEG is lossy, but solid grey at
+        // quality 100 decodes to exactly the encoded level — the closed-
+        // form oracle depends on it
+        assert(r == grey && g == grey && b == grey,
+          s"id=$id f=$f decoded ($r,$g,$b) != $grey")
+      }
+    }
+  }
+
+  test("VideoCodec MJPEG: corrupt JPEG frames are skipped, valid ones kept") {
+    val good = VideoCodec.synthAviMjpeg(7L)
+    // clobber the SECOND '00dc' frame's JPEG magic: that frame must drop,
+    // frames 0 and 2 must survive with their exact greys
+    def findNthTag(b: Array[Byte], tag: String, nth: Int): Int = {
+      val t = tag.getBytes("US-ASCII")
+      var seen = 0
+      (0 until b.length - 4).foreach { i =>
+        if ((0 until 4).forall(j => b(i + j) == t(j))) {
+          if (seen == nth) return i
+          seen += 1
+        }
+      }
+      -1
+    }
+    val broken = good.clone()
+    val second = findNthTag(broken, "00dc", 1)
+    assert(second > 0)
+    broken(second + 8) = 'X'.toByte // JPEG SOI marker gone
+    val got = VideoCodec.aviFrameStats(broken)
+    // surviving frames keep their ORIGINAL container indices (0 and 2)
+    assert(got.length == 2, s"got ${got.length} frames")
+    assert(got.map(_._1) == Seq(0, 2), s"wrong indices: ${got.map(_._1)}")
+    assert(got.map(_._5) == Seq((7L * 11 % 256).toDouble, ((7L * 11 + 2 * 37) % 256).toDouble),
+      s"wrong surviving greys: ${got.map(_._5)}")
+  }
+
   test("VideoCodec: corrupt, truncated, and null payloads yield no frames") {
     assert(VideoCodec.aviFrameStats(null).isEmpty)
     assert(VideoCodec.aviFrameStats("not a video".getBytes("UTF-8")).isEmpty)
