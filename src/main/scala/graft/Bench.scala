@@ -88,31 +88,41 @@ object Bench {
       val samples = Seq(pass1(name), pass2(name), pass3.get(name).flatten).flatten
       name -> (if (samples.isEmpty) None else Some(samples.min))
     }
+    // µs precision is plenty for wall-clock seconds, and the shorter line
+    // raises how many per-query entries survive a truncated stdout capture
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
+      .map { case (k, v) => "\"" + k + "\":" + v.map(fmt).getOrElse("-1.0") }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact: the driver captures stdout, but a truncated
     // capture loses the tail of the (long) per-query map — persist the full
-    // line so the bench is reconstructable from disk
-    try {
-      // SPARK_GRAFT_BENCH_OUT anchors the artifact when the launcher's CWD
-      // is not the repo root; either way the absolute path is logged so
-      // the artifact's location is deterministic from the run log
-      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-        .map(java.nio.file.Paths.get(_))
-        .getOrElse(java.nio.file.Paths.get("target", "bench_latest.json"))
-        .toAbsolutePath
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote $out")
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write bench_latest.json: $e")
-    }
+    // line so the bench is reconstructable from disk. Written BOTH to
+    // target/ (stable dev location) and the repo root BENCH_full_latest
+    // .json (committed with the round, so the round record carries every
+    // per-query timing even when the driver's stdout tail clips)
+    def persist(out: java.nio.file.Path): Unit =
+      try {
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] wrote $out")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $out: $e")
+      }
+    // SPARK_GRAFT_BENCH_OUT anchors the artifact when the launcher's CWD
+    // is not the repo root; either way the absolute path is logged so
+    // the artifact's location is deterministic from the run log
+    persist(sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("target", "bench_latest.json"))
+      .toAbsolutePath)
+    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+      persist(java.nio.file.Paths.get("BENCH_full_latest.json").toAbsolutePath)
     spark.stop()
   }
 }
