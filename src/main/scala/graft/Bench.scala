@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def force(spark: SparkSession, sfDir: String,
+  private[graft] def force(spark: SparkSession, sfDir: String,
                     name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
     val t0 = System.nanoTime()
     val r =

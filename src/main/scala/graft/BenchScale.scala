@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic ~10× scale bench: self-union the sf0.1 fixture with remapped
+  * keys to a ~sf1 corpus, time the anchor + pipeline query families at
+  * BOTH scales, and report each query's empirical scaling exponent
+  * (`log(t_scaled/t_base) / log(factor)` — 1.0 = linear, 2.0 = quadratic).
+  * This is the evidence layer between the 17 MB fixtures and the 100 TB
+  * design claims: constant-factor and skew surprises that sf0.1 cannot
+  * show up as super-linear exponents here.
+  *
+  * Key remapping preserves per-copy join/dup structure without creating
+  * CROSS-copy structure (which would change answer densities, not just
+  * sizes):
+  *  - fact/dim keys shift by a copy-unique offset (joins stay within a
+  *    copy; result cardinalities scale ~linearly);
+  *  - document text is token-salted per copy (copy 0 verbatim), so each
+  *    copy keeps the fixture's exact/near-dup pairs but shares NO shingles
+  *    with other copies — dup density per doc stays constant, as in a real
+  *    larger crawl;
+  *  - embeddings are dimension-rotated with per-copy pseudo-random sign
+  *    flips (copy 0 verbatim): within-copy geometry is preserved exactly
+  *    (permutation+reflection is an isometry), cross-copy cosines are
+  *    random-level — near-dup pair counts scale linearly;
+  *  - region/nation stay single-copy (fixed dims, as in TPC-H).
+  *
+  * Output: one JSON line + `BENCH_scale.json` (repo root) with per-query
+  * (t_base, t_scaled, exponent). Quadratic-BY-CONTRACT walks
+  * (dedup_jaccard, dedup_embedding: exact all-pairs with documented
+  * sub-quadratic siblings) are excluded by design — their siblings
+  * (dedup_minhash_lsh, similarity_ivf/dedup_embedding_ivf) are measured.
+  */
+object BenchScale {
+
+  /** The measured set: BASELINE.md §B anchors + the LLM-pipeline family. */
+  private val measured: Seq[String] = Seq(
+    // anchor 12
+    "summary_count", "basic_stats", "histogram_1d", "heatmap_2d",
+    "heavy_hitters", "approx_distinct", "quantiles", "next_k_page",
+    "filter_count", "join_q3lite", "window_rank", "events_time_window",
+    // relational stress
+    "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",
+    // dedup / decontamination / subdoc
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_subdoc", "dedup_subdoc_clean", "pipeline_decontaminate",
+    // text pipeline
+    "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
+    // ANN / embedding dedup (sub-quadratic paths)
+    "similarity_topk", "similarity_ivf", "dedup_embedding_ivf")
+
+  private def remapped(spark: SparkSession, srcDir: String, table: String,
+                       copy: Int, off: Long): DataFrame = {
+    val df = spark.read.parquet(s"$srcDir/$table.parquet")
+    def shift(cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(off)))
+    table match {
+      case "customer" => shift("c_custkey")
+      case "supplier" => shift("s_suppkey")
+      case "part"     => shift("p_partkey")
+      case "orders"   => shift("o_orderkey", "o_custkey")
+      case "lineitem" => shift("l_orderkey", "l_partkey", "l_suppkey")
+      case "events"   => shift("event_id", "user_id")
+      case "documents" =>
+        val d = shift("doc_id")
+        if (copy == 0) d
+        // token-salt: every token gets a copy-unique suffix, so copy c
+        // shares no shingles with copy c' but keeps its internal dup
+        // structure verbatim
+        else d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1_x" + copy))
+      case "embeddings" =>
+        val d = shift("vec_id")
+        if (copy == 0) d
+        else {
+          val dim = d.select(size(col("embedding"))).head.getInt(0)
+          // rotate dimensions by 7·copy and sign-flip pseudo-randomly per
+          // (copy, dim): an exact isometry within the copy, random-level
+          // cosine across copies
+          d.withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              (element_at(col("embedding"), pmod(j + lit(7 * copy), lit(dim)) + 1) *
+                when(pmod(hash(j, lit(copy)), lit(2)) === 0, lit(1.0f))
+                  .otherwise(lit(-1.0f))).cast("float")))
+        }
+      case _ => df // region, nation: fixed dims
+    }
+  }
+
+  /** Build the scaled fixture once (marker-gated): `factor` remapped
+    * copies of every table, written in the same `{table}.parquet` layout
+    * the query catalog opens.
+    */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+                 factor: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_SCALE_${factor}_OK")
+    if (java.nio.file.Files.exists(marker)) return
+    val off = 100000000L // far above any fixture key
+    for (table <- sources.Tables.allTables) {
+      val parts = table match {
+        case "region" | "nation" => Seq(remapped(spark, srcDir, table, 0, 0L))
+        case _ => (0 until factor).map(c =>
+          remapped(spark, srcDir, table, c, off * c))
+      }
+      parts.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      System.err.println(s"[bench-scale] wrote $outDir/$table.parquet")
+    }
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale/f$factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synthesize(spark, srcDir, outDir, factor)
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => measured.contains(n) && only.forall(_.contains(n)) }
+    // warmup at sf0.001 (session/codegen), then at each measured dir once
+    // so first-touch I/O and the memoized IVF index build are absorbed
+    // before timing — the min-of-passes then reports steady-state cost
+    queries.foreach { case (n, fn) => Bench.force(spark, "/root/testdata/sf0.001", n, fn) }
+
+    def timeAt(dir: String): Map[String, Option[Double]] = {
+      queries.foreach { case (n, fn) => Bench.force(spark, dir, n, fn) } // warm
+      val p1 = queries.map { case (n, fn) => n -> Bench.force(spark, dir, n, fn) }.toMap
+      val p2 = queries.reverse.map { case (n, fn) => n -> Bench.force(spark, dir, n, fn) }.toMap
+      queries.map { case (n, _) =>
+        n -> Seq(p1(n), p2(n)).flatten.minOption
+      }.toMap
+    }
+    val base = timeAt(srcDir)
+    val scaled = timeAt(outDir)
+
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val entries = queries.map(_._1).map { n =>
+      (base(n), scaled(n)) match {
+        case (Some(b), Some(s)) =>
+          val exp = math.log(s / b) / math.log(factor.toDouble)
+          s""""$n":{"t_base":${fmt(b)},"t_scaled":${fmt(s)},"exponent":${fmt(exp)}}"""
+        case _ => s""""$n":{"t_base":-1.0,"t_scaled":-1.0,"exponent":-1.0}"""
+      }
+    }
+    val errors = queries.map(_._1)
+      .filter(n => base(n).isEmpty || scaled(n).isEmpty)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"scale","factor":$factor,"base_sf":"$srcDir",""" +
+      s""""queries":${entries.mkString("{", ",", "}")},"errors":$errors}"""
+    println(line)
+    for (p <- Seq(java.nio.file.Paths.get("BENCH_scale.json"),
+                  java.nio.file.Paths.get("target", "bench_scale.json")))
+      try {
+        java.nio.file.Files.createDirectories(p.toAbsolutePath.getParent)
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench-scale] wrote ${p.toAbsolutePath}")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench-scale] could not write $p: $e")
+      }
+    spark.stop()
+  }
+}
