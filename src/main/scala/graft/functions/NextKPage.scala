@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
-import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -83,13 +83,19 @@ case class NextKPageAgg(
   }
 
   private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
-  private lazy val ordering: InterpretedOrdering = {
+  // codegen'd comparator (GenerateOrdering), not InterpretedOrdering: the
+  // comparison runs once per input ROW in the hot buffer path, and the
+  // compiled form is several× cheaper. Semantics are identical — the same
+  // SortOrder seq with the engine's canonical null placement. @transient:
+  // generated classes don't serialize; each executor compiles its own
+  @transient private lazy val ordering: Ordering[InternalRow] = {
     val asc = ascExpr.eval(null).asInstanceOf[ArrayData].toBooleanArray()
-    new InterpretedOrdering(keySchema.fields.zipWithIndex.toIndexedSeq.map {
-      case (f, i) =>
-        SortOrder(BoundReference(i, f.dataType, f.nullable),
-          if (asc(i)) Ascending else Descending) // canonical null placement
-    })
+    org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering.generate(
+      keySchema.fields.zipWithIndex.toIndexedSeq.map {
+        case (f, i) =>
+          SortOrder(BoundReference(i, f.dataType, f.nullable),
+            if (asc(i)) Ascending else Descending) // canonical null placement
+      })
   }
   // floating keys are normalized (-0.0 → 0.0, canonical NaN) so the page
   // groups exactly like SQL GROUP BY / the groupBy plan this replaces —
