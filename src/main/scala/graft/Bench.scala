@@ -41,6 +41,12 @@ object Bench {
           None
       }
     spark.catalog.clearCache()
+    // between-measurement GC (outside the timed window): a heap full of
+    // the PREVIOUS query's garbage (e.g. 1500 JPEG buffers before an
+    // aggregation query) otherwise taxes the next measurement with
+    // collections it didn't cause — observed inflating a 0.45 s query to
+    // 1.05 s only when run inside the full catalog sweep
+    System.gc()
     r
   }
 

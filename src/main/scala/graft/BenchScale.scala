@@ -149,6 +149,54 @@ object BenchScale {
     val base = timeAt(srcDir)
     val scaled = timeAt(outDir)
 
+    // ---- correctness AT scale: the remapping contract makes several
+    // results exactly predictable from the base run — a skew/overflow/
+    // dedup-collapse bug at 10× shows up here as a failed invariant, not
+    // just a timing anomaly
+    def q(dir: String, n: String) = SparkEntry.queries(n)(spark, dir)
+    val inv = scala.collection.mutable.ListBuffer[(String, Boolean, String)]()
+    def check(name: String, cond: => Boolean, detail: => String): Unit =
+      try inv += ((name, cond, detail))
+      catch { case scala.util.control.NonFatal(e) => inv += ((name, false, e.toString)) }
+    check("dedup_exact_scales_exactly", {
+      // per-copy token salting keeps exact-dup groups within copies:
+      // group/doc/dup-group counts must ALL be exactly factor× the base
+      val b = q(srcDir, "dedup_exact").head
+      val s = q(outDir, "dedup_exact").head
+      (0 until 3).forall(i => s.getLong(i) == factor * b.getLong(i))
+    }, "exact-dup group counts not factor x base")
+    check("minhash_pairs_scale_linearly", {
+      // each copy carries the base corpus's exact near-dup pairs (shingle
+      // structure is isomorphic under salting); LSH recall may re-roll per
+      // copy (different shingle hashes), so allow 95% of exact-linear but
+      // never MORE than linear (exact verify forbids false positives)
+      val b = q(srcDir, "dedup_minhash_lsh").count()
+      val s = q(outDir, "dedup_minhash_lsh").count()
+      s <= factor * b && s * 100 >= factor * b * 95
+    }, "near-dup pair count departed from linear")
+    check("event_windows_scale_exactly", {
+      // groups are (hour, event_type) — identical at any scale since ts
+      // values repeat verbatim per copy; the COUNTS inside them carry the
+      // scale: group set unchanged, total events exactly factor×
+      import org.apache.spark.sql.functions.sum
+      val b = q(srcDir, "events_time_window")
+      val s = q(outDir, "events_time_window")
+      s.count() == b.count() &&
+        s.agg(sum("cnt")).head.getLong(0) == factor * b.agg(sum("cnt")).head.getLong(0)
+    }, "window groups/total counts departed from the scale contract")
+    check("q1_groups_unchanged", {
+      // group keys are low-cardinality flags: same 6 groups at any scale
+      q(outDir, "q1_pricing_summary").count() == q(srcDir, "q1_pricing_summary").count()
+    }, "q1 group count changed with scale")
+    check("topk_size_unchanged", {
+      // the query set (vec_id < 5) lives entirely in copy 0: identical |Q|
+      // and k at both scales
+      q(outDir, "similarity_topk").count() == q(srcDir, "similarity_topk").count()
+    }, "top-k result size changed with scale")
+    inv.foreach { case (n, ok, d) =>
+      System.err.println(s"[bench-scale] invariant $n: ${if (ok) "OK" else s"FAILED ($d)"}")
+    }
+
     def fmt(v: Double): String =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
     val entries = queries.map(_._1).map { n =>
@@ -162,8 +210,9 @@ object BenchScale {
     val errors = queries.map(_._1)
       .filter(n => base(n).isEmpty || scaled(n).isEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val invJson = inv.map { case (n, ok, _) => s""""$n":$ok""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale","factor":$factor,"base_sf":"$srcDir",""" +
-      s""""queries":${entries.mkString("{", ",", "}")},"errors":$errors}"""
+      s""""queries":${entries.mkString("{", ",", "}")},"invariants":$invJson,"errors":$errors}"""
     println(line)
     for (p <- Seq(java.nio.file.Paths.get("BENCH_scale.json"),
                   java.nio.file.Paths.get("target", "bench_scale.json")))

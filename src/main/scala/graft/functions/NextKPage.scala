@@ -31,8 +31,8 @@ import org.apache.spark.sql.types._
   *
   * Ordering: per-field asc/desc with the engine's canonical null
   * placement (ASC → NULLS FIRST, DESC → NULLS LAST — the same contract as
-  * `SortKey.toCol` and `Filters.rowAtLeast`), via Catalyst's
-  * `InterpretedOrdering`, so any orderable key type works.
+  * `SortKey.toCol` and `Filters.rowAtLeast`), via a codegen'd Catalyst
+  * `GenerateOrdering` comparator, so any orderable key type works.
   *
   * Output: array<struct<key:<key struct>, cnt:bigint>> in page order.
   */
