@@ -94,10 +94,6 @@ object Bench {
       val samples = Seq(pass1(name), pass2(name), pass3.get(name).flatten).flatten
       name -> (if (samples.isEmpty) None else Some(samples.min))
     }
-    // µs precision is plenty for wall-clock seconds, and the shorter line
-    // raises how many per-query entries survive a truncated stdout capture
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(fmt).getOrElse("-1.0") }
       .mkString("{", ",", "}")
@@ -112,23 +108,46 @@ object Bench {
     // target/ (stable dev location) and the repo root BENCH_full_latest
     // .json (committed with the round, so the round record carries every
     // per-query timing even when the driver's stdout tail clips)
-    def persist(out: java.nio.file.Path): Unit =
-      try {
-        java.nio.file.Files.createDirectories(out.getParent)
-        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-        System.err.println(s"[bench] wrote $out")
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write $out: $e")
-      }
     // SPARK_GRAFT_BENCH_OUT anchors the artifact when the launcher's CWD
     // is not the repo root; either way the absolute path is logged so
     // the artifact's location is deterministic from the run log
-    persist(sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    persist("bench", line, sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get("target", "bench_latest.json"))
       .toAbsolutePath)
     if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
-      persist(java.nio.file.Paths.get("BENCH_full_latest.json").toAbsolutePath)
+      persistAtRepoRoot("bench", line, "BENCH_full_latest.json")
     spark.stop()
   }
+
+  /** µs precision is plenty for wall-clock seconds, and the shorter line
+    * raises how many per-query entries survive a truncated stdout capture.
+    * Non-finite values (degenerate ratios) render as -1.0, never throw.
+    */
+  private[graft] def fmt(v: Double): String =
+    if (!java.lang.Double.isFinite(v)) "-1.0"
+    else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private[graft] def persist(tag: String, line: String,
+                             out: java.nio.file.Path): Unit =
+    try {
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[$tag] wrote $out")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[$tag] could not write $out: $e")
+    }
+
+  /** Repo-root artifacts are only meaningful when the launcher's CWD IS
+    * the repo root (the committed-with-the-round contract); from anywhere
+    * else the file would land in an unrelated directory and leave the
+    * repo copy stale — skip loudly instead.
+    */
+  private[graft] def persistAtRepoRoot(tag: String, line: String,
+                                       name: String): Unit =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+      persist(tag, line, java.nio.file.Paths.get(name).toAbsolutePath)
+    else
+      System.err.println(s"[$tag] CWD is not the repo root — skipping $name " +
+        "(target/ artifact still written)")
 }

@@ -51,12 +51,23 @@ object ExtensionQueries {
   private val ivfIndexBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Memoized embeddings row count per sf dir (fixtures are immutable
+    * within a harness process): `autoNlist` sizing must not re-scan the
+    * corpus on every fused-IVF invocation — at 100 TB the count comes
+    * from the catalog/build job, not a per-query pass.
+    */
+  private val embCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def embNlist(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    Similarity.autoNlist(
+      embCounts.computeIfAbsent(d, _ => t(s, d, "embeddings").count()))
+
   private def ivfIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = QueryDefs.ioDir(d, "ivf_index")
     ivfIndexBuilt.computeIfAbsent(dir, _ => {
-      val emb = t(s, d, "embeddings")
-      Similarity.buildIvfIndex(emb, "vec_id", "embedding",
-        dir, nlist = Similarity.autoNlist(emb.count()))
+      Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        dir, nlist = embNlist(s, d))
       java.lang.Boolean.TRUE
     })
     dir
@@ -298,11 +309,8 @@ object ExtensionQueries {
     // it replaces probed HALF the corpus per query at nprobe=8, a fraction
     // that only grows worse as N does
     Q.noOracle("similarity_ivf") {
-      (s, d) =>
-        val emb = t(s, d, "embeddings")
-        Similarity.ivfTopK(emb, "vec_id", "embedding",
-          col("vec_id") < 5, 10,
-          nlist = Similarity.autoNlist(emb.count()), nprobe = 8)
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, nlist = embNlist(s, d), nprobe = 8)
     },
 
     // ---- IVF with a PERSISTED index: build once, serve probe-only ----------

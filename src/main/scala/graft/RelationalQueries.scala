@@ -145,9 +145,14 @@ object RelationalQueries {
     // anti-joined out BEFORE the join (broadcast — the list is tiny), part
     // broadcasts as the dim, and the countDistinct is the one shuffle.
     Q("q16_supplier_cnt",
+      // NOT EXISTS, not NOT IN: NOT IN's three-valued logic collapses to
+      // zero rows if any excluded key is NULL, while left_anti (the Spark
+      // side) keeps non-matching rows — NOT EXISTS matches left_anti
+      // semantics exactly, null keys included
       """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |FROM lineitem l JOIN part ON p_partkey = l_partkey
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                  WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey)
         |GROUP BY 1, 2
         |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC, p_size ASC""".stripMargin) {
       (s, d) =>

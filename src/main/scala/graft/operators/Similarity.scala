@@ -449,6 +449,10 @@ object Similarity {
   def ivfDupPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, threshold: Double,
                            nprobe: Int = 2): DataFrame = {
+    // the stored-bucket fast path serves FULL probe-1 results; routing 0
+    // (the fused form's "no probing" degenerate) there would silently turn
+    // "no candidates" into "all probe-1 candidates"
+    require(nprobe >= 1, s"ivfDupPairsFromIndex needs nprobe >= 1, got $nprobe")
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.nearestCentroids
     val assigned = spark.read.parquet(s"$indexDir/assignments")
