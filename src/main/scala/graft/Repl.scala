@@ -43,6 +43,9 @@ object Repl {
       |                                         prints per-source kept counts
       |  subdoc <view> <spanTokens> <maxDocs>   per-doc boilerplate-span stats (spans
       |                                         repeated in > maxDocs docs are dropped)
+      |  subdocclean <view> <spanTokens> <maxDocs>
+      |                                         the cleaned documents themselves:
+      |                                         kept spans re-joined in order
       |  contaminate <trainView> <evalView> <n> <minHits>
       |                                         train docs sharing >= minHits n-gram
       |                                         shingles with the eval view
@@ -160,6 +163,10 @@ object Repl {
       case "subdoc" :: vid :: spanTokens :: maxDocs :: Nil =>
         render(graft.operators.Dedup
           .subdocDedup(df(vid), "doc_id", "text", spanTokens.toInt, maxDocs.toInt)
+          .orderBy(col("doc_id")))
+      case "subdocclean" :: vid :: spanTokens :: maxDocs :: Nil =>
+        render(graft.operators.Dedup
+          .subdocDedupClean(df(vid), "doc_id", "text", spanTokens.toInt, maxDocs.toInt)
           .orderBy(col("doc_id")))
       case "contaminate" :: trainVid :: evalVid :: n :: minHits :: Nil =>
         render(graft.operators.Dedup

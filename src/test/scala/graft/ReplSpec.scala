@@ -75,6 +75,7 @@ class ReplSpec extends SparkSpec {
       "pack documents-1 64 16 512",
       "mix documents-1 source 2.0 200",
       "subdoc documents-1 10 1",
+      "subdocclean documents-1 10 1",
       "quit")
     // fixture has planted near-dup pairs → at least one d1/d2/jacc data row
     val dupHeader = out.linesIterator.indexWhere(_.startsWith("d1\t"))
@@ -113,6 +114,11 @@ class ReplSpec extends SparkSpec {
     assert(sdHeader >= 0, s"subdoc must render a doc_id/n_spans table:\n$out")
     assert(out.linesIterator.drop(sdHeader + 1).next().split("\t").length == 4,
       s"no subdoc rows rendered:\n$out")
+    // subdocclean: the cleaned documents themselves
+    val scHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\tclean_text"))
+    assert(scHeader >= 0, s"subdocclean must render a doc_id/clean_text table:\n$out")
+    assert(out.linesIterator.drop(scHeader + 1).next().split("\t").length == 3,
+      s"no subdocclean rows rendered:\n$out")
   }
 
   test("filter predicates keep embedded whitespace intact") {
