@@ -145,6 +145,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 10L)), got(4L).toString)
   }
 
+  test("subdocDedupClean token counts reconcile with subdocDedup stats (randomized)") {
+    import spark.implicits._
+    // the two forms share one span+count head; the cleaned text must carry
+    // EXACTLY the tokens the stats form counted as kept, doc by doc — a
+    // drift between the paths (e.g. a filter-vs-conditional-sum mismatch)
+    // shows up here on a corpus with planted boilerplate and ragged sizes
+    val rnd = new scala.util.Random(13L)
+    val vocab = Array.tabulate(300)(i => s"w$i")
+    val boiler = Seq.fill(7)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docsR = (0 until 120).map { i =>
+      val body = Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i.toLong, if (i % 3 == 0) s"$boiler $body" else body)
+    }.toDF("doc_id", "text")
+    val stats = Dedup.subdocDedup(docsR, "doc_id", "text", spanTokens = 7, maxDocs = 2)
+      .select(col("doc_id"), col("n_kept_tokens"))
+    val clean = Dedup.subdocDedupClean(docsR, "doc_id", "text", spanTokens = 7, maxDocs = 2)
+      .select(col("doc_id"),
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), " ")).cast("long"))
+          .as("n_clean_tokens"))
+    val joined = stats.join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kept_tokens"),
+        coalesce(col("n_clean_tokens"), lit(0L)).as("n_clean_tokens"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: stats kept ${r.getLong(1)} tokens, clean text has ${r.getLong(2)}")
+    }
+  }
+
   test("subdocDedupClean emits kept spans in order; 100%-boilerplate docs vanish") {
     import spark.implicits._
     // 3-token spans: "nav bar home" recurs across all docs → boilerplate;
