@@ -180,6 +180,12 @@ object Similarity {
   def autoNlist(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
 
+  /** Above this list count, `trainCentroids` switches from driver-side
+    * kmeans++ (O(nlist·sample·dim)) to the deterministic hash-smallest
+    * seed + convergent Lloyd — see the init comment in trainCentroids.
+    */
+  val maxKmeansppLists: Int = 4096
+
   /** Train the IVF coarse quantizer — kmeans++ init + Lloyd iterations to
     * movement convergence, the shape real IVF practice (FAISS-style) uses:
     *
@@ -221,35 +227,53 @@ object Similarity {
       while (i < cs.length) { val d = l2f(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
       best
     }
-    // ---- kmeans++ init on the deterministic hash-ordered sample --------
+    // ---- init: kmeans++ on a deterministic hash-ordered sample ---------
+    // Driver-side kmeans++ is O(nlist · sample · dim): ideal quality up to
+    // a few thousand lists, intractable at the √N nlist of a truly huge
+    // corpus (nlist=10⁵ ⇒ ~10¹³ flops). Past `maxKmeansppLists` the init
+    // falls back to the hash-smallest-nlist seed — still deterministic,
+    // and the convergent Lloyd loop (not the init) then carries the
+    // quality; the full k-means|| treatment (distributed oversampling,
+    // Bahmani et al. VLDB'12) is the upgrade path if that regime ever
+    // needs kmeans++-grade seeding. The sample is capped so driver memory
+    // stays bounded at sample·dim doubles.
+    val useKmeanspp = nlist <= maxKmeansppLists
+    val sampleN =
+      if (useKmeanspp) math.min(math.max(nlist * 8, 256), 1 << 20)
+      else nlist
     val sample: Array[Array[Double]] = emb
       .select(col(vecCol).as("v"), xxhash64(col(idCol), lit(seed)).as("h"))
-      .orderBy(col("h")).limit(math.max(nlist * 8, 256))
+      .orderBy(col("h")).limit(sampleN)
       .select(col("v")).as[Array[Float]]
       .collect().map(_.map(_.toDouble))
     if (sample.isEmpty) return Array.empty
     val k = math.min(nlist, sample.length)
     val rnd = new scala.util.Random(seed)
     val centers = scala.collection.mutable.ArrayBuffer(sample(0))
-    val d2 = Array.fill(sample.length)(Double.MaxValue)
-    while (centers.length < k) {
-      val c = centers.last
-      var i = 0
-      while (i < sample.length) {
-        val d = l2d(sample(i), c); if (d < d2(i)) d2(i) = d; i += 1
+    if (useKmeanspp) {
+      val d2 = Array.fill(sample.length)(Double.MaxValue)
+      while (centers.length < k) {
+        val c = centers.last
+        var i = 0
+        while (i < sample.length) {
+          val d = l2d(sample(i), c); if (d < d2(i)) d2(i) = d; i += 1
+        }
+        val total = d2.sum
+        if (total <= 0) {
+          // all sample points coincide with chosen centers — duplicate one
+          // (the resulting empty buckets are harmless: Lloyd keeps them put)
+          centers += sample(centers.length % sample.length)
+        } else {
+          var r = rnd.nextDouble() * total
+          var j = 0
+          while (j < sample.length - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+          while (d2(j) <= 0 && j < sample.length - 1) j += 1 // never re-pick a center
+          centers += sample(j)
+        }
       }
-      val total = d2.sum
-      if (total <= 0) {
-        // all sample points coincide with chosen centers — duplicate one
-        // (the resulting empty buckets are harmless: Lloyd keeps them put)
-        centers += sample(centers.length % sample.length)
-      } else {
-        var r = rnd.nextDouble() * total
-        var j = 0
-        while (j < sample.length - 1 && r > d2(j)) { r -= d2(j); j += 1 }
-        while (d2(j) <= 0 && j < sample.length - 1) j += 1 // never re-pick a center
-        centers += sample(j)
-      }
+    } else {
+      centers.clear()
+      centers ++= sample.take(k)
     }
     // ---- Lloyd to convergence ------------------------------------------
     val meanNorm = sample.map(v => math.sqrt(l2d(v, new Array[Double](v.length))))
