@@ -208,6 +208,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Near-dup CLUSTERS: connected components over the pair graph -------
+    // Pairs chain (A~B, B~C => one cluster even when A!~C): the pipeline
+    // keeps one representative per COMPONENT, not per pair. Spark runs
+    // min-label propagation over the exact-Jaccard pair graph; the oracle
+    // computes the same components via a recursive transitive-closure CTE
+    // on the shared exact-pair SQL. Every doc appears (singletons map to
+    // themselves), rep_id = smallest doc_id in the component.
+    Q("dedup_groups",
+      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS rep_id FROM reach
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("rep_id"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Sub-document dedup, transform form --------------------------------
     // The cleaned documents themselves: kept (non-boilerplate) spans
     // re-joined in span order. The oracle replays the identical chunking,

@@ -95,6 +95,66 @@ object Dedup {
     spans.join(spanDocs, Seq("chunk_hash"))
   }
 
+  /** Connected components over an undirected near-dup pair graph — the
+    * step a real dedup pipeline runs AFTER pair detection: pairs chain
+    * (A~B, B~C ⇒ {A,B,C} even when A!~C), and the pipeline keeps ONE
+    * representative per component, not per pair. Returns (id, rep_id)
+    * for EVERY vertex, rep_id = the smallest id in its component
+    * (singletons map to themselves).
+    *
+    * Algorithm: min-label propagation — each round every vertex adopts
+    * the smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup components are small and
+    * dense (that is WHY they are dup clusters), so the round count is
+    * tiny in practice; `maxIters` guards pathological chains and the
+    * operator FAILS LOUDLY rather than return unconverged (= wrong)
+    * labels. Each round is two linear shuffles (edge join + min
+    * aggregation) — the alternating small-star/large-star optimization
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * is the drop-in upgrade if a corpus ever presents high-diameter
+    * components.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    requireIntegralId(vertices, idCol, "connectedComponents")
+    val edges = pairs
+      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
+      .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
+      .distinct().cache()
+    var labels = vertices
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("rep_id", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("rep_id")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("rep_id")).as("nbr_min"))
+      // localCheckpoint, not cache: an iterative frame's LINEAGE doubles
+      // per round, and Catalyst re-analyzes the whole tree each iteration
+      // — by round ~12 planning time alone explodes. Checkpointing
+      // truncates the plan to the materialized partitions (executor-local,
+      // label-table-sized: two longs per vertex)
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep_id"), coalesce(col("nbr_min"), col("rep_id"))).as("rep_id"))
+        .localCheckpoint(eager = true)
+      changed = next
+        .join(labels.select(col("id"), col("rep_id").as("old")), Seq("id"))
+        .filter(col("rep_id") =!= col("old"))
+        .count() // sketch-sized scalar per round; the loop IS the algorithm
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds the near-dup contract; raise maxIters " +
+        "or use a star-contraction variant")
+    labels
+  }
+
   /** Train/eval contamination check — the decontamination pass of a
     * training-data pipeline: flag training docs whose text shares at
     * least `minHits` distinct n-gram shingles with the eval (benchmark)

@@ -126,6 +126,47 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains collapse, singletons self-map, matches union-find (randomized)") {
+    import spark.implicits._
+    // deterministic random graph on 200 vertices; brute-force union-find
+    // is the model
+    val rnd = new scala.util.Random(29L)
+    val n = 200
+    val pairRows = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct ++ Seq((190L, 191L), (191L, 192L), (192L, 193L)) // a 4-chain
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = (0 until n).map(i => (i.toLong, find(i).toLong))
+    val verts = (0 until n).map(_.toLong).toDF("id")
+    val pairsDf = pairRows.toDF("d1", "d2")
+    val got = Dedup.connectedComponents(verts, "id", pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == model, s"CC diverges from union-find")
+    // the planted 4-chain proves labels propagate MULTIPLE hops
+    assert(got.filter(t => t._1 >= 190 && t._1 <= 193).map(_._2).distinct.size == 1)
+  }
+
+  test("connectedComponents fails loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    // a 12-vertex path has diameter 11 > maxIters=3
+    val verts = (0L until 12L).toDF("id")
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(verts, "id", chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    // and with enough rounds the same chain collapses to one component
+    val ok = Dedup.connectedComponents(verts, "id", chain, maxIters = 15)
+      .select("rep_id").distinct().collect()
+    assert(ok.length == 1 && ok.head.getLong(0) == 0L)
+  }
+
   test("subdocDedup drops corpus-repeated boilerplate spans, keeps unique content") {
     import spark.implicits._
     // three 'pages' sharing a verbatim 10-token header; unique bodies
