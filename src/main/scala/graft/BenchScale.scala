@@ -42,9 +42,10 @@ object BenchScale {
     "filter_count", "join_q3lite", "window_rank", "events_time_window",
     // relational stress
     "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",
-    // dedup / decontamination / subdoc
+    // dedup / decontamination / subdoc / clustering
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_subdoc", "dedup_subdoc_clean", "pipeline_decontaminate",
+    "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
+    "pipeline_decontaminate",
     // text pipeline
     "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
     // ANN / embedding dedup (sub-quadratic paths)
