@@ -287,6 +287,39 @@ object ExtensionQueries {
         col("d1"), col("d2"))
     },
 
+    // ---- Embedding near-dup CLUSTERS (connectedComponents composes) --------
+    // The same cluster operator as dedup_groups, over the embedding-cosine
+    // pair graph: one representative per transitive near-dup component of
+    // vectors. Oracle = the dedup_embedding pair SQL + a recursive
+    // transitive-closure CTE.
+    Q("dedup_groups_embedding",
+      """WITH RECURSIVE c AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+        |pairs AS (SELECT d1, d2 FROM c WHERE sim >= 0.45),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS vec_id, MIN(r) AS rep_id FROM reach
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = t(s, d, "embeddings")
+        val pairs = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.45)
+        Dedup.connectedComponents(emb, "vec_id", pairs)
+          .select(col("id").as("vec_id"), col("rep_id"))
+          .orderBy(col("vec_id"))
+    },
+
     // ---- IVF-bucketed embedding near-dup (approximate scale path) ----------
     // Exact-verified candidates from shared coarse buckets: always a
     // subset of dedup_embedding's exact pairs (no false positives; recall
