@@ -234,6 +234,31 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Dedup corpus transform: one representative doc per cluster --------
+    // The step that actually shrinks the corpus: keep the smallest-id doc
+    // of each near-dup component with its member count; singletons pass
+    // through at n_members = 1.
+    Q("dedup_corpus_reps",
+      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
+         |sizes AS (SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY 1)
+         |SELECT d.doc_id, s.n_members FROM documents d
+         |JOIN sizes s ON s.rep = d.doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+        Dedup.keepRepresentatives(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("n_members"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Sub-document dedup, transform form --------------------------------
     // The cleaned documents themselves: kept (non-boilerplate) spans
     // re-joined in span order. The oracle replays the identical chunking,

@@ -155,6 +155,22 @@ object Dedup {
     labels
   }
 
+  /** The corpus-level dedup TRANSFORM: keep exactly one representative
+    * document per near-dup component (the smallest id), tagged with the
+    * component size — the step that actually shrinks a training corpus
+    * once pairs have been clustered by [[connectedComponents]]. Dropped
+    * members are recoverable from the components frame; singletons pass
+    * through with n_members = 1.
+    */
+  def keepRepresentatives(df: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val sizes = connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"))
+    df.join(sizes, df(idCol) === sizes("rep_id"))
+      .drop("rep_id")
+  }
+
   /** Train/eval contamination check — the decontamination pass of a
     * training-data pipeline: flag training docs whose text shares at
     * least `minHits` distinct n-gram shingles with the eval (benchmark)

@@ -152,6 +152,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.filter(t => t._1 >= 190 && t._1 <= 193).map(_._2).distinct.size == 1)
   }
 
+  test("keepRepresentatives keeps the min-id doc per cluster with its member count") {
+    import spark.implicits._
+    val docsK = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "e"))
+      .toDF("doc_id", "text")
+    // {1,2,3} via chaining, {4}, {9}
+    val pairsK = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val kept = Dedup.keepRepresentatives(docsK, "doc_id", pairsK)
+      .select("doc_id", "text", "n_members")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kept == Set((1L, "a", 3L), (4L, "d", 1L), (9L, "e", 1L)), kept.toString)
+  }
+
   test("connectedComponents fails loudly instead of returning unconverged labels") {
     import spark.implicits._
     // a 12-vertex path has diameter 11 > maxIters=3
