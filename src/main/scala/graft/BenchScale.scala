@@ -45,7 +45,7 @@ object BenchScale {
     // dedup / decontamination / subdoc / clustering
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
-    "pipeline_decontaminate",
+    "dedup_groups_lsh", "pipeline_decontaminate",
     // text pipeline
     "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
     // ANN / embedding dedup (sub-quadratic paths)
@@ -206,6 +206,22 @@ object BenchScale {
       // and k at both scales
       q(outDir, "similarity_topk").count() == q(srcDir, "similarity_topk").count()
     }, "top-k result size changed with scale")
+    check("cc_components_scale_exactly", {
+      // per-copy token salting keeps each copy's EXACT pair graph
+      // isomorphic to the base (no cross-copy edges), so connected
+      // components replicate per copy: total component count AND
+      // non-singleton (true dup-cluster) count are exactly factor× the
+      // base — a merge/collapse bug in the label propagation at scale
+      // breaks this even when timings look fine. dedup_groups is the
+      // exact-pair composition, so the check is exact, not statistical
+      val b = q(srcDir, "dedup_groups")
+      val s = q(outDir, "dedup_groups")
+      val bComp = b.groupBy(col("rep_id")).count()
+      val sComp = s.groupBy(col("rep_id")).count()
+      sComp.count() == factor * bComp.count() &&
+        sComp.filter(col("count") > 1).count() ==
+          factor * bComp.filter(col("count") > 1).count()
+    }, "component counts not factor x base")
     inv.foreach { case (n, ok, d) =>
       System.err.println(s"[bench-scale] invariant $n: ${if (ok) "OK" else s"FAILED ($d)"}")
     }
@@ -227,8 +243,11 @@ object BenchScale {
       s""""queries":${entries.mkString("{", ",", "}")},"invariants":$invJson,"errors":$errors}"""
     println(line)
     Bench.persist("bench-scale", line,
-      java.nio.file.Paths.get("target", "bench_scale.json").toAbsolutePath)
-    Bench.persistAtRepoRoot("bench-scale", line, "BENCH_scale.json")
+      java.nio.file.Paths.get("target", s"bench_scale_f$factor.json").toAbsolutePath)
+    // factor-suffixed name past the default 10 so a 30× run cannot
+    // clobber the committed 10× artifact (both are round evidence)
+    Bench.persistAtRepoRoot("bench-scale", line,
+      if (factor == 10) "BENCH_scale.json" else s"BENCH_scale_f$factor.json")
     spark.stop()
   }
 }

@@ -14,10 +14,13 @@ import graft.QueryDefs._
 object ExtensionQueries {
 
   /** The end-to-end corpus-cleaning flow: quality gate → exact dedup (keep
-    * min-id representative) → near-dup removal (drop the larger id of
-    * every qualifying pair) → corpus stats. `nearDupPairs` maps the
-    * survivor frame to (d1, d2, …) pairs — inject `Dedup.minHashLSH` for
-    * the sub-quadratic scale path (the catalog default) or
+    * min-id representative) → near-dup CLUSTERING (connected components
+    * over the pair graph, keep the min-id representative per component) →
+    * corpus stats. Component semantics, not pair semantics: pairs chain
+    * ((1,3),(2,3) is ONE cluster of three, one survivor — the pair-loser
+    * drop this replaces kept two). `nearDupPairs` maps the survivor frame
+    * to (d1, d2, …) pairs — inject `Dedup.minHashLSH` for the
+    * sub-quadratic scale path (the catalog default) or
     * `Dedup.jaccardPairsDense` as the exact oracle twin (tests assert the
     * two pipelines agree on the fixture, where LSH recall is 1.0).
     */
@@ -29,11 +32,9 @@ object ExtensionQueries {
     val reps = Dedup.exact(quality, "doc_id", "text")
       .select(col("rep_id").as("doc_id"))
     // survivors feeds BOTH the near-dup pair generation and the final
-    // anti-join — pin so the quality+dedup pipeline runs once
+    // representative join — pin so the quality+dedup pipeline runs once
     val survivors = scope.pin(Joins.semi(quality, reps, Seq("doc_id")))
-    val nearDupLosers = nearDupPairs(survivors)
-      .select(col("d2").as("doc_id")).distinct()
-    Joins.anti(survivors, nearDupLosers, Seq("doc_id"))
+    Dedup.keepRepresentatives(survivors, "doc_id", nearDupPairs(survivors))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
   }
@@ -97,6 +98,24 @@ object ExtensionQueries {
        |  SELECT d1, d2, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
        |  FROM inter JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2)
        |WHERE j >= 0.5 ORDER BY d1, d2""".stripMargin
+
+  /** Shared DuckDB oracle: near-dup COMPONENTS of the exact pair graph
+    * via a recursive transitive-closure CTE — the one copy serving
+    * `dedup_groups` (dense exact pair walk) and `dedup_groups_lsh`
+    * (sub-quadratic MinHash-LSH pair path): both cluster the same pair
+    * set on the fixture, where LSH recall is 1.0.
+    */
+  private val sqlDocGroups =
+    s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS rep_id FROM reach
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** Shared DuckDB chunking CTEs (size 64 / overlap 16 / step 48), the
     * one copy serving `text_chunk` and `pipeline_pack_stats`;
@@ -215,20 +234,27 @@ object ExtensionQueries {
     // computes the same components via a recursive transitive-closure CTE
     // on the shared exact-pair SQL. Every doc appears (singletons map to
     // themselves), rep_id = smallest doc_id in the component.
-    Q("dedup_groups",
-      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
-         |edges AS (
-         |  SELECT d1 AS src, d2 AS dst FROM pairs
-         |  UNION SELECT d2, d1 FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-         |SELECT id AS doc_id, MIN(r) AS rep_id FROM reach
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+    Q("dedup_groups", sqlDocGroups) {
       (s, d) =>
         val docs = t(s, d, "documents")
         val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("rep_id"))
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Near-dup clusters over the SUB-QUADRATIC pair path ----------------
+    // The 100 TB dedup flow end-to-end: the SAME clustering operator
+    // composed over MinHash-LSH pairs (linear-shuffle candidates + exact
+    // verify on candidates only) instead of the quadratic-by-contract
+    // dense walk above. The oracle stays the recursive transitive-closure
+    // CTE over the EXACT pair set — valid because LSH verifies exact
+    // Jaccard on its candidates and its recall on the fixture corpus is
+    // 1.0 (asserted in ExtensionOpsSpec), the dedup_minhash_lsh precedent.
+    Q("dedup_groups_lsh", sqlDocGroups) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
         Dedup.connectedComponents(docs, "doc_id", pairs)
           .select(col("id").as("doc_id"), col("rep_id"))
           .orderBy(col("doc_id"))
@@ -727,9 +753,12 @@ object ExtensionQueries {
     // identical pipeline in SQL with an EXACT near-dup stage, while the
     // Spark side runs the sub-quadratic MinHash-LSH stage — they agree
     // because LSH verifies exact Jaccard on candidates and its recall on
-    // the fixture corpus is 1.0 (asserted in ExtensionOpsSpec).
+    // the fixture corpus is 1.0 (asserted in ExtensionOpsSpec). The
+    // near-dup stage has COMPONENT semantics (one min-id representative
+    // per connected component of the pair graph — the recursive-CTE
+    // clustering the dedup_groups oracles use), not pair-loser semantics.
     Q("pipeline_clean_corpus",
-      s"""WITH toks AS (
+      s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, text, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
          |  FROM documents),
          |quality AS (SELECT doc_id, text, n_tokens FROM toks WHERE n_tokens >= 20),
@@ -748,10 +777,19 @@ object ExtensionQueries {
          |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
          |  FROM bg x JOIN bg y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
          |neardup AS (
-         |  SELECT DISTINCT d2 FROM inter
+         |  SELECT d1, d2 FROM inter
          |  JOIN sz sx ON sx.doc_id = d1 JOIN sz sy ON sy.doc_id = d2
          |  WHERE i*1.0/(sx.n_sh + sy.n_sh - i) >= 0.5),
-         |clean AS (SELECT * FROM survivors WHERE doc_id NOT IN (SELECT d2 FROM neardup))
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM neardup
+         |  UNION SELECT d2, d1 FROM neardup),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM survivors
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
+         |clean AS (
+         |  SELECT s.* FROM survivors s JOIN comp c ON c.id = s.doc_id AND c.rep = s.doc_id)
          |SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM clean""".stripMargin) {
       (s, d) => cleanCorpus(t(s, d, "documents"),

@@ -113,6 +113,18 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond")
     * is the drop-in upgrade if a corpus ever presents high-diameter
     * components.
+    *
+    * Durability contract: each round truncates lineage with
+    * `localCheckpoint` — executor-LOCAL blocks, NOT fault-tolerant. On a
+    * single-JVM run that is free; on a real cluster an executor loss
+    * mid-run (or after, while downstream still reads the labels) fails
+    * the job, which matters for a dedup pass measured in hours. Set
+    * `spark.sparkContext.setCheckpointDir(...)` before calling and the
+    * loop upgrades itself to RELIABLE checkpoints (HDFS/object-store
+    * backed, survives executor loss) at the cost of one write+read of the
+    * two-long-per-vertex label table per round. Either way the previous
+    * round's blocks are released as soon as the next round materializes,
+    * so storage holds at most two label-table copies, not `maxIters`.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxIters: Int = 25): DataFrame = {
@@ -121,9 +133,11 @@ object Dedup {
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
       .distinct().cache()
+    val reliable = vertices.sparkSession.sparkContext.getCheckpointDir.isDefined
     var labels = vertices
       .select(col(idCol).cast("long").as("id"))
       .withColumn("rep_id", col("id"))
+    var prev: DataFrame = null // previous round's checkpointed frame
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -131,22 +145,31 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("rep_id")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("rep_id")).as("nbr_min"))
-      // localCheckpoint, not cache: an iterative frame's LINEAGE doubles
+      // checkpoint, not cache: an iterative frame's LINEAGE doubles
       // per round, and Catalyst re-analyzes the whole tree each iteration
       // — by round ~12 planning time alone explodes. Checkpointing
-      // truncates the plan to the materialized partitions (executor-local,
-      // label-table-sized: two longs per vertex)
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // truncates the plan to the materialized partitions (label-table-
+      // sized: two longs per vertex); local vs reliable per the
+      // durability contract in the scaladoc
+      val joined = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep_id"), coalesce(col("nbr_min"), col("rep_id"))).as("rep_id"))
-        .localCheckpoint(eager = true)
+      val next =
+        if (reliable) joined.checkpoint(eager = true)
+        else joined.localCheckpoint(eager = true)
       changed = next
         .join(labels.select(col("id"), col("rep_id").as("old")), Seq("id"))
         .filter(col("rep_id") =!= col("old"))
         .count() // sketch-sized scalar per round; the loop IS the algorithm
+      // `changed` was the last reader of round iter-1's blocks — release
+      // them now, or maxIters label-table copies pile up in storage
+      // memory for the life of the session
+      if (prev != null) releaseCheckpoint(prev)
+      prev = if (iter > 0) labels else null // round 0's `labels` is the lazy seed
       labels = next
       iter += 1
     }
+    if (prev != null) releaseCheckpoint(prev)
     edges.unpersist()
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds — " +
@@ -154,6 +177,9 @@ object Dedup {
         "or use a star-contraction variant")
     labels
   }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    Iterative.releaseCheckpoint(df)
 
   /** The corpus-level dedup TRANSFORM: keep exactly one representative
     * document per near-dup component (the smallest id), tagged with the

@@ -181,10 +181,177 @@ object Similarity {
     math.max(16, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
 
   /** Above this list count, `trainCentroids` switches from driver-side
-    * kmeans++ (O(nlist·sample·dim)) to the deterministic hash-smallest
-    * seed + convergent Lloyd — see the init comment in trainCentroids.
+    * kmeans++ over a hash-ordered sample (O(nlist·sample·dim)) to the
+    * distributed k-means|| oversampling init ([[kmeansParallelInit]]).
     */
   val maxKmeansppLists: Int = 4096
+
+  // ---- primitive distance kernels shared by the init and Lloyd paths ----
+  private def l2f(a: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
+    s
+  }
+  private def l2d(a: Array[Double], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
+    s
+  }
+  private def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cs.length) { val d = l2f(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+    best
+  }
+
+  /** Weighted kmeans++ over driver-resident points — the shared kernel of
+    * both init paths (the sample path passes unit weights; k-means||
+    * passes corpus-mass weights): centers drawn w·distance²-weighted with
+    * the seeded generator, O(k·n·dim) flops, n·dim memory. `pts(0)` seeds
+    * the first center, so callers fix the seed point deterministically.
+    */
+  private def weightedKmeanspp(pts: Array[Array[Double]], w: Array[Double],
+                               k: Int, rnd: scala.util.Random): Array[Array[Double]] = {
+    val centers = scala.collection.mutable.ArrayBuffer(pts(0))
+    val d2 = Array.fill(pts.length)(Double.MaxValue)
+    val wd = new Array[Double](pts.length)
+    while (centers.length < k) {
+      val c = centers.last
+      var i = 0
+      while (i < pts.length) {
+        val d = l2d(pts(i), c); if (d < d2(i)) d2(i) = d
+        wd(i) = w(i) * d2(i); i += 1
+      }
+      val total = wd.sum
+      if (total <= 0) {
+        // all mass coincides with chosen centers — duplicate one (the
+        // resulting empty buckets are harmless: Lloyd keeps them put)
+        centers += pts(centers.length % pts.length)
+      } else {
+        var r = rnd.nextDouble() * total
+        var j = 0
+        while (j < pts.length - 1 && r > wd(j)) { r -= wd(j); j += 1 }
+        // the draw can land in a zero-weight run (an already-chosen
+        // center, float drift, or nextDouble()==0): scan CIRCULARLY to
+        // the next positive-weight point — total > 0 guarantees one
+        // exists, so this never re-picks a center (a forward-only scan
+        // stalls at the last index inside a trailing zero-weight run
+        // and silently duplicates a centroid, shrinking effective nlist)
+        while (wd(j) <= 0) j = (j + 1) % pts.length
+        centers += pts(j)
+      }
+    }
+    centers.toArray
+  }
+
+  /** Round count for [[kmeansParallelInit]] (Bahmani et al. recommend
+    * l = Θ(k) oversampling for ~5 rounds). */
+  private val kmeansParRounds = 5
+
+  /** Candidate-set cap for [[kmeansParallelInit]]: bounds driver memory
+    * at `maxInitCandidates · dim` doubles no matter how large nlist or
+    * the corpus — the same bound the kmeans++ sample cap enforces.
+    */
+  private[graft] val maxInitCandidates = 1 << 20
+
+  /** Candidate count of the most recent [[kmeansParallelInit]] run —
+    * test observability for the driver-memory contract (≈ 1 + l·rounds,
+    * independent of corpus size; never above [[maxInitCandidates]]).
+    */
+  @volatile private[graft] var lastParallelInitCandidates: Int = 0
+
+  /** k-means|| (Bahmani et al., "Scalable k-means++", VLDB'12) — the
+    * distributed init for `nlist > maxKmeansppLists`, where a driver
+    * kmeans++ over an `8·nlist` sample is intractable: ~5 rounds of
+    * COST-WEIGHTED Bernoulli oversampling over the FULL corpus (each
+    * point drawn with prob min(1, l·d²/φ), l = 2k, φ = current total
+    * cost), then each candidate is weighted by the corpus mass nearest to
+    * it and the candidate set (≈ 1 + l·rounds vectors, capped) is
+    * reclustered to k centers by driver-side [[weightedKmeanspp]]. Unlike
+    * the hash-smallest seed this replaces, candidates are drawn from the
+    * whole corpus in proportion to residual cost, so small outlying
+    * clusters get centers instead of starving.
+    *
+    * Determinism: every Bernoulli draw derives from (xxhash64(id, seed),
+    * round) through a fixed mixer — no RNG in any scan, so identical
+    * (data, k, seed) yields identical centers under ANY partitioning.
+    *
+    * Scale shape: each round updates every point's running d² against
+    * only that round's NEW candidates (broadcast, ~l vectors) — one
+    * narrow pass, no shuffle — and the iterative frame is
+    * checkpoint-truncated per round (same lineage-explosion guard as
+    * connectedComponents). Driver memory is O(|C|·dim) ≤
+    * maxInitCandidates·dim; the final recluster costs O(k·|C|·dim) flops
+    * once, the irreducible kmeans++ term.
+    */
+  private[graft] def kmeansParallelInit(emb: DataFrame, idCol: String,
+                                        vecCol: String, k: Int,
+                                        seed: Long): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb
+      .select(xxhash64(col(idCol), lit(seed)).as("h"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val seedVec = base.orderBy(col("h")).limit(1)
+      .collect().head._2.map(_.toDouble)
+    val cand = scala.collection.mutable.ArrayBuffer[Array[Double]](seedVec)
+    var pts = base.map { case (h, v) => (h, v, l2f(v, seedVec)) }
+      .localCheckpoint(eager = true)
+    var round = 1
+    var exhausted = false
+    while (round <= kmeansParRounds && !exhausted && cand.length < maxInitCandidates) {
+      val phi = pts.toDF("h", "v", "d2").agg(sum(col("d2"))).head.getDouble(0)
+      if (!(phi > 0)) exhausted = true // every point coincides with a candidate
+      else {
+        val lOver = 2.0 * k
+        val r = round // stable closure captures
+        val s = seed
+        // sort by the row hash: collect() order is partition-dependent,
+        // and candidate ORDER feeds the weighted draw — unsorted, the
+        // same centers would come back permuted under a different
+        // partitioning, breaking bitwise determinism
+        val fresh = pts
+          .filter(t => u01(t._1, r, s) * phi < lOver * t._3)
+          .map(t => (t._1, t._2)).collect()
+          .sortBy(_._1).map(_._2)
+        val added = fresh.take(maxInitCandidates - cand.length).map(_.map(_.toDouble))
+        if (added.isEmpty) exhausted = true
+        else {
+          cand ++= added
+          val bc = spark.sparkContext.broadcast(added)
+          val next = pts.map { case (h, v, d) =>
+            val cs = bc.value
+            var best = d; var i = 0
+            while (i < cs.length) { val t = l2f(v, cs(i)); if (t < best) best = t; i += 1 }
+            (h, v, best)
+          }.localCheckpoint(eager = true)
+          Iterative.releaseCheckpoint(pts)
+          pts = next
+          bc.destroy()
+        }
+      }
+      round += 1
+    }
+    // weight = corpus mass nearest each candidate (one |C|-wide pass,
+    // centroid matrix broadcast — never a closure at large nlist)
+    val cArr = cand.toArray
+    val bcAll = spark.sparkContext.broadcast(cArr)
+    val counts = pts.map { case (_, v, _) => nearest(v, bcAll.value) }
+      .groupByKey(identity).count().collect().toMap
+    Iterative.releaseCheckpoint(pts)
+    bcAll.destroy()
+    val w = Array.tabulate(cArr.length)(i => counts.getOrElse(i, 0L).toDouble)
+    lastParallelInitCandidates = cArr.length
+    weightedKmeanspp(cArr, w, k, new scala.util.Random(seed))
+  }
+
+  /** Deterministic per-(row, round) uniform draw in [0, 1): a fixed
+    * 64-bit mixer over the row's id hash — the "no RNG in the scan"
+    * contract that makes k-means|| reproducible under any partitioning.
+    */
+  private def u01(h: Long, round: Int, seed: Long): Double = {
+    val x = scala.util.hashing.byteswap64(h + round * 0x9E3779B97F4A7C15L + seed)
+    (x >>> 11) * (1.0 / (1L << 53))
+  }
 
   /** Train the IVF coarse quantizer — kmeans++ init + Lloyd iterations to
     * movement convergence, the shape real IVF practice (FAISS-style) uses:
@@ -206,80 +373,51 @@ object Similarity {
     * identical (data, nlist, seed).
     */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int, seed: Long, maxIters: Int = 8): Array[Array[Double]] = {
+                     nlist: Int, seed: Long, maxIters: Int = 8,
+                     forceParallelInit: Boolean = false): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     // the Lloyd pass never uses ids — ship vectors only (and stay agnostic
     // to the id type, unlike a cast-to-long of string ids)
     val vecs = emb.select(col(vecCol)).as[Array[Float]]
-    def l2f(a: Array[Float], c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
-      s
-    }
-    def l2d(a: Array[Double], c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }
-      s
-    }
-    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bd = Double.MaxValue; var i = 0
-      while (i < cs.length) { val d = l2f(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
-      best
-    }
-    // ---- init: kmeans++ on a deterministic hash-ordered sample ---------
-    // Driver-side kmeans++ is O(nlist · sample · dim): ideal quality up to
-    // a few thousand lists, intractable at the √N nlist of a truly huge
-    // corpus (nlist=10⁵ ⇒ ~10¹³ flops). Past `maxKmeansppLists` the init
-    // falls back to the hash-smallest-nlist seed — still deterministic,
-    // and the convergent Lloyd loop (not the init) then carries the
-    // quality; the full k-means|| treatment (distributed oversampling,
-    // Bahmani et al. VLDB'12) is the upgrade path if that regime ever
-    // needs kmeans++-grade seeding. The sample is capped so driver memory
-    // stays bounded at sample·dim doubles.
-    val useKmeanspp = nlist <= maxKmeansppLists
+    // ---- init ----------------------------------------------------------
+    // Driver-side kmeans++ over a deterministic hash-ordered sample is
+    // O(nlist · sample · dim): ideal quality up to a few thousand lists,
+    // intractable at the √N nlist of a truly huge corpus. Past
+    // `maxKmeansppLists` the init switches to the distributed k-means||
+    // oversampling (kmeansParallelInit) — cost-weighted candidates from
+    // the FULL corpus, still fully deterministic. Both paths bound driver
+    // memory at cap·dim doubles. (The small hash-ordered sample below
+    // also calibrates the Lloyd convergence epsilon in both paths.)
+    // forceParallelInit is test plumbing: quality/parity specs exercise
+    // the k-means|| path at a testable nlist
+    val useKmeanspp = nlist <= maxKmeansppLists && !forceParallelInit
     val sampleN =
       if (useKmeanspp) math.min(math.max(nlist * 8, 256), 1 << 20)
-      else nlist
+      else math.min(nlist, 4096) // eps calibration only — sketch-sized
     val sample: Array[Array[Double]] = emb
       .select(col(vecCol).as("v"), xxhash64(col(idCol), lit(seed)).as("h"))
       .orderBy(col("h")).limit(sampleN)
       .select(col("v")).as[Array[Float]]
       .collect().map(_.map(_.toDouble))
     if (sample.isEmpty) return Array.empty
-    val k = math.min(nlist, sample.length)
-    val rnd = new scala.util.Random(seed)
-    val centers = scala.collection.mutable.ArrayBuffer(sample(0))
-    if (useKmeanspp) {
-      val d2 = Array.fill(sample.length)(Double.MaxValue)
-      while (centers.length < k) {
-        val c = centers.last
-        var i = 0
-        while (i < sample.length) {
-          val d = l2d(sample(i), c); if (d < d2(i)) d2(i) = d; i += 1
-        }
-        val total = d2.sum
-        if (total <= 0) {
-          // all sample points coincide with chosen centers — duplicate one
-          // (the resulting empty buckets are harmless: Lloyd keeps them put)
-          centers += sample(centers.length % sample.length)
-        } else {
-          var r = rnd.nextDouble() * total
-          var j = 0
-          while (j < sample.length - 1 && r > d2(j)) { r -= d2(j); j += 1 }
-          while (d2(j) <= 0 && j < sample.length - 1) j += 1 // never re-pick a center
-          centers += sample(j)
-        }
-      }
-    } else {
-      centers.clear()
-      centers ++= sample.take(k)
-    }
+    // a short sample (< sampleN collected) means the corpus itself is
+    // smaller than the cap, so k clamps to the corpus size; a FULL sample
+    // says nothing about N, so k stays nlist (a corpus between the
+    // calibration cap and nlist yields duplicate centers = empty buckets,
+    // harmless per the weightedKmeanspp contract)
+    val k = if (sample.length < sampleN) math.min(nlist, sample.length) else nlist
+    val cs0: Array[Array[Double]] =
+      if (useKmeanspp)
+        weightedKmeanspp(sample, Array.fill(sample.length)(1.0), k,
+          new scala.util.Random(seed))
+      else
+        kmeansParallelInit(emb, idCol, vecCol, k, seed)
     // ---- Lloyd to convergence ------------------------------------------
     val meanNorm = sample.map(v => math.sqrt(l2d(v, new Array[Double](v.length))))
       .sum / sample.length
     val eps = 1e-3 * math.max(meanNorm, 1e-12)
-    var cs: Array[Array[Double]] = centers.toArray
+    var cs: Array[Array[Double]] = cs0
     var moved = Double.MaxValue
     var iter = 0
     while (iter < maxIters && moved > eps) {
@@ -338,7 +476,10 @@ object Similarity {
     * observed-metric names within one plan, so a fixed name would break
     * any query composing two IVF stages (union/join of two top-k results).
     * Listeners match on the prefix (`name == prefix || name.startsWith
-    * (prefix + "_")`).
+    * (prefix + "_")`) and must SUM all matched rows — a composed plan
+    * emits one row per stage, so keeping any single row is ambiguous
+    * exactly in the composed case (SparkSpec.observedExamined is the
+    * reference consumer).
     */
   val candidatesMetric = "graft_ivf_candidates"
 
@@ -443,6 +584,12 @@ object Similarity {
     * tasks; the candidate PAIR set never crosses the wire (see
     * [[bucketVerifiedPairs]] — measured 15× over the candidate-join form
     * at the factor-30 scale check).
+    *
+    * Output contract: `d1`/`d2` are LONG whatever the input id width —
+    * the bucket-local kernel routes on a typed long Dataset, so int ids
+    * come back widened (plan joins against the source frame need the
+    * implicit upcast) and non-integral ids throw at plan time rather
+    * than silently collapsing.
     */
   def ivfDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, nlist: Int = 16, nprobe: Int = 2,

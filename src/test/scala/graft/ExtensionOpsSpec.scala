@@ -179,6 +179,59 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ok.length == 1 && ok.head.getLong(0) == 0L)
   }
 
+  test("connectedComponents releases every round's checkpoint except the result's") {
+    import spark.implicits._
+    // a 13-vertex path forces ~12 propagation rounds; without the
+    // per-round release each round's label-table copy would stay in
+    // storage for the session (the leak this test pins closed)
+    val verts = (0L until 13L).toDF("id")
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = Dedup.connectedComponents(verts, "id", chain)
+    assert(labels.select("rep_id").distinct().count() == 1)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // at most the RESULT's own checkpoint may remain pinned (it backs the
+    // returned frame); the ~11 earlier rounds must all be gone
+    assert(after <= before + 1,
+      s"CC leaked checkpointed rounds: $before persistent RDDs before, $after after")
+  }
+
+  test("connectedComponents upgrades to reliable checkpoints when a checkpoint dir is set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val verts = (0L until 8L).toDF("id")
+      val chain = (0L until 7L).map(i => (i, i + 1)).toDF("d1", "d2")
+      val got = Dedup.connectedComponents(verts, "id", chain)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == (0L until 8L).map((_, 0L)).toSet, got.toString)
+      // reliable mode must actually write RDD checkpoint files (the
+      // durability upgrade the scaladoc promises)
+      val wrote = java.nio.file.Files.walk(dir).filter(_.toString.contains("rdd-"))
+        .findFirst().isPresent
+      assert(wrote, s"no reliable checkpoint files under $dir")
+    } finally {
+      org.apache.spark.graftest.CheckpointDirs.reset(spark.sparkContext)
+      scala.util.Try {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("dedup_groups_lsh (CC over MinHash-LSH pairs) equals the exact-pair clustering") {
+    // the 100 TB composition: sub-quadratic pair generation feeding the
+    // same clustering operator — identical components on the fixture,
+    // where LSH recall is 1.0 (pinned above)
+    val exact = ExtensionQueries.all.find(_.name == "dedup_groups").get
+      .fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lsh = ExtensionQueries.all.find(_.name == "dedup_groups_lsh").get
+      .fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact.nonEmpty && exact == lsh)
+    spark.catalog.clearCache()
+  }
+
   test("subdocDedup drops corpus-repeated boilerplate spans, keeps unique content") {
     import spark.implicits._
     // three 'pages' sharing a verbatim 10-token header; unique bodies
@@ -287,9 +340,15 @@ class ExtensionOpsSpec extends SparkSpec {
   test("catalog pipeline query plan has no quadratic block-NLJ stage") {
     val q = ExtensionQueries.all.find(_.name == "pipeline_clean_corpus").get
     val plan = q.fn(spark, sf).queryExecution.optimizedPlan.toString
-    // the dense block-pair path enters the plan as an ExistingRDD scan;
-    // the LSH pipeline is pure DataFrame operators
-    assert(!plan.contains("ExistingRDD"), s"quadratic stage leaked into:\n$plan")
+    // the dense block-pair path enters the plan as an RDD scan over the
+    // (d1, d2, jacc) tuple schema; the LSH pipeline is pure DataFrame
+    // operators. The CLUSTERING stage's checkpointed label table is a
+    // legitimate RDD scan — its output schema (id, rep_id) is the
+    // discriminator
+    val rddScans = plan.linesIterator
+      .filter(l => l.contains("ExistingRDD") || l.contains("LogicalRDD")).toSeq
+    assert(rddScans.forall(_.contains("rep_id")),
+      s"non-clustering RDD scan (quadratic dense stage?) leaked into:\n$plan")
     spark.catalog.clearCache()
   }
 
@@ -404,6 +463,71 @@ class ExtensionOpsSpec extends SparkSpec {
       val d = cs.map(c => math.sqrt(c.zip(tm).map { case (a, b) => (a - b) * (a - b) }.sum)).min
       assert(d < 0.2, s"no converged centroid near blob mean ${tm.toSeq}: nearest at distance $d")
     }
+  }
+
+  test("k-means|| init: blob quality parity with kmeans++, deterministic, bounded driver state") {
+    import spark.implicits._
+    // the same 4-blob corpus as the kmeans++ test: the distributed
+    // oversampling init (the nlist > maxKmeansppLists path, forced here
+    // at a testable size) must seed one center per blob and converge to
+    // the blob means exactly like the driver kmeans++ path — the "parity
+    // at small nlist" contract of the init switch
+    val rnd = new scala.util.Random(7L)
+    val trueMeans = Array.tabulate(4)(c => Array.tabulate(8)(j => if (j == c * 2) 10.0 else 0.0))
+    val rows = (0 until 400).map { i =>
+      val c = i % 4
+      (i.toLong, trueMeans(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").cache(); df.count()
+    val cs = Similarity.trainCentroids(df, "vec_id", "embedding", 4, 42L,
+      forceParallelInit = true)
+    assert(cs.length == 4)
+    trueMeans.foreach { tm =>
+      val d = cs.map(c => math.sqrt(c.zip(tm).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(d < 0.2, s"no converged centroid near blob mean ${tm.toSeq}: nearest at distance $d")
+    }
+    // deterministic: no RNG in any scan, so a rerun (any partitioning)
+    // reproduces the centers bitwise
+    val cs2 = Similarity.trainCentroids(df.repartition(7), "vec_id", "embedding",
+      4, 42L, forceParallelInit = true)
+    assert(cs.map(_.toSeq).toSeq == cs2.map(_.toSeq).toSeq,
+      "k-means|| centers are not deterministic across partitionings")
+    // driver state is the candidate set: ≈ 1 + l·rounds = O(k), NEVER
+    // O(corpus) — the memory contract that lets nlist scale past the
+    // kmeans++ sample regime (4·l·rounds is a generous Chernoff bound on
+    // the Bernoulli round sizes)
+    val k = 4
+    assert(Similarity.lastParallelInitCandidates <= 1 + 4 * (2 * k) * 5,
+      s"candidate set ${Similarity.lastParallelInitCandidates} not O(k)")
+    df.unpersist()
+  }
+
+  test("k-means|| init preserves the planted-corpus recall floor at cosine 0.9") {
+    import spark.implicits._
+    // same planted twin corpus as the ivfDupPairs recall test; buckets
+    // assigned from k-means||-initialized centroids must co-bucket ≥95%
+    // of twins within nprobe=2 — the mechanism ivfDupPairs recall rides
+    val rnd = new scala.util.Random(41L)
+    val dim = 32
+    val rows = Array.tabulate(300) { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+      Seq((i.toLong, v), (1000L + i, dup))
+    }.flatten.toSeq
+    val planted = rows.toDF("vec_id", "embedding").cache(); planted.count()
+    val cs: Seq[Seq[Double]] = Similarity.trainCentroids(planted, "vec_id", "embedding",
+        Similarity.autoNlist(600), 42L, forceParallelInit = true)
+      .toSeq.map(_.toSeq)
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.nearestCentroids
+    val buckets = planted
+      .select(col("vec_id"), nearestCentroids(col("embedding"), cs, 2).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val coBucketed = (0 until 300).count(i =>
+      buckets(i.toLong).intersect(buckets(1000L + i)).nonEmpty)
+    assert(coBucketed >= 285, // ≥ 0.95 of 300 planted twins
+      s"only $coBucketed/300 twins co-bucket under k-means|| centroids")
+    planted.unpersist()
   }
 
   test("cosineDupPairs skips zero-norm vectors instead of crashing") {

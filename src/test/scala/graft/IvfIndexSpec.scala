@@ -116,17 +116,17 @@ class IvfIndexSpec extends SparkSpec {
     val emb = embeddings(1000).cache(); emb.count()
     val nQueries = 5
     // fused path
-    val fusedExamined = observedMetric(Similarity.candidatesMetric) {
+    val fusedExamined = observedExamined(Similarity.candidatesMetric) {
       Similarity.ivfTopK(emb, "vec_id", "embedding",
         col("vec_id") < nQueries, 10, nlist = 16, nprobe = 4).collect()
-    }.map(_.getLong(0))
+    }
     // served path
     val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/metric"
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16, seed = 42L)
-    val servedExamined = observedMetric(Similarity.candidatesMetric) {
+    val servedExamined = observedExamined(Similarity.candidatesMetric) {
       Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < nQueries),
         "vec_id", "embedding", dir, 10, nprobe = 4).collect()
-    }.map(_.getLong(0))
+    }
     val brute = nQueries.toLong * (1000 - 1)
     for ((label, ex) <- Seq("fused" -> fusedExamined, "served" -> servedExamined)) {
       assert(ex.isDefined, s"$label path emitted no $label candidates metric")

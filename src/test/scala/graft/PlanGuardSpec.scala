@@ -57,8 +57,11 @@ class PlanGuardSpec extends SparkSpec {
       // ivfTopKFromIndex: centroid table + query batch (sketch-sized by
       // contract, materialized once so the query subplan doesn't execute
       // twice) + probed bucket set (≤ |Q|·nprobe ints);
-      // ivfDupPairsFromIndex: centroid table
-      "Similarity.scala"    -> 6,
+      // ivfDupPairsFromIndex: centroid table;
+      // kmeansParallelInit: seed vector (1 row) + per-round candidate
+      // draws + candidate weights (each ≤ maxInitCandidates rows by the
+      // documented cap — the k-means|| driver-memory contract)
+      "Similarity.scala"    -> 9,
       "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       "Sampling.scala"      -> 1)  // temperatureMix: one row per source

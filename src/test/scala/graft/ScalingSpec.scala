@@ -102,11 +102,11 @@ class ScalingSpec extends SparkSpec {
     // metric (Dataset.observe riding the normal plan), not a test-only
     // count — the same signal a deployment's QueryExecutionListener reads
     var counted = -1L
-    val metric = observedMetric(operators.Similarity.candidatesMetric) {
+    val metric = observedExamined(operators.Similarity.candidatesMetric) {
       counted = operators.Similarity.ivfCandidates(emb, "vec_id", "embedding",
         col("vec_id") < nQueries, nlist = 16, nprobe = 4).count()
     }
-    val examined = metric.map(_.getLong(0)).getOrElse(-1L)
+    val examined = metric.getOrElse(-1L)
     assert(examined == counted,
       s"observed metric $examined != counted rows $counted")
     val brute = nQueries.toLong * (n - 1)

@@ -17,15 +17,21 @@ trait SparkSpec extends AnyFunSuite {
     * `name_<suffix>` variant — production observe names carry a unique
     * counter suffix so two observed stages can compose in one plan.
     */
-  def observedMetric(metricName: String)(action: => Unit): Option[org.apache.spark.sql.Row] = {
-    @volatile var row: Option[org.apache.spark.sql.Row] = None
+  /** Run `action` and return EVERY observed-metric row whose name is
+    * `metricName` or a suffixed variant (`metricName_<n>`) — a plan
+    * composing two observed stages emits one row per stage, so keeping
+    * one arbitrary row would make the metric ambiguous exactly in the
+    * composed case the suffixing exists to support.
+    */
+  def observedMetricRows(metricName: String)(action: => Unit): Seq[org.apache.spark.sql.Row] = {
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit =
         qe.observedMetrics.collect {
           case (n, r) if n == metricName || n.startsWith(metricName + "_") => r
-        }.foreach(r => row = Some(r))
+        }.foreach(rows.add)
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
@@ -35,7 +41,17 @@ trait SparkSpec extends AnyFunSuite {
       action
       org.apache.spark.graftest.ListenerDrain.drain(spark.sparkContext)
     } finally spark.listenerManager.unregister(listener)
-    row
+    import scala.jdk.CollectionConverters._
+    rows.asScala.toSeq
+  }
+
+  /** The summed first-column count (`examined`) across every
+    * prefix-matched observation of `action` — the consumer shape the
+    * production listener should use.
+    */
+  def observedExamined(metricName: String)(action: => Unit): Option[Long] = {
+    val rows = observedMetricRows(metricName)(action)
+    if (rows.isEmpty) None else Some(rows.map(_.getLong(0)).sum)
   }
 }
 

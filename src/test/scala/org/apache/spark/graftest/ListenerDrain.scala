@@ -11,3 +11,13 @@ import org.apache.spark.SparkContext
 object ListenerDrain {
   def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
+
+/** Test-only bridge to the `private[spark]` checkpoint-dir var: the
+  * public API can SET a checkpoint directory but never unset it, and the
+  * reliable-checkpoint test must restore the shared session to its
+  * local-checkpoint default or every later iterative-operator test pays
+  * checkpoint-file I/O.
+  */
+object CheckpointDirs {
+  def reset(sc: SparkContext): Unit = sc.checkpointDir = None
+}
