@@ -32,6 +32,13 @@ object Repl {
       |  neardup <view> <threshold> [idCol textCol]
       |                                         MinHash-LSH near-dup pairs at Jaccard
       |                                         >= threshold (cols default doc_id/text)
+      |  groups <view> <threshold> [idCol textCol]
+      |                                         near-dup COMPONENT labels (id, rep_id):
+      |                                         connected components over the LSH pairs
+      |  dedup <view> <threshold> [idCol textCol]
+      |                                         child view: one representative doc per
+      |                                         near-dup component (+ n_members) — later
+      |                                         verbs compose over the deduped corpus
       |  simsearch <view> <id> <k> [idCol vecCol]
       |                                         LSH top-k cosine neighbours of row <id>
       |                                         (cols default vec_id/embedding)
@@ -126,6 +133,30 @@ object Repl {
         render(graft.operators.Dedup
           .minHashLSH(df(vid), idCol, textCol, threshold = thr.toDouble)
           .orderBy(col("d1"), col("d2")))
+      case "groups" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
+        val (idCol, textCol) = rest match {
+          case i :: c :: Nil => (i, c)
+          case _             => ("doc_id", "text")
+        }
+        // component labels are corpus-LINEAR — render top rows only, like
+        // neardup (never the full-collect sketch memo)
+        val d = df(vid)
+        render(graft.operators.Dedup
+          .connectedComponents(d, idCol,
+            graft.operators.Dedup.minHashLSH(d, idCol, textCol, threshold = thr.toDouble))
+          .orderBy(col("id")))
+      case "dedup" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
+        val (idCol, textCol) = rest match {
+          case i :: c :: Nil => (i, c)
+          case _             => ("doc_id", "text")
+        }
+        // the deduped corpus joins the session LINEAGE as a child view:
+        // filter/chunk/pack/subdoc then compose over one-representative-
+        // per-component interactively
+        s"view ${s.child(ViewId(vid), "dedup")(d =>
+          graft.operators.Dedup.keepRepresentatives(d, idCol,
+            graft.operators.Dedup.minHashLSH(d, idCol, textCol,
+              threshold = thr.toDouble))).value}"
       case "simsearch" :: vid :: id :: k :: rest if rest.size == 0 || rest.size == 2 =>
         val (idCol, vecCol) = rest match {
           case i :: c :: Nil => (i, c)

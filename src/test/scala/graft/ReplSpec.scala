@@ -139,4 +139,24 @@ class ReplSpec extends SparkSpec {
     val firstPage = out.linesIterator.dropWhile(!_.startsWith("n_name")).drop(1).take(3).toSeq
     assert(firstPage.size == 3 && firstPage.forall(_.split("\t").length == 2), out)
   }
+
+  test("groups labels near-dup components; dedup registers a composable child view") {
+    val out = script(
+      "open documents",
+      "groups documents-1 0.5",
+      "dedup documents-1 0.5",
+      "filter dedup-2 n_members > 1",
+      "lineage filter-3",
+      "quit")
+    // groups: (id, rep_id) labels for every doc
+    val gHeader = out.linesIterator.indexWhere(_.startsWith("id\trep_id"))
+    assert(gHeader >= 0, s"groups must render an id/rep_id table:\n$out")
+    assert(out.linesIterator.drop(gHeader + 1).next().split("\t").length == 2,
+      s"no component rows rendered:\n$out")
+    // dedup: a child VIEW in the session lineage — interactive verbs
+    // compose over the one-representative-per-component corpus
+    assert(out.contains("view dedup-2"), out)
+    assert(out.contains("documents-1 -> dedup-2 -> filter-3"),
+      s"dedup view must join the lineage chain:\n$out")
+  }
 }
