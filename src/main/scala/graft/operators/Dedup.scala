@@ -149,21 +149,21 @@ object Dedup {
       // per round, and Catalyst re-analyzes the whole tree each iteration
       // — by round ~12 planning time alone explodes. Checkpointing
       // truncates the plan to the materialized partitions (label-table-
-      // sized: two longs per vertex); local vs reliable per the
-      // durability contract in the scaladoc
-      val joined = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // sized); local vs reliable per the durability contract in the
+      // scaladoc. The round is ONE shuffling pass: the OLD label rides
+      // the checkpoint, so the changed count is a local scan over the
+      // materialized table — not the re-join (a second shuffle of two
+      // label tables per round) this replaces
+      val tagged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("rep_id").as("old_rep"),
           least(col("rep_id"), coalesce(col("nbr_min"), col("rep_id"))).as("rep_id"))
       val next =
-        if (reliable) joined.checkpoint(eager = true)
-        else joined.localCheckpoint(eager = true)
-      changed = next
-        .join(labels.select(col("id"), col("rep_id").as("old")), Seq("id"))
-        .filter(col("rep_id") =!= col("old"))
-        .count() // sketch-sized scalar per round; the loop IS the algorithm
-      // `changed` was the last reader of round iter-1's blocks — release
-      // them now, or maxIters label-table copies pile up in storage
-      // memory for the life of the session
+        if (reliable) tagged.checkpoint(eager = true)
+        else tagged.localCheckpoint(eager = true)
+      changed = next.filter(col("rep_id") =!= col("old_rep")).count()
+      // `next` no longer reads round iter-1's blocks — release them now,
+      // or maxIters label-table copies pile up in storage memory for the
+      // life of the session
       if (prev != null) releaseCheckpoint(prev)
       prev = if (iter > 0) labels else null // round 0's `labels` is the lazy seed
       labels = next
@@ -175,7 +175,7 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds — " +
         "component diameter exceeds the near-dup contract; raise maxIters " +
         "or use a star-contraction variant")
-    labels
+    labels.select(col("id"), col("rep_id"))
   }
 
   private def releaseCheckpoint(df: DataFrame): Unit =
