@@ -354,12 +354,17 @@ class ExtensionOpsSpec extends SparkSpec {
 
   test("CacheScope.scoped releases every pin") {
     docs.count() // materialize the spec-level cache before snapshotting
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare RDD-id SETS, not map sizes: `persistentRdds` is weak-valued,
+    // so a lingering checkpoint RDD from an earlier test can be GC'd
+    // between the snapshots and mask the pin's +1 in a size comparison
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     CacheScope.scoped { sc =>
       Dedup.minHashLSH(docs, "doc_id", "text", scope = sc).count()
-      assert(spark.sparkContext.getPersistentRDDs.size > before, "pin did not persist")
+      assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+        "pin did not persist")
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before, "scope leaked a pin")
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "scope leaked a pin")
   }
 
   test("CacheScope.release only unpersists pins the scope itself created") {
