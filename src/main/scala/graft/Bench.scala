@@ -22,7 +22,9 @@ import org.apache.spark.sql.SparkSession
   *    aggregation, different queries each run); the min of spaced,
   *    order-decorrelated samples is the standard estimator for intrinsic
   *    cost under external interference. Queries whose two samples still
-  *    disagree >3x get a third pass.
+  *    disagree >3x get a third pass;
+  *  - the artifact's `spread` map records each query's residual max/min
+  *    sample disagreement, so timing quality is auditable per run.
   */
 object Bench {
 
@@ -90,8 +92,10 @@ object Bench {
       System.err.println(s"[bench] third pass for ${suspect.size} queries with >3x sample spread: " +
         suspect.map(_._1).mkString(", "))
     val pass3 = suspect.map { case (name, fn) => name -> force(spark, sfDir, name, fn) }.toMap
-    val results = queries.map { case (name, _) =>
-      val samples = Seq(pass1(name), pass2(name), pass3.get(name).flatten).flatten
+    val allSamples = queries.map { case (name, _) =>
+      name -> Seq(pass1(name), pass2(name), pass3.get(name).flatten).flatten
+    }
+    val results = allSamples.map { case (name, samples) =>
       name -> (if (samples.isEmpty) None else Some(samples.min))
     }
     val qs = results
@@ -100,7 +104,17 @@ object Bench {
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // residual per-query sample disagreement (max/min across the spaced
+    // passes), so an artifact carries its OWN timing-quality evidence: a
+    // query whose committed number came from samples that still disagreed
+    // 2x after the third pass is visibly less trustworthy than one whose
+    // passes agreed within noise — exactly the forensics a cross-session
+    // bench discrepancy needs
+    val spread = allSamples
+      .filter(_._2.size >= 2)
+      .map { case (k, s) => "\"" + k + "\":" + fmt(s.max / s.min) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact: the driver captures stdout, but a truncated
     // capture loses the tail of the (long) per-query map — persist the full

@@ -45,7 +45,7 @@ object BenchScale {
     // dedup / decontamination / subdoc / clustering
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
-    "dedup_groups_lsh", "pipeline_decontaminate",
+    "dedup_groups_lsh", "dedup_groups_star", "pipeline_decontaminate",
     // text pipeline
     "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
     // ANN / embedding dedup (sub-quadratic paths)

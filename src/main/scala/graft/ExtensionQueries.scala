@@ -260,6 +260,21 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Near-dup clusters via STAR CONTRACTION ----------------------------
+    // The high-diameter clustering sibling: alternating small-star/
+    // large-star edge rewriting (O(log² n) rounds regardless of component
+    // diameter) over the same sub-quadratic LSH pair path. Same component
+    // partition as min-label propagation, so the recursive-CTE oracle is
+    // shared verbatim with dedup_groups / dedup_groups_lsh.
+    Q("dedup_groups_star", sqlDocGroups) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
+        Dedup.connectedComponentsStar(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("rep_id"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Dedup corpus transform: one representative doc per cluster --------
     // The step that actually shrinks the corpus: keep the smallest-id doc
     // of each near-dup component with its member count; singletons pass
@@ -280,6 +295,34 @@ object ExtensionQueries {
       (s, d) =>
         val docs = t(s, d, "documents")
         val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+        Dedup.keepRepresentatives(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("n_members"))
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Corpus transform over the SUB-QUADRATIC pair path -----------------
+    // The complete 100 TB corpus-shrinking flow end-to-end: MinHash-LSH
+    // candidates (linear shuffles) → exact-Jaccard verify on candidates →
+    // connected components → one min-id representative per component.
+    // Oracle shared with dedup_corpus_reps (exact pairs) — valid because
+    // LSH recall on the fixture is 1.0 (asserted in ExtensionOpsSpec), the
+    // dedup_groups_lsh precedent.
+    Q("dedup_corpus_reps_lsh",
+      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
+         |sizes AS (SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY 1)
+         |SELECT d.doc_id, s.n_members FROM documents d
+         |JOIN sizes s ON s.rep = d.doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
         Dedup.keepRepresentatives(docs, "doc_id", pairs)
           .select(col("doc_id"), col("n_members"))
           .orderBy(col("doc_id"))

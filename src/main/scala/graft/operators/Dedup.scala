@@ -109,10 +109,10 @@ object Dedup {
     * tiny in practice; `maxIters` guards pathological chains and the
     * operator FAILS LOUDLY rather than return unconverged (= wrong)
     * labels. Each round is two linear shuffles (edge join + min
-    * aggregation) — the alternating small-star/large-star optimization
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    * is the drop-in upgrade if a corpus ever presents high-diameter
-    * components.
+    * aggregation). For corpora that DO present high-diameter components
+    * (e.g. paginated crawls chaining page-to-page), use the implemented
+    * sibling [[connectedComponentsStar]] — alternating small-star/
+    * large-star contraction, O(log² n) rounds regardless of diameter.
     *
     * Durability contract: each round truncates lineage with
     * `localCheckpoint` — executor-LOCAL blocks, NOT fault-tolerant. On a
@@ -180,6 +180,112 @@ object Dedup {
 
   private def releaseCheckpoint(df: DataFrame): Unit =
     Iterative.releaseCheckpoint(df)
+
+  /** Connected components by alternating star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the high-diameter
+    * sibling of [[connectedComponents]]. Min-label propagation needs
+    * O(component diameter) rounds, so a pathological chain (a crawl of
+    * paginated near-identical pages, each page similar only to its
+    * neighbors) can exceed any sane round budget; star contraction
+    * converges in O(log² n) rounds REGARDLESS of diameter by rewriting the
+    * edge set itself until every component is a star centered on its
+    * minimum id. Same output contract as [[connectedComponents]]:
+    * (id, rep_id) for every vertex, rep_id = component minimum, singletons
+    * map to themselves.
+    *
+    * Per round (one large-star + one small-star):
+    *  - large-star: every vertex u computes m = min(Γ(u) ∪ {u}) and
+    *    re-points each LARGER neighbor v > u at m — long tails fold onto
+    *    local minima in parallel;
+    *  - small-star: every vertex u re-points its smaller-or-equal
+    *    neighborhood (and itself) at its minimum neighbor — flattening
+    *    two-level trees into stars.
+    * Both are a groupBy(min) + a join co-partitioned on the same key (two
+    * linear shuffles), and both only ever re-point edges at SMALLER ids,
+    * so the edge set's id-sum strictly decreases until the star fixpoint.
+    * The fixpoint test is an exact set comparison (count + anti-join) on
+    * the materialized (checkpoint-truncated) edge tables; rounds are
+    * O(log²), so the extra per-round pass cannot dominate. Durability and
+    * storage follow [[connectedComponents]]'s contract: reliable
+    * checkpoints when a checkpoint dir is set, at most two edge-table
+    * copies held, loud failure rather than unconverged labels.
+    */
+  def connectedComponentsStar(vertices: DataFrame, idCol: String,
+                              pairs: DataFrame, maxIters: Int = 48): DataFrame = {
+    requireIntegralId(vertices, idCol, "connectedComponentsStar")
+    val reliable = vertices.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+
+    // canonical edges: larger id -> smaller id, self-loops dropped
+    val init = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+
+    // large-star over the symmetric view: for every undirected edge
+    // {u, v} (kept once as v > u), the larger endpoint re-points at
+    // m(u) = min(Γ(u) ∪ {u}); output is canonical again since m <= u < v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star over canonical edges: every vertex u re-points its
+    // smaller neighborhood (and itself) at min(Γ⁻(u)); m < v < u keeps
+    // the output canonical
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // termination = the STRUCTURAL goal itself, not plan-level fixpoint:
+    // the canonical edge set is a star forest iff every child u carries
+    // exactly one edge AND no node is both child and root — precisely the
+    // state where (u, v) IS the (id, rep) mapping. Two bounded scans over
+    // the materialized (shrinking) edge table per round
+    def isStarForest(e: DataFrame): Boolean = {
+      val multiEdgeChild = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).count() > 0
+      if (multiEdgeChild) false
+      else e.select(col("v"))
+        .join(e.select(col("u").as("v")), Seq("v"), "left_semi")
+        .limit(1).count() == 0
+    }
+
+    var edges = ckpt(init)
+    var prev: DataFrame = null
+    var done = isStarForest(edges)
+    var iter = 0
+    while (!done && iter < maxIters) {
+      val next = ckpt(smallStar(largeStar(edges)))
+      done = isStarForest(next)
+      if (prev != null) releaseCheckpoint(prev)
+      prev = edges
+      edges = next
+      iter += 1
+    }
+    if (prev != null) releaseCheckpoint(prev)
+    require(done,
+      s"connectedComponentsStar did not converge in $maxIters rounds — " +
+        "this exceeds the O(log^2 n) contract; raise maxIters")
+    // at the fixpoint every non-root points straight at its component
+    // minimum; roots and singletons self-map
+    vertices.select(col(idCol).cast("long").as("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("star_rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("star_rep"), col("id")).as("rep_id"))
+  }
 
   /** The corpus-level dedup TRANSFORM: keep exactly one representative
     * document per near-dup component (the smallest id), tagged with the

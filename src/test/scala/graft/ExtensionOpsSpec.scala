@@ -179,6 +179,67 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ok.length == 1 && ok.head.getLong(0) == 0L)
   }
 
+  test("connectedComponentsStar matches union-find and min-label propagation (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    val n = 250
+    val pairRows = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct ++ Seq((240L, 241L), (241L, 242L), (242L, 243L), (243L, 244L))
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = (0 until n).map(i => (i.toLong, find(i).toLong))
+    val verts = (0 until n).map(_.toLong).toDF("id")
+    val pairsDf = pairRows.toDF("d1", "d2")
+    val star = Dedup.connectedComponentsStar(verts, "id", pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(star == model, "star contraction diverges from union-find")
+    val minLabel = Dedup.connectedComponents(verts, "id", pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(star == minLabel, "star contraction diverges from min-label propagation")
+  }
+
+  test("connectedComponentsStar collapses a path far beyond min-label's round budget") {
+    import spark.implicits._
+    // a 2048-vertex path has diameter 2047: min-label propagation needs
+    // ~2047 rounds (default budget 25 fails loudly), star contraction is
+    // O(log² n) — THE case the variant exists for
+    val n = 2048L
+    val verts = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(verts, "id", chain).collect()
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    val labels = Dedup.connectedComponentsStar(verts, "id", chain)
+    val reps = labels.select("rep_id").distinct().collect()
+    assert(reps.length == 1 && reps.head.getLong(0) == 0L,
+      s"path did not collapse to one component rooted at 0: ${reps.toSeq}")
+    assert(labels.count() == n)
+  }
+
+  test("connectedComponentsStar: no pairs means every vertex self-maps; hygiene holds") {
+    import spark.implicits._
+    val verts = (0L until 7L).toDF("id")
+    val none = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val got = Dedup.connectedComponentsStar(verts, "id", none)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 7L).map(i => (i, i)).toSet)
+    // round-checkpoint release: only the result's own checkpoint may stay
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    Dedup.connectedComponentsStar((0L until 41L).toDF("id"), "id", chain)
+      .select("rep_id").distinct().count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1,
+      s"star CC leaked ${leaked.size} checkpointed edge tables")
+  }
+
   test("connectedComponents releases every round's checkpoint except the result's") {
     import spark.implicits._
     // a 13-vertex path forces ~12 propagation rounds; without the
