@@ -328,6 +328,37 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Streaming ingest dedup: new docs vs the static corpus -------------
+    // Incremental crawl ingestion: documents with doc_id % 10 = 0 replay as
+    // a STREAM and are near-dup-flagged against the other 90% as the static
+    // reference corpus — band signatures map-side, stream-static LSH
+    // bucket join, exact verify (see StreamDedup). Oracle = exact bigram
+    // Jaccard between the two fixture halves (LSH recall 1.0 on the
+    // fixture, the dedup_minhash_lsh precedent; verification is exact so
+    // false positives are impossible at any recall).
+    Q("dedup_stream_ingest",
+      s"""WITH bg AS ($sqlBigrams),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS sd, y.doc_id AS cd, COUNT(*) AS i
+         |  FROM bg x JOIN bg y ON x.sh = y.sh
+         |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT sd, COUNT(*) AS n FROM (
+         |    SELECT sd, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
+         |    FROM inter JOIN sz sx ON sx.doc_id = sd JOIN sz sy ON sy.doc_id = cd)
+         |  WHERE j >= 0.5 GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(m.n, 0) AS n_matches, COALESCE(m.n, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN m ON m.sd = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.StreamDedup.ingestDedup(s, d)
+          .select(col("doc_id"), col("n_matches"), col("is_dup"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Sub-document dedup, transform form --------------------------------
     // The cleaned documents themselves: kept (non-boilerplate) spans
     // re-joined in span order. The oracle replays the identical chunking,

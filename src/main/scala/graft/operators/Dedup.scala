@@ -493,25 +493,42 @@ object Dedup {
                            scope: graft.CacheScope = graft.CacheScope.session): DataFrame =
     lshStages(df, idCol, textCol, n, bands, rowsPerBand, seed, scope)._2
 
+  /** Band signatures as a map-side array expression over a sorted
+    * shingle-hash array column: one `(band, bsig)` struct per band, bsig =
+    * hash of the band's `rowsPerBand` min-rehashes. Shared by the batch
+    * LSH pair path and the streaming ingest-dedup path (which computes it
+    * per incoming row with NO shuffle — band routing is the whole point
+    * of LSH at ingest time).
+    */
+  private[graft] def bandSigs(idsCol: org.apache.spark.sql.Column,
+                              bands: Int, rowsPerBand: Int, seed: Long) =
+    array((0 until bands).map { b =>
+      val mins = (0 until rowsPerBand).map { r =>
+        val s = seed + (b * rowsPerBand + r)
+        array_min(transform(idsCol, x => xxhash64(x, lit(s))))
+      }
+      struct(lit(b).as("band"), xxhash64(mins: _*).as("bsig"))
+    }: _*)
+
+  /** Per-doc sorted shingle-hash arrays — the `ids` representation every
+    * LSH/dense path verifies against. */
+  private[graft] def shingleIdArrays(df: DataFrame, idCol: String,
+                                     textCol: String, n: Int): DataFrame =
+    TextOps.shingleSet(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("ids"))
+
   /** Shared LSH pipeline prefix: per-doc sorted shingle-hash arrays and
     * the band-collision candidate pairs over them.
     */
   private def lshStages(df: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rowsPerBand: Int, seed: Long,
                         scope: graft.CacheScope): (DataFrame, DataFrame) = {
-    val docs = scope.pin(TextOps.shingleSet(df, idCol, textCol, n)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("ids")))
+    val docs = scope.pin(shingleIdArrays(df, idCol, textCol, n))
     // band signature = hash of the band's rowsPerBand min-rehashes,
     // computed per row from the hash array (map-side only)
-    val bandCols = (0 until bands).map { b =>
-      val mins = (0 until rowsPerBand).map { r =>
-        val s = seed + (b * rowsPerBand + r)
-        array_min(transform(col("ids"), x => xxhash64(x, lit(s))))
-      }
-      struct(lit(b).as("band"), xxhash64(mins: _*).as("bsig"))
-    }
-    val buckets = docs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    val buckets = docs
+      .select(col(idCol), explode(bandSigs(col("ids"), bands, rowsPerBand, seed)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
     val cand = buckets.as("l").join(buckets.as("r"), Seq("band", "bsig"))
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))

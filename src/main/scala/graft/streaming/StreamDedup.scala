@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{Dedup, TextOps}
+
+/** Incremental ingest dedup (SURVEY.md §2.9 × §2.11): documents arriving
+  * as a STREAM are near-dup-checked against a STATIC reference corpus —
+  * the production shape for continuous crawl ingestion, where the corpus's
+  * MinHash band-bucket table is built once by a batch job and each
+  * incoming batch only has to route into it.
+  *
+  * Plan shape (the reason this scales at ingest time):
+  *  - the stream side computes each document's shingle-hash array AND its
+  *    band signatures MAP-SIDE (pure per-row expressions — no shuffle, no
+  *    state; this is what LSH banding buys at ingest);
+  *  - candidates come from a STREAM-STATIC equi join on (band, bsig) —
+  *    stateless by construction (Spark re-plans the static side per
+  *    micro-batch; at scale the bucket table is the batch job's parquet,
+  *    bucket-partitioned, so the join prunes);
+  *  - exact-Jaccard verification joins candidates to the corpus's stored
+  *    shingle arrays and runs `array_intersect` — identical verification
+  *    contract to the batch `Dedup.minHashLSH` (zero false positives);
+  *  - ONE streaming aggregation per incoming doc folds band collisions:
+  *    `collect_list` + `array_distinct` count distinct verified matches
+  *    (streaming forbids `countDistinct` and chained aggregations — this
+  *    stays a single stateful operator).
+  *
+  * Within-batch/within-stream near-dup pairs are deliberately out of
+  * scope: dedup AMONG the arriving documents is the batch operator's job
+  * (`Dedup.minHashLSH` on the accepted batch); this operator answers
+  * "is this new doc a near-dup of anything we already have", which is the
+  * decision an ingest gate actually makes.
+  */
+object StreamDedup {
+
+  private val nameSeq = new AtomicLong(0)
+
+  /** Flag every incoming document against the reference corpus.
+    *
+    * `incoming` may be a streaming OR a batch DataFrame with columns
+    * (idCol, textCol) — the same plan serves both, which is also how the
+    * stream≡batch parity test pins correctness. Returns one row per
+    * incoming document: (doc_id, n_matches, is_dup), n_matches = number
+    * of DISTINCT corpus documents with exact n-gram Jaccard ≥ threshold
+    * among the band-collision candidates. Incoming docs with no shingles
+    * (empty/short text) surface with n_matches = 0 — an `explode_outer`
+    * of a null band array keeps them alive through the join.
+    *
+    * Recall contract: identical to `Dedup.minHashLSH` — a true near-dup
+    * pair is found iff some band collides (probability
+    * 1-(1-s^rowsPerBand)^bands); verification is exact, so false
+    * positives are impossible.
+    */
+  def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,
+                         threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    // static side: per-doc shingle arrays + band buckets (the "index" a
+    // batch job would persist; docs with no shingles have no buckets)
+    val cdocs = Dedup.shingleIdArrays(corpus, idCol, textCol, n)
+    val cbuckets = cdocs
+      .select(col(idCol).as("c_id"),
+        explode(Dedup.bandSigs(col("ids"), bands, rowsPerBand, seed)).as("bk"))
+      .select(col("c_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val carrs = cdocs.select(col(idCol).as("c_id"), col("ids").as("c_ids"))
+
+    // stream side: shingle-hash array and band signatures per ROW —
+    // `array_distinct` over hashes mirrors shingleSet's distinct-shingle
+    // contract (identical sets absent 64-bit collisions); the token array
+    // materializes first per the HOF re-evaluation rule in TextOps
+    val sh = if (n == 1) col("__toks") else TextOps.shingles(col("__toks"), n)
+    val withIds = incoming
+      .select(col(idCol).as("s_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("s_id"),
+        array_sort(array_distinct(transform(sh, x => xxhash64(x)))).as("s_ids"))
+    val sBands = withIds.select(
+      col("s_id"), col("s_ids"),
+      explode_outer(when(size(col("s_ids")) > 0,
+        Dedup.bandSigs(col("s_ids"), bands, rowsPerBand, seed))).as("bk"))
+      .select(col("s_id"), col("s_ids"),
+        col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+
+    // candidates + exact verify; left joins keep no-candidate docs alive
+    val verified = sBands
+      .join(cbuckets, Seq("band", "bsig"), "left")
+      .join(carrs, Seq("c_id"), "left")
+      .select(col("s_id"),
+        when(col("c_ids").isNotNull, {
+          val i = size(array_intersect(col("s_ids"), col("c_ids")))
+          i * lit(1.0) / (size(col("s_ids")) + size(col("c_ids")) - i)
+        }).as("jacc"),
+        col("c_id"))
+
+    // one streaming-legal aggregation: distinct verified corpus matches
+    // per incoming doc (collect_list skips nulls; array_distinct folds
+    // the same pair colliding in several bands)
+    verified
+      .groupBy(col("s_id").as("doc_id"))
+      .agg(size(array_distinct(collect_list(
+        when(col("jacc") >= threshold, col("c_id"))))).cast("long").as("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+  }
+
+  /** The documents fixture split into reference corpus (doc_id % 10 ≠ 0)
+    * and a replayed incoming stream (doc_id % 10 = 0), flagged against
+    * each other — the catalog/bench entry point. Complete-mode memory
+    * sink, `Trigger.AvailableNow`, result copied out and the sink view
+    * dropped (same lifecycle as StreamWindows.runToResult, which cannot
+    * be reused verbatim: this result is keyed, not windowed).
+    */
+  def ingestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val flagged = dedupAgainstCorpus(corpus, incoming, "doc_id", "text")
+    val name = s"graft_stream_ingest_${nameSeq.incrementAndGet()}"
+    val q = flagged.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+  }
+}

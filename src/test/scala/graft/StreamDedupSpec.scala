@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamDedup
+
+/** Streaming ingest dedup: stream ≡ batch on the fixture, plus planted
+  * small-corpus semantics (exact dup, chained near-dup, unrelated, empty
+  * text) — the contracts the DuckDB oracle cannot see (it only checks the
+  * streamed fixture split).
+  */
+class StreamDedupSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  test("streamed ingest dedup equals the batch plan on the fixture split") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val batch = StreamDedup.dedupAgainstCorpus(corpus, incoming, "doc_id", "text")
+    val stream = StreamDedup.ingestDedup(spark, sf)
+    assert(canon(stream) == canon(batch))
+    // the stream must answer for EVERY incoming doc, dup or not
+    assert(stream.count() == incoming.count())
+  }
+
+  test("planted corpus: exact dup flagged, near-dup flagged, unrelated and empty pass") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different reference content about spark engines"),
+      (3L, "shared shingle text alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (20L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (30L, "completely unrelated incoming novelty"),       // no match
+      (40L, ""),                                            // no shingles
+      (50L, "one")                                          // 1 token -> no bigram
+    ).toDF("doc_id", "text")
+    val got = StreamDedup.dedupAgainstCorpus(corpus, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(10L) == (1L, true), s"exact dup: ${got(10L)}")
+    assert(got(20L)._2, s"near dup not flagged: ${got(20L)}")
+    assert(got(30L) == (0L, false))
+    assert(got(40L) == (0L, false), "empty text must survive with no matches")
+    assert(got(50L) == (0L, false), "sub-shingle text must survive with no matches")
+    assert(got.size == 5)
+  }
+
+  test("band collisions across several bands count each corpus match once") {
+    import spark.implicits._
+    // identical text collides in EVERY band — n_matches must still be 1
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val incoming = Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = StreamDedup.dedupAgainstCorpus(corpus, incoming, "doc_id", "text")
+      .collect()
+    assert(got.length == 1 && got.head.getLong(1) == 1L && got.head.getBoolean(2))
+  }
+}
