@@ -359,6 +359,50 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Deterministic dataset split (train/val/test) ----------------------
+    // Export-side: keyed-md5 bucket split, 0.8/0.1/0.1 quantized to
+    // 1/256 — the assignment is a pure per-row expression both engines
+    // compute identically, so the oracle is EXACT (unlike the seeded-RNG
+    // sampling family). Aggregated per split: counts prove the fractions
+    // AND the assignment (any flipped doc moves a count).
+    Q("pipeline_split_counts",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(doc_id || ':42'), 1, 2)) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 205 THEN 'train'
+        |            WHEN bucket < 230 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        Export.splitByHash(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"))
+    },
+
+    // ---- Shuffled shard layout (deterministic global shuffle) --------------
+    // Export-side: every doc gets (shard, pos) from its keyed hash —
+    // random order w.r.t. any content attribute, reproducible anywhere
+    // md5 exists. Full row listing: the oracle pins every doc's exact
+    // slot in the shuffled layout.
+    Q("pipeline_shuffle_shards",
+      """WITH h AS (SELECT doc_id, md5(doc_id || ':42') AS hx FROM documents),
+        |s AS (SELECT doc_id, hx,
+        |             CAST(('0x' || substring(hx, 1, 6)) AS BIGINT) % 8 AS shard
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        Export.shuffleShards(docs, "doc_id", 8)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos"))
+    },
+
     // ---- Sub-document dedup, transform form --------------------------------
     // The cleaned documents themselves: kept (non-boilerplate) spans
     // re-joined in span order. The oracle replays the identical chunking,

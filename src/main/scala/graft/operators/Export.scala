@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data export operators: deterministic dataset splits and
+  * shuffled shard layout — the last mile of a corpus pipeline, where the
+  * cleaned/deduped corpus leaves the engine as train/eval splits of
+  * shuffled, file-sized shards.
+  *
+  * Both operators key every decision off `md5(id:seed)` rather than any
+  * RNG: the assignment is a pure per-row expression (map-side, no state,
+  * no sampling pass), reproducible across engines — which is also what
+  * makes the DuckDB oracles EXACT (both engines render the same hex for
+  * the same key), unlike the seeded-RNG sampling family whose rows are
+  * `no_oracle` by contract.
+  */
+object Export {
+
+  private def hexKey(idCol: String, seed: Long) =
+    md5(concat(col(idCol).cast("string"), lit(s":$seed")))
+
+  /** Deterministic split assignment: each row gets a `split` label with
+    * the given fractions, decided by its id's keyed hash bucket —
+    * stable under corpus growth (a doc keeps its split when new docs
+    * arrive, the property that keeps eval sets eval), independent of
+    * row order and partitioning, and exactly reproducible anywhere md5
+    * exists. Fractions are quantized to 1/256 (the first hex byte of
+    * the hash): train/eval boundaries move in 0.4% steps, which is the
+    * documented contract — a split is an operational boundary, not a
+    * statistical estimate.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $fractions")
+    val bucket = conv(substring(hexKey(idCol, seed), 1, 2), 16, 10).cast("int")
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * 256).toInt)
+    val label = fractions.init.zip(bounds.init)
+      .foldRight(lit(fractions.last._1): org.apache.spark.sql.Column) {
+        case (((name, _), b), rest) => when(bucket < b, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** Shuffled shard layout: assigns every row a `shard` in [0, nShards)
+    * and a `pos` within its shard, both from the keyed hash — a
+    * deterministic global shuffle. Scale shape: shard assignment is
+    * map-side; the per-shard ordering is exactly the shard WRITER's
+    * local sort (one output file per shard, sorted by hash = random
+    * order w.r.t. any content attribute), so `nShards` should be chosen
+    * to make shards file-sized (10⁴–10⁵ at 100 TB) — the window below
+    * then has one partition per output file, the parallelism the write
+    * itself has.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = hexKey(idCol, seed)
+    val withShard = df
+      .withColumn("__hx", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__hx"), 1, 6), 16, 10).cast("long"), lit(nShards)))
+    withShard
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__hx"), col(idCol))).cast("long"))
+      .drop("__hx")
+  }
+}

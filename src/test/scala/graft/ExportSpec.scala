@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Export
+
+/** Export operators: split stability/determinism and shard layout
+  * contracts the aggregate/row oracles can't see directly.
+  */
+class ExportSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("splitByHash: fractions land within quantization, assignment is growth-stable") {
+    val split = Export.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val n = docs.count().toDouble
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1/256 quantization + finite-sample noise: generous ±10pp window —
+    // this guards gross mis-bucketing, the oracle row pins exact counts
+    assert(math.abs(counts("train") / n - 0.8) < 0.1, counts.toString)
+    // growth stability: the assignment of an existing doc cannot depend
+    // on which other docs are present
+    val half = Export.splitByHash(docs.filter(col("doc_id") < 100), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = split.filter(col("doc_id") < 100)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half == full, "split assignment changed when the corpus grew")
+    // different seed produces a different (but valid) assignment
+    val reseeded = Export.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+      .filter(col("split") === "train").count()
+    assert(reseeded != counts("train") || true) // counts may coincide; just exercise the path
+    intercept[IllegalArgumentException] {
+      Export.splitByHash(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("shuffleShards: positions are contiguous per shard, layout is deterministic") {
+    val n = 8
+    val out = Export.shuffleShards(docs, "doc_id", n)
+    // every doc exactly once
+    assert(out.count() == docs.count())
+    // pos is 1..size(shard) with no gaps: max(pos) == count per shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("m"), min("pos").as("lo"))
+      .collect()
+    assert(perShard.forall(r => r.getLong(1) == r.getLong(2) && r.getLong(3) == 1L),
+      perShard.mkString(", "))
+    assert(perShard.map(_.getLong(0)).toSet.subsetOf((0L until n).toSet))
+    // deterministic: a second evaluation yields the identical layout
+    val a = out.select("doc_id", "shard", "pos").collect().map(_.toString).sorted
+    val b = Export.shuffleShards(docs, "doc_id", n)
+      .select("doc_id", "shard", "pos").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // the layout is shuffled w.r.t. id order: within a shard, consecutive
+    // positions are not consecutive ids (holds overwhelmingly for any
+    // non-trivial corpus under a hash order; deterministic fixture)
+    val pairs = out.filter(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0))
+    val monotoneRuns = pairs.sliding(2).count(w => w.length == 2 && w(1) == w(0) + 1)
+    assert(monotoneRuns < pairs.length / 4,
+      s"shard 0 looks id-ordered: $monotoneRuns consecutive-id adjacencies of ${pairs.length}")
+  }
+}
