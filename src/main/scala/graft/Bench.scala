@@ -129,7 +129,10 @@ object Bench {
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get("target", "bench_latest.json"))
       .toAbsolutePath)
-    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+    // only a FULL sweep may stamp the committed round artifact — a
+    // SPARK_GRAFT_ONLY subset run would silently replace the 100+-query
+    // record with its few rows
+    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty && only.isEmpty)
       persistAtRepoRoot("bench", line, "BENCH_full_latest.json")
     spark.stop()
   }

@@ -359,6 +359,19 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Streaming ingest dedup, embedding side ----------------------------
+    // The ingest gate for an embedded corpus: incoming vectors (vec_id %
+    // 10 = 0) probe the static corpus's IVF buckets map-side and verify
+    // exact cosine on bucket-mates. no_oracle for the same reason as
+    // dedup_embedding_ivf (bucket recall < 1 at the fixture's weak
+    // threshold); StreamDedupSpec pins stream≡batch parity, zero false
+    // positives at any nprobe, and exactness at nprobe = nlist.
+    Q.noOracle("dedup_stream_embedding") {
+      (s, d) =>
+        graft.streaming.StreamDedup.embeddingIngestDedup(s, d)
+          .orderBy(col("vec_id"))
+    },
+
     // ---- Deterministic dataset split (train/val/test) ----------------------
     // Export-side: keyed-md5 bucket split, 0.8/0.1/0.1 quantized to
     // 1/256 — the assignment is a pure per-row expression both engines

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Incremental ingest dedup (SURVEY.md §2.9 × §2.11): documents arriving
   * as a STREAM are near-dup-checked against a STATIC reference corpus —
@@ -105,6 +105,85 @@ object StreamDedup {
       .withColumn("is_dup", col("n_matches") > 0)
   }
 
+  /** Embedding sibling of [[dedupAgainstCorpus]]: incoming vectors are
+    * near-dup-flagged against a static corpus through its IVF coarse
+    * quantizer — the ingest gate for an embedded corpus. The centroid
+    * table is trained once on the STATIC side (at scale: loaded from the
+    * batch job's persisted index) and rides the plan as a literal, so the
+    * stream's bucket probing is a pure map-side expression (the native
+    * `NearestCentroids` codegen loop); candidates come from a stateless
+    * stream-static join on `bucket`; verification is exact cosine.
+    *
+    * Recall contract mirrors `ivfDupPairs`: a true match is found iff the
+    * corpus vector lives in one of the incoming vector's `nprobe` nearest
+    * buckets — false positives are impossible (exact verify), recall
+    * rises with nprobe and reaches 1.0 at `nprobe = nlist` (the exact
+    * mode, test-pinned). One row per incoming vector:
+    * (vec_id, n_matches, is_dup).
+    */
+  def embeddingDedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  nlist: Int = 16, nprobe: Int = 4,
+                                  threshold: Double = 0.45,
+                                  seed: Long = 42L): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.nearestCentroids
+    val cs: Seq[Seq[Double]] =
+      Similarity.trainCentroids(corpus, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    val cbuckets = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", element_at(nearestCentroids(col("c_vec"), cs, 1), 1))
+    val probes = incoming
+      .select(col(idCol).as("s_id"), col(vecCol).as("s_vec"))
+      .withColumn("bucket", explode(nearestCentroids(col("s_vec"), cs, nprobe)))
+    probes.join(cbuckets, Seq("bucket"), "left")
+      .select(col("s_id"),
+        when(col("c_id").isNotNull,
+          Similarity.cosine(col("s_vec"), col("c_vec"))).as("sim"),
+        col("c_id"))
+      .groupBy(col("s_id").as("vec_id"))
+      .agg(size(array_distinct(collect_list(
+        when(col("sim") >= threshold, col("c_id"))))).cast("long").as("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+  }
+
+  /** The embeddings fixture split 90/10 into corpus and replayed stream,
+    * flagged via [[embeddingDedupAgainstCorpus]] with the √N-sized
+    * quantizer — the catalog/bench entry point.
+    */
+  def embeddingIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val incoming = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+    val nlist = Similarity.autoNlist(corpus.count())
+    val flagged = embeddingDedupAgainstCorpus(corpus, incoming,
+      "vec_id", "embedding", nlist = nlist, nprobe = 4)
+    runKeyed(flagged)
+  }
+
+  /** Complete-mode memory-sink runner for a KEYED streaming aggregate
+    * (same lifecycle as StreamWindows.runToResult; shared by both ingest
+    * paths).
+    */
+  private def runKeyed(flagged: DataFrame): DataFrame = {
+    val spark = flagged.sparkSession
+    val name = s"graft_stream_ingest_${nameSeq.incrementAndGet()}"
+    val q = flagged.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+  }
+
   /** The documents fixture split into reference corpus (doc_id % 10 ≠ 0)
     * and a replayed incoming stream (doc_id % 10 = 0), flagged against
     * each other — the catalog/bench entry point. Complete-mode memory
@@ -120,18 +199,6 @@ object StreamDedup {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
       .filter(pmod(col("doc_id"), lit(10)) === 0)
-    val flagged = dedupAgainstCorpus(corpus, incoming, "doc_id", "text")
-    val name = s"graft_stream_ingest_${nameSeq.incrementAndGet()}"
-    val q = flagged.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    val sink = spark.table(name)
-    val rows = sink.collect()
-    spark.catalog.dropTempView(name)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    runKeyed(dedupAgainstCorpus(corpus, incoming, "doc_id", "text"))
   }
 }

@@ -48,6 +48,41 @@ class StreamDedupSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("embedding ingest: stream equals batch; probing all buckets is exact; no false positives") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val incoming = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val threshold = 0.45
+    // ground truth: brute-force exact cosine between the two halves
+    val brute = incoming.select(col("vec_id").as("s_id"), col("embedding").as("s_vec"))
+      .crossJoin(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+      .filter(graft.operators.Similarity.cosine(col("s_vec"), col("c_vec")) >= threshold)
+      .groupBy("s_id").agg(countDistinct("c_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // stream ≡ batch for the catalog configuration
+    val stream = StreamDedup.embeddingIngestDedup(spark, sf)
+    val batch = StreamDedup.embeddingDedupAgainstCorpus(corpus, incoming,
+      "vec_id", "embedding",
+      nlist = graft.operators.Similarity.autoNlist(corpus.count()), nprobe = 4)
+    assert(canon(stream) == canon(batch))
+    assert(stream.count() == incoming.count())
+
+    // zero false positives at partial probing: every flagged match is real
+    val flagged = stream.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flagged.foreach { case (id, n) =>
+      assert(n <= brute.getOrElse(id, 0L), s"false positive for $id: $n > ${brute.get(id)}")
+    }
+
+    // probing EVERY bucket is the exact mode: matches == brute force
+    val nlist = graft.operators.Similarity.autoNlist(corpus.count())
+    val exact = StreamDedup.embeddingDedupAgainstCorpus(corpus, incoming,
+      "vec_id", "embedding", nlist = nlist, nprobe = nlist)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.filter(_._2 > 0) == brute.filter(_._2 > 0),
+      s"nprobe=nlist diverged from brute force: $exact vs $brute")
+  }
+
   test("band collisions across several bands count each corpus match once") {
     import spark.implicits._
     // identical text collides in EVERY band — n_matches must still be 1
