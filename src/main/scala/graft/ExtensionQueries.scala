@@ -742,6 +742,40 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Bigram-LM cross-entropy quality score -----------------------------
+    // CCNet-style: the add-k bigram LM trains on the 90% reference split
+    // and scores the held-out 10% (same split as the ingest-dedup rows),
+    // so the unseen-token smoothing path is exercised on real rows.
+    // perplexity = 2^ce is dropped from the oracle row: pow would
+    // amplify the last-ulp sum noise that round-6 on ce absorbs.
+    Q("text_lm_score",
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |lm AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+        |tgt AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+        |uni AS (SELECT w1, COUNT(*) AS cw FROM (SELECT UNNEST(t) AS w1 FROM lm) GROUP BY 1),
+        |vs AS (SELECT COUNT(*)*1.0 AS v FROM uni),
+        |bi AS (SELECT sh, COUNT(*) AS cb FROM (
+        |  SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sh
+        |  FROM lm) GROUP BY 1),
+        |tb AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+        |       i -> t[i] || ' ' || t[i+1])) AS sh FROM tgt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(AVG(-log2((COALESCE(cb,0) + 0.5) / (COALESCE(cw,0) + 0.5*(SELECT v FROM vs)))), 6)
+        |    AS cross_entropy
+        |FROM (SELECT tb.doc_id, tb.sh, split_part(tb.sh, ' ', 1) AS w1 FROM tb)
+        |  x LEFT JOIN bi USING (sh) LEFT JOIN uni USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.lmScore(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("cross_entropy"), 6).as("cross_entropy"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // ---- Winnowing fingerprints (k=3 token grams, window=4) ----------------
     Q("text_winnow",
       """WITH toks AS (

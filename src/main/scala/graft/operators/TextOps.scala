@@ -114,6 +114,53 @@ object TextOps {
         round(col("max_gram_cnt") * lit(1.0) / col("n_grams"), 6).as("rep_ratio"))
   }
 
+  /** Bigram-LM cross-entropy scoring — the CCNet/Gopher-style "does this
+    * look like the reference corpus" quality filter: train an add-k
+    * smoothed bigram language model on `lm` (counts only — the model IS
+    * two count tables), then score every document of `docs` by its mean
+    * per-bigram cross-entropy under that model,
+    * `P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k·|V|)`. Low cross-entropy =
+    * looks like the reference; pipelines gate or temperature-sample on
+    * it. Returns (id, n_bigrams, cross_entropy, perplexity = 2^ce); docs
+    * with fewer than two tokens have no bigram and are absent (the
+    * repetitionScore contract). Tokens/bigrams UNSEEN in `lm` are
+    * handled by the smoothing: an unseen first token scores every
+    * continuation at the uniform 1/|V|.
+    *
+    * Scale shape: counts are two linear shuffles over the lm corpus
+    * (keyed bigram / unigram); scoring is two joins the target bigrams
+    * reach ALREADY KEYED by the same columns (bigram, then first-token)
+    * plus a doc-keyed rollup — all linear, nothing corpus-sized on the
+    * driver (|V| is a one-scalar count; AQE broadcasts the count tables
+    * when a small reference corpus makes them broadcast-sized).
+    */
+  def lmScore(lm: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+              addK: Double = 0.5,
+              scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    require(addK > 0, s"addK must be positive (got $addK): k=0 makes unseen bigrams -log 0")
+    val uni = scope.pin(
+      rawShingles(lm, idCol, textCol, 1)
+        .groupBy(col("sh").as("w1")).agg(count(lit(1)).as("cw")))
+    val bi = rawShingles(lm, idCol, textCol, 2)
+      .groupBy(col("sh")).agg(count(lit(1)).as("cb"))
+    val vocab = uni.count().toDouble
+    // per-occurrence target bigrams (multiplicity matters for a mean);
+    // the first token rides along for the unigram join — a bigram
+    // shingle is concat_ws(" ", w1, w2) and tokens cannot contain
+    // whitespace, so the split is exact
+    val target = rawShingles(docs, idCol, textCol, 2)
+      .select(col(idCol), col("sh"),
+        element_at(split(col("sh"), " "), 1).as("w1"))
+    val p = (coalesce(col("cb"), lit(0L)) + lit(addK)) /
+      (coalesce(col("cw"), lit(0L)) + lit(addK) * lit(vocab))
+    target
+      .join(bi, Seq("sh"), "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log2(p)).as("cross_entropy"))
+      .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
+  }
+
   /** Per-language stopword marker lists for the language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "in"),

@@ -293,6 +293,34 @@ class ExtensionOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lmScore: hand-checked bigram probabilities, uniform fallback for unseen text") {
+    import spark.implicits._
+    // LM corpus: tokens [a b a c] + [a b] — vocab {a,b,c} (|V|=3);
+    // occurrence counts: unigram a:3 b:2 c:1, bigram (a b):2 (b a):1
+    // (a c):1.
+    val lm = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val k = 0.5
+    val V = 3.0
+    def p(cb: Double, cw: Double) = (cb + k) / (cw + k * V)
+    // target doc "a b c": bigrams (a b) cb=2 cw(a)=3, (b c) cb=0 cw(b)=2
+    val exp1 = -(math.log(p(2, 3)) / math.log(2)) / 2 +
+      -(math.log(p(0, 2)) / math.log(2)) / 2
+    // fully unseen doc "x y": bigram (x y) cb=0 cw(x)=0 → p = 1/V exactly
+    val expUnseen = math.log(V) / math.log(2)
+    val got = TextOps.lmScore(lm,
+        Seq((10L, "a b c"), (11L, "x y"), (12L, "solo")).toDF("doc_id", "text"),
+        "doc_id", "text", addK = k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(10L, 11L), "one-token doc 12 must be absent")
+    assert(got(10L)._1 == 2L && math.abs(got(10L)._2 - exp1) < 1e-12, got(10L).toString)
+    assert(got(11L)._1 == 1L && math.abs(got(11L)._2 - expUnseen) < 1e-12,
+      s"unseen doc must score the uniform -log2(1/V): ${got(11L)}")
+    // self-scoring: the corpus is likelier under its own LM than novel text
+    val self = TextOps.lmScore(lm, lm, "doc_id", "text", addK = k)
+      .agg(avg("cross_entropy")).head.getDouble(0)
+    assert(self < expUnseen, s"self-score $self should beat uniform $expUnseen")
+  }
+
   test("subdocDedup drops corpus-repeated boilerplate spans, keeps unique content") {
     import spark.implicits._
     // three 'pages' sharing a verbatim 10-token header; unique bodies
