@@ -74,6 +74,21 @@ object ExtensionQueries {
     dir
   }
 
+  /** Build-once memo for the persisted MinHash-LSH index (text sibling of
+    * [[ivfIndexDir]], same completion-barrier contract): indexes the 90%
+    * reference split the ingest rows probe.
+    */
+  private def lshIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = QueryDefs.ioDir(d, "lsh_index")
+    ivfIndexBuilt.computeIfAbsent(dir, _ => {
+      Dedup.buildLshIndex(
+        t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", dir)
+      java.lang.Boolean.TRUE
+    })
+    dir
+  }
+
   /** Shared DuckDB fragment: distinct word-bigram shingles per doc. */
   private val sqlBigrams =
     """SELECT DISTINCT doc_id, sh FROM (
@@ -81,6 +96,28 @@ object ExtensionQueries {
       |    i -> list_extract(string_split_regex(trim(text), '\s+'), i) || ' ' ||
       |         list_extract(string_split_regex(trim(text), '\s+'), i+1))) AS sh
       |  FROM documents)""".stripMargin
+
+  /** Shared DuckDB oracle for both streaming ingest-dedup rows (fused and
+    * index-served — identical output by the serve-parity contract): exact
+    * cross-half bigram Jaccard at threshold 0.5.
+    */
+  private val sqlStreamIngest =
+    s"""WITH bg AS ($sqlBigrams),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS sd, y.doc_id AS cd, COUNT(*) AS i
+       |  FROM bg x JOIN bg y ON x.sh = y.sh
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT sd, COUNT(*) AS n FROM (
+       |    SELECT sd, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
+       |    FROM inter JOIN sz sx ON sx.doc_id = sd JOIN sz sy ON sy.doc_id = cd)
+       |  WHERE j >= 0.5 GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(m.n, 0) AS n_matches, COALESCE(m.n, 0) > 0 AS is_dup
+       |FROM documents d LEFT JOIN m ON m.sd = d.doc_id
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Shared DuckDB oracle: exact bigram-Jaccard pairs at threshold 0.5 —
     * the ONE copy serving both `dedup_jaccard` and `dedup_minhash_lsh`
@@ -336,25 +373,19 @@ object ExtensionQueries {
     // Jaccard between the two fixture halves (LSH recall 1.0 on the
     // fixture, the dedup_minhash_lsh precedent; verification is exact so
     // false positives are impossible at any recall).
-    Q("dedup_stream_ingest",
-      s"""WITH bg AS ($sqlBigrams),
-         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
-         |inter AS (
-         |  SELECT x.doc_id AS sd, y.doc_id AS cd, COUNT(*) AS i
-         |  FROM bg x JOIN bg y ON x.sh = y.sh
-         |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
-         |  GROUP BY 1, 2),
-         |m AS (
-         |  SELECT sd, COUNT(*) AS n FROM (
-         |    SELECT sd, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
-         |    FROM inter JOIN sz sx ON sx.doc_id = sd JOIN sz sy ON sy.doc_id = cd)
-         |  WHERE j >= 0.5 GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(m.n, 0) AS n_matches, COALESCE(m.n, 0) > 0 AS is_dup
-         |FROM documents d LEFT JOIN m ON m.sd = d.doc_id
-         |WHERE d.doc_id % 10 = 0
-         |ORDER BY d.doc_id""".stripMargin) {
+    Q("dedup_stream_ingest", sqlStreamIngest) {
       (s, d) =>
         graft.streaming.StreamDedup.ingestDedup(s, d)
+          .select(col("doc_id"), col("n_matches"), col("is_dup"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Index-served twin: same split, same EXACT oracle, but the corpus
+    // side is the persisted buildLshIndex artifact — the configuration a
+    // production ingest gate runs (batch builds, micro-batches probe).
+    Q("dedup_stream_ingest_index", sqlStreamIngest) {
+      (s, d) =>
+        graft.streaming.StreamDedup.ingestDedupFromIndex(s, d, lshIndexDir(s, d))
           .select(col("doc_id"), col("n_matches"), col("is_dup"))
           .orderBy(col("doc_id"))
     },

@@ -493,6 +493,41 @@ object Dedup {
                            scope: graft.CacheScope = graft.CacheScope.session): DataFrame =
     lshStages(df, idCol, textCol, n, bands, rowsPerBand, seed, scope)._2
 
+  /** Build the corpus's MinHash-LSH index ONCE and persist it — the text
+    * sibling of `Similarity.buildIvfIndex`, and the serving shape for a
+    * continuous-ingest dedup gate: a 100 TB corpus is shingled, hashed,
+    * and band-bucketed by a batch job; every later ingest batch routes
+    * into the stored buckets without touching corpus text again (the
+    * corpus-side shingle pass is THE cost the split removes — the probe
+    * side is per-row map work).
+    *   `indexDir/buckets`  (c_id, bsig) Hive-partitioned by `band`;
+    *   `indexDir/arrays`   (c_id, c_ids) sorted shingle-hash arrays for
+    *                       the exact-Jaccard verify join;
+    *   `indexDir/params`   one row (n, bands, rows_per_band, seed) — the
+    *                       serve path derives probe signatures from THIS,
+    *                       so an index probed with mismatched banding
+    *                       (which would silently have zero recall) cannot
+    *                       happen.
+    * `c_id` keeps the corpus id column's own type (no widening).
+    */
+  def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, n: Int = 2, bands: Int = 8,
+                    rowsPerBand: Int = 4, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdocs = shingleIdArrays(corpus, idCol, textCol, n)
+    cdocs.select(col(idCol).as("c_id"), col("ids").as("c_ids"))
+      .write.mode("overwrite").parquet(s"$indexDir/arrays")
+    cdocs
+      .select(col(idCol).as("c_id"),
+        explode(bandSigs(col("ids"), bands, rowsPerBand, seed)).as("bk"))
+      .select(col("c_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/buckets")
+    Seq((n, bands, rowsPerBand, seed))
+      .toDF("n", "bands", "rows_per_band", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/params")
+  }
+
   /** Band signatures as a map-side array expression over a sorted
     * shingle-hash array column: one `(band, bsig)` struct per band, bsig =
     * hash of the band's `rowsPerBand` min-rehashes. Shared by the batch

@@ -59,15 +59,51 @@ object StreamDedup {
                          idCol: String, textCol: String,
                          n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,
                          threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    // static side: per-doc shingle arrays + band buckets (the "index" a
-    // batch job would persist; docs with no shingles have no buckets)
+    // static side: per-doc shingle arrays + band buckets (the "index"
+    // `Dedup.buildLshIndex` persists; docs with no shingles have no
+    // buckets)
     val cdocs = Dedup.shingleIdArrays(corpus, idCol, textCol, n)
     val cbuckets = cdocs
       .select(col(idCol).as("c_id"),
         explode(Dedup.bandSigs(col("ids"), bands, rowsPerBand, seed)).as("bk"))
       .select(col("c_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
     val carrs = cdocs.select(col(idCol).as("c_id"), col("ids").as("c_ids"))
+    flagAgainst(cbuckets, carrs, incoming, idCol, textCol,
+      n, bands, rowsPerBand, threshold, seed)
+  }
 
+  /** Serve-side twin of [[dedupAgainstCorpus]] probing a PERSISTED
+    * `Dedup.buildLshIndex` artifact: no corpus shingling at ingest time —
+    * the executed plan is the stream side's map-side signatures joined to
+    * two parquet reads (buckets, verify arrays). Band parameters (n,
+    * bands, rowsPerBand, seed) come from the index's own `params` table,
+    * so probe signatures always match the stored buckets — a drifted
+    * parameter would otherwise yield silent zero recall, the failure mode
+    * this contract removes. Same output and recall contract as the fused
+    * form (test-pinned parity).
+    */
+  def dedupAgainstLshIndex(spark: SparkSession, incoming: DataFrame,
+                           idCol: String, textCol: String, indexDir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val p = spark.read.parquet(s"$indexDir/params").head()
+    val (n, bands, rowsPerBand, seed) =
+      (p.getAs[Int]("n"), p.getAs[Int]("bands"),
+        p.getAs[Int]("rows_per_band"), p.getAs[Long]("seed"))
+    flagAgainst(
+      spark.read.parquet(s"$indexDir/buckets"),
+      spark.read.parquet(s"$indexDir/arrays"),
+      incoming, idCol, textCol, n, bands, rowsPerBand, threshold, seed)
+  }
+
+  /** Shared tail of the fused and index-served ingest forms: map-side
+    * probe signatures on the incoming rows, (band, bsig) candidate join,
+    * exact-Jaccard verify against the stored arrays, one streaming-legal
+    * distinct-match aggregation.
+    */
+  private def flagAgainst(cbuckets: DataFrame, carrs: DataFrame,
+                          incoming: DataFrame, idCol: String, textCol: String,
+                          n: Int, bands: Int, rowsPerBand: Int,
+                          threshold: Double, seed: Long): DataFrame = {
     // stream side: shingle-hash array and band signatures per ROW —
     // `array_distinct` over hashes mirrors shingleSet's distinct-shingle
     // contract (identical sets absent 64-bit collisions); the token array
@@ -200,5 +236,21 @@ object StreamDedup {
       .parquet(sfDir)
       .filter(pmod(col("doc_id"), lit(10)) === 0)
     runKeyed(dedupAgainstCorpus(corpus, incoming, "doc_id", "text"))
+  }
+
+  /** Index-served sibling of [[ingestDedup]]: same split and output, but
+    * the corpus side is the persisted `buildLshIndex` artifact at
+    * `indexDir` — the configuration a production gate actually runs
+    * (index built once by batch, probed per micro-batch).
+    */
+  def ingestDedupFromIndex(spark: SparkSession, sfDir: String,
+                           indexDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val incoming = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    runKeyed(dedupAgainstLshIndex(spark, incoming, "doc_id", "text", indexDir))
   }
 }

@@ -24,6 +24,33 @@ class StreamDedupSpec extends SparkSpec {
     assert(stream.count() == incoming.count())
   }
 
+  test("persisted LSH index serves identically to the fused plan; params ride the index") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/lsh_spec/parity"
+    // non-default banding: serve parity then ALSO proves the params table
+    // is honored (default-parameter probes against these buckets would
+    // have near-zero recall, not equality)
+    graft.operators.Dedup.buildLshIndex(corpus, "doc_id", "text", dir,
+      n = 3, bands = 6, rowsPerBand = 5, seed = 7L)
+    val served = StreamDedup.dedupAgainstLshIndex(spark, incoming,
+      "doc_id", "text", dir)
+    val fused = StreamDedup.dedupAgainstCorpus(corpus, incoming,
+      "doc_id", "text", n = 3, bands = 6, rowsPerBand = 5, seed = 7L)
+    assert(canon(served) == canon(fused))
+    assert(served.count() == incoming.count())
+    // streaming entry point over the index agrees with the batch serve
+    val streamed = StreamDedup.ingestDedupFromIndex(spark, sf, {
+      val d2 = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/lsh_spec/default"
+      graft.operators.Dedup.buildLshIndex(corpus, "doc_id", "text", d2)
+      d2
+    })
+    val fusedDefault = StreamDedup.dedupAgainstCorpus(corpus, incoming,
+      "doc_id", "text")
+    assert(canon(streamed) == canon(fusedDefault))
+  }
+
   test("planted corpus: exact dup flagged, near-dup flagged, unrelated and empty pass") {
     import spark.implicits._
     val corpus = Seq(
