@@ -528,6 +528,32 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/params")
   }
 
+  /** Incremental maintenance for a [[buildLshIndex]] artifact: append
+    * newly ACCEPTED documents (the ingest gate's non-duplicates) to the
+    * stored buckets and verify arrays, using the band parameters the
+    * index itself records — the complete ingest cycle is probe → accept →
+    * append, and the corpus is never re-shingled. Appends are new parquet
+    * files under the same band partitions (no rewrite of existing data);
+    * callers are responsible for not appending the same id twice (the
+    * gate's accept set is distinct by construction).
+    */
+  def appendToLshIndex(accepted: DataFrame, idCol: String, textCol: String,
+                       indexDir: String): Unit = {
+    val spark = accepted.sparkSession
+    val p = spark.read.parquet(s"$indexDir/params").head()
+    val (n, bands, rowsPerBand, seed) =
+      (p.getAs[Int]("n"), p.getAs[Int]("bands"),
+        p.getAs[Int]("rows_per_band"), p.getAs[Long]("seed"))
+    val cdocs = shingleIdArrays(accepted, idCol, textCol, n)
+    cdocs.select(col(idCol).as("c_id"), col("ids").as("c_ids"))
+      .write.mode("append").parquet(s"$indexDir/arrays")
+    cdocs
+      .select(col(idCol).as("c_id"),
+        explode(bandSigs(col("ids"), bands, rowsPerBand, seed)).as("bk"))
+      .select(col("c_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+      .write.mode("append").partitionBy("band").parquet(s"$indexDir/buckets")
+  }
+
   /** Band signatures as a map-side array expression over a sorted
     * shingle-hash array column: one `(band, bsig)` struct per band, bsig =
     * hash of the band's `rowsPerBand` min-rehashes. Shared by the batch

@@ -51,6 +51,42 @@ class StreamDedupSpec extends SparkSpec {
     assert(canon(streamed) == canon(fusedDefault))
   }
 
+  test("appendToLshIndex: the ingest cycle — accepted docs become corpus for the next batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different reference content about spark engines")
+    ).toDF("doc_id", "text")
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/lsh_spec/append"
+    graft.operators.Dedup.buildLshIndex(corpus, "doc_id", "text", dir)
+    val batch1 = Seq(
+      (10L, "fresh novel content alpha beta gamma delta epsilon zeta"),
+      (11L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val gate1 = StreamDedup.dedupAgainstLshIndex(spark, batch1, "doc_id", "text", dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(gate1 == Map(10L -> false, 11L -> true))
+    // accept batch 1's non-dups into the index; batch 2 repeats doc 10's
+    // text, which only an UPDATED index can flag
+    graft.operators.Dedup.appendToLshIndex(
+      batch1.filter(col("doc_id") === 10L), "doc_id", "text", dir)
+    val gate2 = StreamDedup.dedupAgainstLshIndex(spark,
+        Seq((20L, "fresh novel content alpha beta gamma delta epsilon zeta"),
+            (21L, "still never seen words entirely")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(gate2 == Map(20L -> true, 21L -> false),
+      s"appended doc 10 must gate batch 2's repeat: $gate2")
+    // the incremental index serves exactly like a from-scratch build
+    val rebuilt = s"$dir-rebuilt"
+    graft.operators.Dedup.buildLshIndex(
+      corpus.union(batch1.filter(col("doc_id") === 10L)), "doc_id", "text", rebuilt)
+    val probe = Seq((30L, "the quick brown fox jumps over the lazy cat"),
+                    (31L, "fresh novel content alpha beta gamma delta epsilon eta"))
+      .toDF("doc_id", "text")
+    assert(canon(StreamDedup.dedupAgainstLshIndex(spark, probe, "doc_id", "text", dir))
+        == canon(StreamDedup.dedupAgainstLshIndex(spark, probe, "doc_id", "text", rebuilt)))
+  }
+
   test("planted corpus: exact dup flagged, near-dup flagged, unrelated and empty pass") {
     import spark.implicits._
     val corpus = Seq(
