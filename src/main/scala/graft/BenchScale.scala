@@ -48,6 +48,9 @@ object BenchScale {
     "dedup_groups_lsh", "dedup_groups_star", "pipeline_decontaminate",
     // text pipeline
     "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
+    "text_lm_score",
+    // export side (map-side pure expressions — the exponent should be ~I/O)
+    "pipeline_split_counts", "pipeline_shuffle_shards",
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf")
 
@@ -222,6 +225,19 @@ object BenchScale {
         sComp.filter(col("count") > 1).count() ==
           factor * bComp.filter(col("count") > 1).count()
     }, "component counts not factor x base")
+    check("lm_score_rows_scale_exactly", {
+      // the held-out split replicates per copy (vec/doc ids shift by a
+      // multiple of 10), so scored-doc count and total bigram count are
+      // exactly factor× the base; cross-entropy VALUES legitimately move
+      // (the salted vocabulary grows, changing |V| in the smoothing), so
+      // only the structural counts are pinned
+      import org.apache.spark.sql.functions.sum
+      val b = q(srcDir, "text_lm_score")
+      val s = q(outDir, "text_lm_score")
+      s.count() == factor * b.count() &&
+        s.agg(sum("n_bigrams")).head.getLong(0) ==
+          factor * b.agg(sum("n_bigrams")).head.getLong(0)
+    }, "lm-score row/bigram counts not factor x base")
     inv.foreach { case (n, ok, d) =>
       System.err.println(s"[bench-scale] invariant $n: ${if (ok) "OK" else s"FAILED ($d)"}")
     }
