@@ -89,6 +89,21 @@ object ExtensionQueries {
     dir
   }
 
+  /** Build-once memo for the IVF index over the 90% CORPUS split (the
+    * embedding ingest gate's static side — distinct from [[ivfIndexDir]],
+    * which indexes the full table for the ANN rows).
+    */
+  private def ivfCorpusIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = QueryDefs.ioDir(d, "ivf_corpus_index")
+    ivfIndexBuilt.computeIfAbsent(dir, _ => {
+      val corpus = t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir,
+        nlist = Similarity.autoNlist(corpus.count()))
+      java.lang.Boolean.TRUE
+    })
+    dir
+  }
+
   /** Shared DuckDB fragment: distinct word-bigram shingles per doc. */
   private val sqlBigrams =
     """SELECT DISTINCT doc_id, sh FROM (
@@ -400,6 +415,16 @@ object ExtensionQueries {
     Q.noOracle("dedup_stream_embedding") {
       (s, d) =>
         graft.streaming.StreamDedup.embeddingIngestDedup(s, d)
+          .orderBy(col("vec_id"))
+    },
+
+    // Index-served twin (the production gate: batch builds the corpus
+    // IVF index once, micro-batches probe). no_oracle like the fused
+    // row; StreamDedupSpec pins served ≡ fused.
+    Q.noOracle("dedup_stream_embedding_index") {
+      (s, d) =>
+        graft.streaming.StreamDedup.embeddingIngestDedupFromIndex(
+            s, d, ivfCorpusIndexDir(s, d))
           .orderBy(col("vec_id"))
     },
 
@@ -771,6 +796,30 @@ object ExtensionQueries {
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, d) => TextOps.repetitionScore(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- TF-IDF top-k keywords ---------------------------------------------
+    // Score rounded to 6 places BEFORE ranking in BOTH engines, so the
+    // rank order (tfidf DESC, term ASC) is identical even when the last
+    // ulp of ln() differs.
+    Q("text_tfidf_topk",
+      raw"""WITH tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT COUNT(*)*1.0 AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |        round(tf * (ln((1.0 + (SELECT n FROM nn)) / (1.0 + df)) + 1.0), 6) AS tfidf
+        |      FROM tf JOIN dfq USING (term)),
+        |r AS (SELECT doc_id, term, tf, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |      FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin) {
+      (s, d) =>
+        TextOps.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 5)
+          .orderBy(col("doc_id"), col("rk"))
     },
 
     // ---- Bigram-LM cross-entropy quality score -----------------------------

@@ -56,6 +56,8 @@ object Repl {
       |  contaminate <trainView> <evalView> <n> <minHits>
       |                                         train docs sharing >= minHits n-gram
       |                                         shingles with the eval view
+      |  lmscore <lmView> <view>                bigram-LM cross-entropy of <view> docs
+      |                                         under a model trained on <lmView>
       |  lineage <view>                         root-to-leaf chain of a view
       |  views                                  list registered views
       |  memo                                   sketch-memo stats
@@ -203,6 +205,12 @@ object Repl {
         render(graft.operators.Dedup
           .contamination(df(trainVid), df(evalVid), "doc_id", "text",
             n.toInt, minHits.toInt)
+          .orderBy(col("doc_id")))
+      case "lmscore" :: lmVid :: vid :: Nil =>
+        // per-doc scores are corpus-LINEAR — TakeOrdered render, like
+        // chunk/contaminate
+        render(graft.operators.TextOps
+          .lmScore(df(lmVid), df(vid), "doc_id", "text")
           .orderBy(col("doc_id")))
       case "cache" :: table :: Nil =>
         Tables.openCached(spark, sfDir, table)

@@ -78,6 +78,47 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term").asc_nulls_first)
       .limit(k)
 
+  /** Per-document top-`k` keywords by smoothed TF-IDF (the sklearn
+    * formula: `tf · (ln((1+N)/(1+df)) + 1)`) — keyword extraction /
+    * topic tagging over a training corpus. Returns
+    * (id, term, tf, tfidf, rk) with rk 1..k per doc, ordered by
+    * (tfidf DESC, term ASC); the score is rounded to 6 places BEFORE
+    * ranking so the order is reproducible across engines (ties then
+    * break on the unique term).
+    *
+    * Scale shape: term frequencies are one (id, term) shuffle; document
+    * frequencies reuse that table already keyed by term (co-partitioned
+    * groupBy + join — no extra exchange); the per-doc top-k runs through
+    * the bounded `NextKPageAgg` buffer grouped by id, so only
+    * `partitions · |docs| · k` rows shuffle for the ranking — the
+    * `row_number()` window form would sort every doc's full vocabulary
+    * in one task.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 5,
+                scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val tf = scope.pin(
+      rawShingles(df, idCol, textCol, 1)
+        .groupBy(col(idCol), col("sh").as("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.count().toDouble
+    val scored = tf.join(dfreq, Seq("term"))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * (log((lit(1.0) + lit(n)) / (lit(1.0) + col("df"))) + lit(1.0)), 6)
+          .as("tfidf"))
+    // (tfidf, term) is unique within a doc, so the page's dedup counts
+    // are all 1 and the page IS the row_number sequence (the rerankTopK
+    // precedent)
+    scored.groupBy(col(idCol))
+      .agg(call_function("graft_nextk_page",
+        struct(col("tfidf"), col("term"), col("tf")),
+        typedlit(Seq(false, true, true)), lit(k)).as("pg"))
+      .select(col(idCol), posexplode(col("pg")).as(Seq("pos", "e")))
+      .select(col(idCol), col("e.key.term").as("term"), col("e.key.tf").as("tf"),
+        col("e.key.tfidf").as("tfidf"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
   /** Quality heuristics: token count, stopword ratio, mean token length,

@@ -169,6 +169,42 @@ object StreamDedup {
     val cbuckets = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", element_at(nearestCentroids(col("c_vec"), cs, 1), 1))
+    flagEmbedding(cbuckets, incoming, idCol, vecCol, cs, nprobe, threshold)
+  }
+
+  /** Serve-side twin of [[embeddingDedupAgainstCorpus]] probing a
+    * persisted `Similarity.buildIvfIndex` artifact: no quantizer training
+    * and no corpus assignment pass at ingest time — centroids load once
+    * per plan (sketch-sized), stored bucket assignments ARE the corpus
+    * side of the join. Same output as the fused form when the index was
+    * built with the same (nlist, seed) over the same corpus (the trainer
+    * is deterministic; test-pinned), and the same recall contract:
+    * exact-verify forbids false positives at any nprobe.
+    */
+  def embeddingDedupAgainstIvfIndex(spark: SparkSession, incoming: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    indexDir: String, nprobe: Int = 4,
+                                    threshold: Double = 0.45): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val cs: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("bucket"))
+      .select(col("centroid"))
+      .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+    val cbuckets = spark.read.parquet(s"$indexDir/assignments")
+      .select(col("n_id").as("c_id"), col("n_vec").as("c_vec"), col("bucket"))
+    flagEmbedding(cbuckets, incoming, idCol, vecCol, cs, nprobe, threshold)
+  }
+
+  /** Shared tail of the fused and index-served embedding gates: map-side
+    * nprobe bucket probing on the incoming rows (centroids ride the plan
+    * as a literal), stateless stream-static join on bucket, exact-cosine
+    * verify, one streaming-legal distinct-match aggregation.
+    */
+  private def flagEmbedding(cbuckets: DataFrame, incoming: DataFrame,
+                            idCol: String, vecCol: String,
+                            cs: Seq[Seq[Double]], nprobe: Int,
+                            threshold: Double): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
     val probes = incoming
       .select(col(idCol).as("s_id"), col(vecCol).as("s_vec"))
       .withColumn("bucket", explode(nearestCentroids(col("s_vec"), cs, nprobe)))
@@ -198,6 +234,21 @@ object StreamDedup {
     val flagged = embeddingDedupAgainstCorpus(corpus, incoming,
       "vec_id", "embedding", nlist = nlist, nprobe = 4)
     runKeyed(flagged)
+  }
+
+  /** Index-served sibling of [[embeddingIngestDedup]]: same split and
+    * output, corpus side served from the persisted `buildIvfIndex`
+    * artifact at `indexDir` (the production gate configuration).
+    */
+  def embeddingIngestDedupFromIndex(spark: SparkSession, sfDir: String,
+                                    indexDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val incoming = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+    runKeyed(embeddingDedupAgainstIvfIndex(spark, incoming,
+      "vec_id", "embedding", indexDir, nprobe = 4))
   }
 
   /** Complete-mode memory-sink runner for a KEYED streaming aggregate

@@ -293,6 +293,41 @@ class ExtensionOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("tfidfTopK: distinctive terms rank first; bounded page equals the window form") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common common zebra zebra zebra zebra"),
+      (2L, "common words appear everywhere in this tiny corpus"),
+      (3L, "common words appear everywhere in that tiny corpus")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopK(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getString(1)).toMap
+    // 'zebra' is unique to doc 1 AND more frequent than 'common' there
+    assert(got((1L, 1L)) == "zebra", got.toString)
+    // the corpus-wide term 'common' (df = 3) can never outrank a doc's
+    // distinctive terms at equal tf: idf hits the smoothing floor
+    assert(!Seq(got((2L, 1L)), got((3L, 1L))).contains("common"), got.toString)
+
+    // bounded-aggregate ≡ row_number window on the fixture corpus
+    val k = 4
+    val paged = TextOps.tfidfTopK(docs, "doc_id", "text", k)
+    val tf = TextOps.rawShingles(docs, "doc_id", "text", 1)
+      .groupBy(col("doc_id"), col("sh").as("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    val windowed = tf.join(dfreq, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * (log((lit(1.0) + lit(n)) / (lit(1.0) + col("df"))) + lit(1.0)), 6)
+          .as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "term", "tf", "tfidf", "rk")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    assert(canon(paged) == canon(windowed))
+  }
+
   test("lmScore: hand-checked bigram probabilities, uniform fallback for unseen text") {
     import spark.implicits._
     // LM corpus: tokens [a b a c] + [a b] — vocab {a,b,c} (|V|=3);

@@ -76,6 +76,7 @@ class ReplSpec extends SparkSpec {
       "mix documents-1 source 2.0 200",
       "subdoc documents-1 10 1",
       "subdocclean documents-1 10 1",
+      "lmscore filter-4 filter-3",
       "quit")
     // fixture has planted near-dup pairs → at least one d1/d2/jacc data row
     val dupHeader = out.linesIterator.indexWhere(_.startsWith("d1\t"))
@@ -119,6 +120,11 @@ class ReplSpec extends SparkSpec {
     assert(scHeader >= 0, s"subdocclean must render a doc_id/clean_text table:\n$out")
     assert(out.linesIterator.drop(scHeader + 1).next().split("\t").length == 3,
       s"no subdocclean rows rendered:\n$out")
+    // lmscore: odd-id docs scored under the even-id LM — a ce table
+    val lmHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\tn_bigrams\tcross_entropy"))
+    assert(lmHeader >= 0, s"lmscore must render a cross_entropy table:\n$out")
+    assert(out.linesIterator.drop(lmHeader + 1).next().split("\t").length == 4,
+      s"no lmscore rows rendered:\n$out")
   }
 
   test("filter predicates keep embedded whitespace intact") {

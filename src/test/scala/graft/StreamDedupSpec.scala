@@ -131,6 +131,16 @@ class StreamDedupSpec extends SparkSpec {
     assert(canon(stream) == canon(batch))
     assert(stream.count() == incoming.count())
 
+    // the persisted-index serve path equals the fused plan (same corpus,
+    // same nlist/seed -> the deterministic trainer yields the same
+    // quantizer, so outputs must be identical, not just similar)
+    val ivfDir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/lsh_spec/ivf_gate"
+    graft.operators.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      ivfDir, nlist = graft.operators.Similarity.autoNlist(corpus.count()))
+    val served = StreamDedup.embeddingDedupAgainstIvfIndex(spark, incoming,
+      "vec_id", "embedding", ivfDir, nprobe = 4)
+    assert(canon(served) == canon(batch))
+
     // zero false positives at partial probing: every flagged match is real
     val flagged = stream.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     flagged.foreach { case (id, n) =>
