@@ -52,10 +52,12 @@ class PlanGuardSpec extends SparkSpec {
       "View.scala"          -> 2,
       "Repl.scala"          -> 1,
       "StreamWindows.scala" -> 2,
-      // ingestDedup: memory-sink copy-out of the per-incoming-doc flag
+      // runKeyed: memory-sink copy-out of the per-incoming-doc flag
       // table (one row per doc in the replayed micro-batch window — the
-      // same complete-mode sink lifecycle as StreamWindows)
-      "StreamDedup.scala"   -> 1,
+      // same complete-mode sink lifecycle as StreamWindows);
+      // embeddingDedupAgainstIvfIndex: persisted centroid table (nlist
+      // rows — the same sketch-sized load as Similarity's index serves)
+      "StreamDedup.scala"   -> 2,
       "Lamp.scala"          -> 1,
       // trainCentroids: seeded init + Lloyd partials (nlist rows each);
       // ivfTopKFromIndex: centroid table + query batch (sketch-sized by
