@@ -42,6 +42,15 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("tfidf ranks through the bounded page aggregate, not a window sort") {
+    val plan = SparkEntry.queries("text_tfidf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nextk_page"),
+      s"tfidf lost its bounded page aggregate:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      s"tfidf reintroduced a per-doc window sort (one task per doc's whole vocabulary):\n$plan")
+  }
+
   test("driver-side collect() stays within the sketch/view contract") {
     // file -> number of contract collects (each collects a SKETCH-sized
     // result: memoized sketch rows, progressive partials, REPL render,
