@@ -169,6 +169,25 @@ object ExtensionQueries {
        |SELECT id AS doc_id, MIN(r) AS rep_id FROM reach
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Shared DuckDB oracle for all three corpus-representative rows
+    * (dense-exact, LSH, star-contraction — identical kept sets on the
+    * fixture, where LSH recall is 1.0): recursive components of the
+    * exact pair graph, min-id representative, member counts.
+    */
+  private val sqlCorpusReps =
+    s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
+       |sizes AS (SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY 1)
+       |SELECT d.doc_id, s.n_members FROM documents d
+       |JOIN sizes s ON s.rep = d.doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB chunking CTEs (size 64 / overlap 16 / step 48), the
     * one copy serving `text_chunk` and `pipeline_pack_stats`;
     * `extraCols` (e.g. ", source") ride along every CTE.
@@ -332,18 +351,7 @@ object ExtensionQueries {
     // of each near-dup component with its member count; singletons pass
     // through at n_members = 1.
     Q("dedup_corpus_reps",
-      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
-         |edges AS (
-         |  SELECT d1 AS src, d2 AS dst FROM pairs
-         |  UNION SELECT d2, d1 FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
-         |sizes AS (SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY 1)
-         |SELECT d.doc_id, s.n_members FROM documents d
-         |JOIN sizes s ON s.rep = d.doc_id ORDER BY doc_id""".stripMargin) {
+      sqlCorpusReps) {
       (s, d) =>
         val docs = t(s, d, "documents")
         val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
@@ -360,22 +368,26 @@ object ExtensionQueries {
     // LSH recall on the fixture is 1.0 (asserted in ExtensionOpsSpec), the
     // dedup_groups_lsh precedent.
     Q("dedup_corpus_reps_lsh",
-      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
-         |edges AS (
-         |  SELECT d1 AS src, d2 AS dst FROM pairs
-         |  UNION SELECT d2, d1 FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
-         |sizes AS (SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY 1)
-         |SELECT d.doc_id, s.n_members FROM documents d
-         |JOIN sizes s ON s.rep = d.doc_id ORDER BY doc_id""".stripMargin) {
+      sqlCorpusReps) {
       (s, d) =>
         val docs = t(s, d, "documents")
         val pairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
         Dedup.keepRepresentatives(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("n_members"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Same corpus-shrinking flow with the STAR-CONTRACTION clustering —
+    // keepRepresentativesOf decouples representative selection from the
+    // clusterer, and both clusterings emit min-id components, so the
+    // exact-pair oracle is shared verbatim with dedup_corpus_reps_lsh.
+    Q("dedup_corpus_reps_star",
+      sqlCorpusReps) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
+        Dedup.keepRepresentativesOf(docs, "doc_id",
+            Dedup.connectedComponentsStar(docs, "doc_id", pairs))
           .select(col("doc_id"), col("n_members"))
           .orderBy(col("doc_id"))
     },

@@ -295,8 +295,21 @@ object Dedup {
     * through with n_members = 1.
     */
   def keepRepresentatives(df: DataFrame, idCol: String,
-                          pairs: DataFrame): DataFrame = {
-    val sizes = connectedComponents(df.select(col(idCol)), idCol, pairs)
+                          pairs: DataFrame): DataFrame =
+    keepRepresentativesOf(df, idCol,
+      connectedComponents(df.select(col(idCol)), idCol, pairs))
+
+  /** [[keepRepresentatives]] over an ALREADY-CLUSTERED component frame
+    * (id, rep_id) — decouples representative selection from the
+    * clustering algorithm, so the same transform composes with
+    * [[connectedComponents]] (min-label) or [[connectedComponentsStar]]
+    * (diameter-robust contraction), or with labels loaded from a prior
+    * batch job's output. Both clusterings emit the min-id-per-component
+    * contract, so the kept set is identical whichever produced the frame.
+    */
+  def keepRepresentativesOf(df: DataFrame, idCol: String,
+                            components: DataFrame): DataFrame = {
+    val sizes = components
       .groupBy(col("rep_id"))
       .agg(count(lit(1)).as("n_members"))
     df.join(sizes, df(idCol) === sizes("rep_id"))

@@ -514,6 +514,34 @@ object Similarity {
       .parquet(s"$indexDir/assignments")
   }
 
+  /** Incremental maintenance for a [[buildIvfIndex]] artifact: assign
+    * newly accepted vectors to their nearest STORED centroid and append
+    * them under the same bucket partitions — the embedding side of the
+    * ingest cycle (probe → accept → append; the text twin is
+    * `Dedup.appendToLshIndex`). The quantizer is deliberately NOT
+    * retrained: frozen centroids keep every existing assignment valid
+    * and the append a pure map-side write. The cost is quantizer drift —
+    * appended data is bucketed by the ORIGINAL corpus's geometry, so
+    * partial-probe recall for vectors far from any trained centroid
+    * degrades as the distribution moves; exact mode (`nprobe = nlist`)
+    * is unaffected. Rebuild when the appended fraction is large enough
+    * that drift matters.
+    */
+  def appendToIvfIndex(accepted: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String): Unit = {
+    val spark = accepted.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.nearestCentroids
+    val cs: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("bucket"))
+      .select(col("centroid"))
+      .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+    accepted.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("bucket", element_at(nearestCentroids(col("n_vec"), cs, 1), 1))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/assignments")
+  }
+
   /** Probe-only IVF top-k against a persisted `buildIvfIndex` artifact: no
     * Lloyd pass, no assignment pass — the executed plan is two parquet
     * reads (centroids collected once per query batch, sketch-sized;

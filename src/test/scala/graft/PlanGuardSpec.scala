@@ -75,8 +75,9 @@ class PlanGuardSpec extends SparkSpec {
       // ivfDupPairsFromIndex: centroid table;
       // kmeansParallelInit: seed vector (1 row) + per-round candidate
       // draws + candidate weights (each ≤ maxInitCandidates rows by the
-      // documented cap — the k-means|| driver-memory contract)
-      "Similarity.scala"    -> 9,
+      // documented cap — the k-means|| driver-memory contract);
+      // appendToIvfIndex: stored centroid table (nlist rows)
+      "Similarity.scala"    -> 10,
       "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       "Sampling.scala"      -> 1)  // temperatureMix: one row per source

@@ -87,6 +87,34 @@ class StreamDedupSpec extends SparkSpec {
         == canon(StreamDedup.dedupAgainstLshIndex(spark, probe, "doc_id", "text", rebuilt)))
   }
 
+  test("appendToIvfIndex: accepted vectors gate the next batch; exact mode stays exact") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val nlist = graft.operators.Similarity.autoNlist(corpus.count())
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/lsh_spec/ivf_append"
+    graft.operators.Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir, nlist)
+    // batch 1 = the held-out split; accept its non-dups into the index
+    val batch1 = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val gate1 = StreamDedup.embeddingDedupAgainstIvfIndex(spark, batch1,
+      "vec_id", "embedding", dir, nprobe = nlist)
+    val accepted = batch1.join(
+      gate1.filter(!col("is_dup")).select(col("vec_id")), Seq("vec_id"))
+    graft.operators.Similarity.appendToIvfIndex(accepted, "vec_id", "embedding", dir)
+    // batch 2 replays an accepted vector under a new id: only the UPDATED
+    // index can flag it, and at nprobe = nlist (exact mode, quantizer-
+    // independent) it MUST be flagged with >= 1 match
+    val src = accepted.limit(1).select(col("embedding")).head.getSeq[Float](0)
+    val batch2 = Seq((900001L, src)).toDF("vec_id", "embedding")
+    val gate2 = StreamDedup.embeddingDedupAgainstIvfIndex(spark, batch2,
+        "vec_id", "embedding", dir, nprobe = nlist, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(gate2(900001L), s"replayed accepted vector must be flagged: $gate2")
+    // the assignments table grew by exactly the accepted count
+    val stored = spark.read.parquet(s"$dir/assignments").count()
+    assert(stored == corpus.count() + accepted.count(), s"stored=$stored")
+  }
+
   test("planted corpus: exact dup flagged, near-dup flagged, unrelated and empty pass") {
     import spark.implicits._
     val corpus = Seq(
