@@ -49,6 +49,78 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("lmScore equals an in-memory bigram model on random corpora") {
+    val rnd = new scala.util.Random(47L)
+    (1 to 5).foreach { trial =>
+      val vocabSize = 3 + rnd.nextInt(10)
+      val vocab = Vector.tabulate(vocabSize)(i => s"t$i")
+      def corpus(n: Int): Seq[(Long, String)] = (0L until n.toLong).map { id =>
+        val len = 1 + rnd.nextInt(10) // includes one-token docs (no bigram)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocabSize))).mkString(" ")
+      }
+      val lmDocs = corpus(8 + rnd.nextInt(10))
+      val tgtDocs = corpus(6 + rnd.nextInt(8)).map { case (id, t) => (id + 100L, t) }
+      val k = 0.5
+      // in-memory model (mirrors the operator contract, not its plan)
+      def toks(t: String) = t.trim.split("\\s+").toIndexedSeq
+      val uni = lmDocs.flatMap(d => toks(d._2)).groupBy(identity).map { case (w, g) => w -> g.size }
+      val bi = lmDocs.flatMap(d => toks(d._2).sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .groupBy(identity).map { case (s, g) => s -> g.size }
+      val V = uni.size.toDouble
+      val expected = tgtDocs.flatMap { case (id, t) =>
+        val bgs = toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        if (bgs.isEmpty) None
+        else {
+          val ce = bgs.map { s =>
+            val w1 = s.split(" ")(0)
+            val p = (bi.getOrElse(s, 0) + k) / (uni.getOrElse(w1, 0) + k * V)
+            -math.log(p) / math.log(2)
+          }.sum / bgs.size
+          Some(id -> (bgs.size.toLong, math.rint(ce * 1e6) / 1e6))
+        }
+      }.toMap
+      val got = graft.operators.TextOps.lmScore(
+          lmDocs.toDF("doc_id", "text"), tgtDocs.toDF("doc_id", "text"),
+          "doc_id", "text", addK = k)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6))
+        .toMap
+      assert(got == expected, s"lmScore diverged on trial $trial")
+    }
+  }
+
+  test("tfidfTopK equals an in-memory model on random corpora") {
+    val rnd = new scala.util.Random(83L)
+    (1 to 5).foreach { trial =>
+      val vocabSize = 3 + rnd.nextInt(10)
+      val vocab = Vector.tabulate(vocabSize)(i => s"t$i")
+      val docs = (0L until (8 + rnd.nextInt(12)).toLong).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocabSize))).mkString(" ")
+      }
+      val k = 3
+      def toks(t: String) = t.trim.split("\\s+").toIndexedSeq
+      val n = docs.size.toDouble
+      val dfreq = docs.flatMap(d => toks(d._2).distinct).groupBy(identity)
+        .map { case (w, g) => w -> g.size }
+      val expected = docs.flatMap { case (id, t) =>
+        toks(t).groupBy(identity).toSeq
+          .map { case (w, g) =>
+            val s = g.size * (math.log((1 + n) / (1 + dfreq(w))) + 1)
+            (w, g.size.toLong, math.rint(s * 1e6) / 1e6)
+          }
+          .sortBy { case (w, _, s) => (-s, w) }
+          .take(k).zipWithIndex
+          .map { case ((w, tf, s), i) => (id, w, tf, s, (i + 1).toLong) }
+      }.toSet
+      val got = graft.operators.TextOps.tfidfTopK(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      assert(got == expected, s"tfidfTopK diverged on trial $trial")
+    }
+  }
+
   test("as-of join never matches NULL keys (SQL ASOF equality semantics)") {
     val left = Seq((1L, Option.empty[Long], 10L), (2L, Option(1L), 10L))
       .toDF("lid", "k", "ts")
