@@ -686,6 +686,34 @@ object ExtensionQueries {
         col("doc_id"), col("chunk_no"))
     },
 
+    // ---- Per-source corpus quality report ----------------------------------
+    // The observability row a pipeline operator monitors per ingestion
+    // source: doc/token volume plus averaged quality heuristics — one
+    // groupBy over the map-side qualityScore projection (sources are
+    // low-cardinality by contract, so the report is sketch-sized).
+    Q("pipeline_quality_report",
+      raw"""SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  round(AVG(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS BIGINT) * 1.0
+        |    / CAST(len(toks) AS BIGINT)), 6) AS avg_stop_ratio,
+        |  round(AVG(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)), 6)
+        |    AS avg_punct_ratio
+        |FROM (SELECT source, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) => {
+        val q = TextOps.qualityScore(
+          t(s, d, "documents").select(col("doc_id"), col("text"), col("source")),
+          "doc_id", "text", passthrough = Seq("source"))
+        q.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"),
+            round(avg(col("punct_ratio")), 6).as("avg_punct_ratio"))
+          .orderBy(col("source"))
+      }
+    },
+
     // ---- Sequence packing: chunks -> fixed token budgets per source --------
     // Composition of chunkTokens and packBins: chunks pack greedily into
     // 512-token bins WITHIN each source shard (order-defined, parallel

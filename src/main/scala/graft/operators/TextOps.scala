@@ -122,9 +122,12 @@ object TextOps {
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
   /** Quality heuristics: token count, stopword ratio, mean token length,
-    * punctuation ratio (training-data quality scoring).
+    * punctuation ratio (training-data quality scoring). `passthrough`
+    * columns ride the map-side projection unchanged (e.g. `source` for a
+    * per-source rollup).
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   passthrough: Seq[String] = Nil): DataFrame = {
     val t = tokens(col(textCol))
     val stopList = stopwords.map(lit).toIndexedSeq
     val nTok = size(t).cast("long")
@@ -132,11 +135,12 @@ object TextOps {
     val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
     val nonText = length(regexp_replace(col(textCol), "[a-z0-9 ]", ""))
     df.select(
-      col(idCol),
-      nTok.as("n_tokens"),
-      (nStop * lit(1.0) / nTok).as("stop_ratio"),
-      (sumLen * lit(1.0) / nTok).as("avg_token_len"),
-      (nonText * lit(1.0) / length(col(textCol))).as("punct_ratio"))
+      col(idCol) +:
+        passthrough.map(col) :+
+        nTok.as("n_tokens") :+
+        (nStop * lit(1.0) / nTok).as("stop_ratio") :+
+        (sumLen * lit(1.0) / nTok).as("avg_token_len") :+
+        (nonText * lit(1.0) / length(col(textCol))).as("punct_ratio"): _*)
   }
 
   /** Repetition score (training-data quality): per doc, total n-grams

@@ -109,6 +109,31 @@ class NullHandlingSpec extends SparkSpec {
     assert(dv.length == 3, "null appears as its own distinct value")
   }
 
+  test("null-text docs are absent from LM and TF-IDF scores, not zero-scored") {
+    import spark.implicits._
+    // tokens(null) is null → rawShingles' explode drops the row: a doc
+    // with MISSING text has no terms, which must read as "absent", never
+    // as a real score of 0 (DuckDB UNNEST(NULL) agrees, so the oracle
+    // contract is the same — but the fixture has no null text, hence
+    // this synthetic pin)
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "alpha beta alpha"), (2L, null), (3L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val lm = TextOps.lmScore(docs, docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(lm == Set(1L, 3L), s"lmScore must skip the null-text doc: $lm")
+    val tfidf = TextOps.tfidfTopK(docs, "doc_id", "text", 3)
+    assert(tfidf.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // ...and the null doc must not have inflated document frequencies:
+    // 'beta' appears in 2 of 3 docs, so its df is 2 regardless of doc 2
+    val betaScore = tfidf.filter(col("term") === "beta")
+      .select(col("tfidf")).head.getDouble(0)
+    val expected = math.rint((math.log(4.0 / 3.0) + 1) * 1e6) / 1e6
+    assert(math.abs(betaScore - expected) < 1e-9,
+      s"beta tfidf $betaScore != $expected (df must count only non-null docs... " +
+        "N stays the full row count by the df.count() contract)")
+  }
+
   test("rowAtLeast matches a brute-force model on null-bearing keys") {
     // canonical order: asc → nulls first, desc → nulls last
     val rows = df.select("id", "x", "s").collect()
