@@ -570,6 +570,23 @@ object ExtensionQueries {
           .orderBy(col("vec_id"))
     },
 
+    // ---- Embedding clusters over the SUB-QUADRATIC pair path ---------------
+    // The 100 TB embedding-clustering flow end-to-end: IVF-bucketed
+    // verified pairs (candidates never shuffle) → connectedComponents.
+    // no_oracle for the same reason as dedup_embedding_ivf (bucket recall
+    // < 1 at the fixture's weak threshold); ExtensionOpsSpec pins the
+    // REFINEMENT invariant — zero false positives make the IVF edge set a
+    // subset of the exact edges, so every IVF component sits inside
+    // exactly one exact-pair component.
+    Q.noOracle("dedup_groups_embedding_ivf") {
+      (s, d) =>
+        val emb = t(s, d, "embeddings")
+        val pairs = Similarity.ivfDupPairsFromIndex(s, ivfIndexDir(s, d), 0.45, nprobe = 4)
+        Dedup.connectedComponents(emb, "vec_id", pairs)
+          .select(col("id").as("vec_id"), col("rep_id"))
+          .orderBy(col("vec_id"))
+    },
+
     // ---- IVF-bucketed embedding near-dup (approximate scale path) ----------
     // Exact-verified candidates from shared coarse buckets: always a
     // subset of dedup_embedding's exact pairs (no false positives; recall

@@ -293,6 +293,32 @@ class ExtensionOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF-pair clustering REFINES the exact-pair clustering (zero-FP edge subset)") {
+    // ivfDupPairs has no false positives, so its edge set is a subset of
+    // the exact cosine pairs; connected components over a subgraph can
+    // only split components, never merge across them — every IVF
+    // component must therefore map into exactly ONE exact component.
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.45)
+    val exactComp = Dedup.connectedComponents(emb, "vec_id", exact)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfPairs = Similarity.ivfDupPairs(emb, "vec_id", "embedding", 0.45,
+      nlist = Similarity.autoNlist(emb.count()), nprobe = 4)
+    val ivfComp = Dedup.connectedComponents(emb, "vec_id", ivfPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivfComp.keySet == exactComp.keySet, "every vector must be labeled")
+    val exactRepOf = ivfComp.groupBy(_._2).map { case (ivfRep, members) =>
+      ivfRep -> members.keySet.map(exactComp)
+    }
+    exactRepOf.foreach { case (ivfRep, exactReps) =>
+      assert(exactReps.size == 1,
+        s"IVF component $ivfRep straddles exact components $exactReps — " +
+          "a false-positive edge merged across exact clusters")
+    }
+    // and refinement is non-trivial here: the exact clustering has
+    // non-singleton components the IVF path also finds
+    assert(exactComp.values.toSeq.groupBy(identity).exists(_._2.size > 1))
+  }
+
   test("tfidfTopK: distinctive terms rank first; bounded page equals the window form") {
     import spark.implicits._
     val corpus = Seq(
