@@ -231,6 +231,30 @@ object ExtensionQueries {
         col("d1"), col("d2"))
     },
 
+    // ---- Edit-distance threshold pairs (PassJoin) --------------------------
+    // 40-char document prefixes at maxDist 2: near-dup docs differ by a few
+    // leading edits, so the pair set is small and meaningful while aligned
+    // segments stay near-unique (selectivity pinned in EditDistanceSpec).
+    // The operator is EXACT (complete candidates + bounded-DP verify), so
+    // the quadratic DuckDB self-join is a true oracle, not a twin.
+    Q("dedup_editdist",
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS s
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY d1, d2""".stripMargin) {
+      (s, d) => sortSmall(
+        EditDistance.pairs(
+          t(s, d, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), substring(col("text"), 1, 40).as("s40")),
+          "doc_id", "s40", 2)
+          .withColumn("dist", col("dist").cast("long")),
+        col("d1"), col("d2"))
+    },
+
     // ---- MinHash + LSH near-dup (scale path) -------------------------------
     // Oracle-checked against the EXACT pair SQL: LSH verifies exact Jaccard
     // on candidates, so lsh ⊆ exact always, and recall on the fixture is
