@@ -479,6 +479,16 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- Exactly-k per-group sample (bottom-k by hash; deterministic but
+    // hash-defined, so no SQL oracle — the window-parity + uniformity
+    // contracts live in CoreOpsSpec) ----------------------------------------
+    Q.noOracle("sample_per_group") {
+      (s, d) => Sampling.uniformPerGroup(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", k = 5)
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // ---- Temperature-scaled source mixing (seeded, rows-only) --------------
     Q.noOracle("sample_temperature") {
       (s, d) => Sampling.temperatureMix(t(s, d, "documents"), "source",

@@ -35,6 +35,59 @@ class CoreOpsSpec extends SparkSpec {
       "same seed must select the same rows")
   }
 
+  test("uniformPerGroup: exactly k per group, window parity, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val k = 5
+    val got = Sampling.uniformPerGroup(docs, "lang", "doc_id", k, seed = 9L)
+    // exactly min(k, |group|) rows per group
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotSizes = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotSizes.keySet == sizes.keySet)
+    sizes.foreach { case (g, n) =>
+      assert(gotSizes(g) == math.min(k.toLong, n), s"group $g: ${gotSizes(g)} of $n")
+    }
+    // parity with the window-rank form it replaces
+    val win = docs
+      .withColumn("__h", xxhash64(col("doc_id"), lit(9L)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))))
+      .filter(col("__rk") <= k)
+      .select("lang", "doc_id", "n_chars")
+    assert(got.select("lang", "doc_id", "n_chars").collect().toSet ==
+      win.collect().toSet)
+    // payload survives: n_chars must match the source row
+    val joined = got.as("g").join(docs.as("d"), Seq("doc_id"))
+      .filter(col("g.n_chars") =!= col("d.n_chars")).count()
+    assert(joined == 0)
+    // deterministic under any physical partitioning
+    val re = Sampling.uniformPerGroup(docs.repartition(13, col("doc_id")),
+      "lang", "doc_id", k, seed = 9L)
+    assert(re.select("lang", "doc_id").collect().toSet ==
+      got.select("lang", "doc_id").collect().toSet)
+  }
+
+  test("uniformPerGroup: inclusion is seed-uniform (no positional bias)") {
+    import spark.implicits._
+    val n = 200
+    val rows = (0 until n).map(i => (i.toLong, "g")).toDF("id", "grp")
+    val k = 20
+    val counts = new Array[Int](n)
+    for (seed <- 1L to 12L)
+      Sampling.uniformPerGroup(rows, "grp", "id", k, seed)
+        .select("id").as[Long].collect().foreach(i => counts(i.toInt) += 1)
+    assert(counts.sum == 12 * k)
+    // each row's inclusion count is Binomial(12, 0.1)-ish: a count of 8+
+    // has p ~ 2e-6 per row — a hash hot spot, not chance
+    assert(counts.max <= 8, s"row included ${counts.max} of 12 times")
+    // no id-order bias: the two halves split the 240 inclusions evenly
+    val lo = counts.take(n / 2).sum
+    assert(math.abs(lo - 120) < 60, s"low-id half got $lo of 240 inclusions")
+  }
+
   test("distributed exact quantiles equal the percentile aggregate; table() stacks them") {
     val probs = Seq(0.25, 0.5, 0.75)
     val dist = Quantiles.exact(li, "l_extendedprice", probs).head()
