@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.QueryDefs._
-import graft.operators.Det
+import graft.operators.{Det, Layout}
 
 /** Source-matrix coverage (SURVEY.md §2.2): export a fixture table through
   * each non-parquet format, reload it with the generic loaders, and
@@ -68,6 +68,24 @@ object SourceQueries {
           out, "l_returnflag")
         Tables.parquet(s, out)
           .filter(col("l_returnflag") === "R")
+          .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ---- z-order clustered layout: write -> 2-D box scan -------------------
+    // The layout changes WHICH FILES a 2-D range filter touches (the
+    // skipping contract is pinned in LayoutSpec); it must not change the
+    // ANSWER — the oracle runs the same box on the original table.
+    Q("layout_zorder_scan",
+      s"""SELECT COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 50 AND 120 AND l_suppkey BETWEEN 5 AND 40""".stripMargin) {
+      (s, d) =>
+        val out = ioDir(d, "lineitem_zorder")
+        Layout.writeZOrdered(
+          t(s, d, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+          "l_partkey", "l_suppkey", out, numFiles = 16)
+        Tables.parquet(s, out)
+          .filter(col("l_partkey").between(50, 120) && col("l_suppkey").between(5, 40))
           .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("sum_qty"))
     },
 

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Layout.zOrderKey bit-exactness (vs a straightforward Scala Morton
+  * reference) and the data-skipping contract: a 2-D box over the
+  * z-ordered layout touches few files, over a hash layout all of them.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(x: Int, y: Int): Long = {
+    def sp(v: Long): Long = {
+      var r = 0L; var i = 0
+      while (i < 32) { r |= ((v >> i) & 1L) << (2 * i); i += 1 }
+      r
+    }
+    val xb = x.toLong - Int.MinValue.toLong
+    val yb = y.toLong - Int.MinValue.toLong
+    (sp(xb) | (sp(yb) << 1)) ^ Long.MinValue
+  }
+
+  test("zOrderKey matches the Scala Morton reference incl. negatives") {
+    val rnd = new scala.util.Random(5)
+    val pts = Seq((0, 0), (1, 0), (0, 1), (-1, -1), (Int.MaxValue, Int.MinValue),
+      (Int.MinValue, Int.MaxValue)) ++
+      Seq.fill(500)((rnd.nextInt(), rnd.nextInt()))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zOrderKey(col("x"), col("y")).as("z"))
+      .as[(Int, Int, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == mortonRef(x, y), s"($x, $y)")
+    }
+  }
+
+  test("curve order: quadrant blocks are contiguous key ranges") {
+    // within [0, 2^31): the top interleaved bits are the quadrant — every
+    // key in the (lo, lo) quadrant sorts before any key in (hi, hi)
+    val loQ = for (x <- 0 until 8; y <- 0 until 8) yield mortonRef(x, y)
+    val hiQ = for (x <- 8 until 16; y <- 8 until 16) yield mortonRef(x, y)
+    assert(loQ.max < hiQ.min)
+  }
+
+  test("2-D box scan over z-order layout skips files; hash layout cannot") {
+    val n = 1 << 14
+    val grid = spark.range(n).select(
+      (col("id") % 128).cast("int").as("x"),
+      (col("id") / 128).cast("int").as("y"))
+    val zDir = QueryDefsScratch.dir("layout_z")
+    val hDir = QueryDefsScratch.dir("layout_h")
+    Layout.writeZOrdered(grid, "x", "y", zDir, numFiles = 16)
+    grid.repartition(16).write.mode("overwrite").parquet(hDir)
+    val box = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("x").between(10, 40) && col("y").between(10, 40))
+    val zFiles = box(spark.read.parquet(zDir))
+      .select(input_file_name()).distinct().count()
+    val hFiles = box(spark.read.parquet(hDir))
+      .select(input_file_name()).distinct().count()
+    // the box is ~6% of the area: on the curve it lives in a few
+    // contiguous segments; hash spreads it over every file
+    assert(zFiles <= 4, s"z layout touched $zFiles of 16 files")
+    assert(hFiles >= 14, s"hash layout touched only $hFiles of 16 files")
+    // the layout must not change the answer
+    val za = box(spark.read.parquet(zDir)).agg(count(lit(1)), sum("x"), sum("y")).head()
+    val ha = box(spark.read.parquet(hDir)).agg(count(lit(1)), sum("x"), sum("y")).head()
+    assert(za == ha)
+  }
+}
+
+/** Test scratch dirs under the suite's tmp space. */
+private object QueryDefsScratch {
+  def dir(leaf: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$leaf")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+}
