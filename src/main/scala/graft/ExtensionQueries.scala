@@ -294,6 +294,34 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Decontamination, bloom-compressed eval side -----------------------
+    // Same EXACT oracle as pipeline_decontaminate: at fpp 1e-8 the chance
+    // of even one false-positive probe on the fixture is ~1e-4, so
+    // flagged-set equality is the measured, pinned behavior (the
+    // LSH-recall-1.0 precedent). A failure here before any fixture change
+    // means the one-sided contract test in ExtensionOpsSpec is the thing
+    // to check: superset is the guarantee, equality is fixture luck.
+    Q("pipeline_decontaminate_bloom",
+      """WITH tg AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |      i -> list_extract(string_split_regex(trim(text), '\s+'), i) || ' ' ||
+        |           list_extract(string_split_regex(trim(text), '\s+'), i+1) || ' ' ||
+        |           list_extract(string_split_regex(trim(text), '\s+'), i+2))) AS sh
+        |    FROM documents)),
+        |ev AS (SELECT DISTINCT sh FROM tg WHERE doc_id % 2 = 1)
+        |SELECT t.doc_id, COUNT(*) AS n_hits FROM tg t JOIN ev ON t.sh = ev.sh
+        |WHERE t.doc_id % 2 = 0 GROUP BY 1 HAVING COUNT(*) >= 10
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        Dedup.contaminationBloom(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, minHits = 10)
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Sub-document (boilerplate) dedup ----------------------------------
     // 10-token spans counted across distinct docs; spans in >1 doc are
     // boilerplate. The planted near-dup/exact-dup docs share spans, so

@@ -346,6 +346,42 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** [[contamination]] with the eval shingle set compressed to a BLOOM
+    * FILTER — the variant for when even the eval side is too big to
+    * broadcast raw (a full benchmark union at 100 TB train scale:
+    * millions of shingles × ~50 bytes vs ~1.2 bytes/item of filter at
+    * fpp 1e-8). Built distributed (`stat.bloomFilter` is a
+    * treeAggregate), broadcast once, probed map-side.
+    *
+    * Contract is ONE-SIDED: a bloom filter has no false negatives, so
+    * every truly contaminated doc is flagged (n_hits can only
+    * OVER-count, never under) and the surviving "clean" set is a SUBSET
+    * of the exact operator's — the safe direction for decontamination,
+    * where a dropped clean doc costs a little data and a kept
+    * contaminated doc poisons the eval. Flagged-set equality with the
+    * exact path holds at tight fpp (probe count · fpp ≪ 1) and is
+    * pinned on the fixture; the superset direction is pinned even at
+    * fpp 0.5. Deterministic: Spark's bloom hashing is seed-fixed, so
+    * identical inputs give identical filters and flags.
+    */
+  def contaminationBloom(train: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3, minHits: Int = 1,
+                         fpp: Double = 1e-8): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val evalSh = TextOps.rawShingles(evalSet, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    // sizing count over the BENCHMARK-sized side only (never the corpus)
+    val nItems = math.max(1L, evalSh.count())
+    val bf = evalSh.stat.bloomFilter("sh", nItems, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    TextOps.rawShingles(train, idCol, textCol, n)
+      .filter(might(col("sh"))) // map-side; only (likely) matches shuffle
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** All-pairs exact n-gram Jaccard ≥ `threshold` — prefix-filtered
     * set-similarity join (same results as a naive shared-shingle join,
     * without its quadratic blowup on common shingles).

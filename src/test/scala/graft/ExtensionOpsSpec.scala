@@ -716,6 +716,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
   }
 
+  test("contaminationBloom: equals exact at tight fpp, superset even at fpp 0.5") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval = docs.filter(col("doc_id") % 2 === 1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Dedup.contamination(train, eval, "doc_id", "text", 3, 1))
+    val tight = asMap(Dedup.contaminationBloom(train, eval, "doc_id", "text", 3, 1))
+    assert(tight == exact, "fpp 1e-8: measured fixture behavior is exact equality")
+    // the one-sided CONTRACT: no false negatives at ANY fpp — every truly
+    // contaminated doc is flagged with at least its exact hit count
+    val loose = asMap(Dedup.contaminationBloom(train, eval, "doc_id", "text", 3, 1,
+      fpp = 0.5))
+    exact.foreach { case (id, hits) =>
+      assert(loose.getOrElse(id, 0L) >= hits,
+        s"doc $id: bloom under-counted ${loose.get(id)} vs exact $hits")
+    }
+    // determinism: same inputs, same filter bits, same flags
+    val again = asMap(Dedup.contaminationBloom(train, eval, "doc_id", "text", 3, 1,
+      fpp = 0.5))
+    assert(again == loose)
+  }
+
   test("temperatureMix flattens source shares as T grows") {
     import spark.implicits._
     // skewed corpus: 1000 / 200 / 50 rows per source
