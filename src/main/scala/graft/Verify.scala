@@ -24,13 +24,25 @@ object Verify {
     // comma-separated — a targeted oracle check without the full catalog
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    // A query that throws must NEVER be silently absent from the round's
+    // correctness artifact (a gate reading it would pass a broken build).
+    // On failure: write a one-row sentinel parquet whose schema (a single
+    // `spark_error` column) can't match any oracle — the driver's compare
+    // then records an explicit schema/hash FAIL for that query — and
+    // collect the failure for errors.json below.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = s"spark_failed: ${msg.take(500)}"
+        import spark.implicits._
+        Seq(failed(name)).toDF("spark_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       // release pins left by multi-pass operators (CacheScope.session)
       spark.catalog.clearCache()
@@ -51,6 +63,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Durable failure manifest: {} when clean. Sentinel parquets above make
+    // failures show red in the driver's compare; this file names the cause.
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -26,18 +26,35 @@ object Tables {
 
   /** Open one fixture table.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects;
-    * we read it as a long (legacy conf) and truncate to microseconds —
-    * the DuckDB oracle must truncate the same way (FIXTURES.md).
+    * `events.ts` has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which vanilla Spark rejects —
+    * we read it as a long via the legacy conf and truncate to micros) and
+    * native TIMESTAMP(MICROS) (reads as TimestampType directly). Adapt on
+    * the READ schema so both generations work: apply the div-1000 nanos
+    * conversion only when `ts` arrives as a long (FIXTURES.md).
     */
   def open(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
     case other =>
       spark.read.parquet(s"$sfDir/$other.parquet")
+  }
+
+  /** Normalize `ts` to session-zoned TimestampType whatever the fixture
+    * generation stored: long (TIMESTAMP(NANOS) under nanosAsLong) →
+    * `timestamp_micros(ts div 1000)`; TIMESTAMP_NTZ (native MICROS,
+    * isAdjustedToUTC=false) → cast to TimestampType, a no-op under the
+    * UTC session timezone every entry point pins; TimestampType → as-is.
+    * Works on batch AND streaming frames (schema-only dispatch).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   // Last (sfDir, registered view plans) per session. WEAK keys

@@ -24,17 +24,18 @@ object StreamWindows {
   private val nameSeq = new AtomicLong(0)
 
   /** The events fixture as a replayed stream (schema from the parquet
-    * footer; nanos→µs conversion identical to Tables.open).
+    * footer; ts normalization identical to Tables.open — schema-adaptive
+    * across fixture generations).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file stream source wants a directory — replay the sf dir with a
     // glob filter selecting just the events file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Drive a streaming aggregation to completion over all available input
@@ -142,10 +143,10 @@ object StreamWindows {
   def dedupByIdStream(spark: SparkSession, dir: String,
                       schema: org.apache.spark.sql.types.StructType): DataFrame =
     runToResult(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1) // one file per micro-batch → real cross-batch state
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.sources.Tables.normalizeEventsTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1) // one file per micro-batch → real cross-batch state
+          .parquet(dir))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(window(col("ts"), "1 hour"))
