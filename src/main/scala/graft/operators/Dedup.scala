@@ -129,9 +129,16 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     requireIntegralId(vertices, idCol, "connectedComponents")
+    // Symmetrize with a map-side explode, NOT pairs.union(pairs.swapped):
+    // union scans the pair plan TWICE, and for an expensive generator
+    // (the MinHash-LSH candidate+verify DAG) that doubles the dominant
+    // cost of the whole operator before the cache ever materializes.
     val edges = pairs
-      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
-      .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
     val reliable = vertices.sparkSession.sparkContext.getCheckpointDir.isDefined
     var labels = vertices
