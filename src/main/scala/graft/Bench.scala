@@ -115,7 +115,17 @@ object Bench {
       .map { case (k, s) => "\"" + k + "\":" + fmt(s.max / s.min) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
-    println(line)
+    // stdout gets a SLIMMED twin of the durable artifact: same schema,
+    // 3-decimal timings, no spread map. The driver's stdout capture keeps
+    // only a bounded tail (round 9 clipped the 7.5 KB full line to a 2.2 KB
+    // fragment, leaving parsed:null), so every byte cut raises the chance
+    // the captured line parses. The DURABLE files (target/bench_latest.json
+    // + repo-root BENCH_full_latest.json) keep full precision and spread —
+    // they are the authoritative record.
+    val qs3 = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(fmt3).getOrElse("-1.0") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"errors":$errors,"sf":"$sfDir"}""")
     // self-contained artifact: the driver captures stdout, but a truncated
     // capture loses the tail of the (long) per-query map — persist the full
     // line so the bench is reconstructable from disk. Written BOTH to
@@ -144,6 +154,11 @@ object Bench {
   private[graft] def fmt(v: Double): String =
     if (!java.lang.Double.isFinite(v)) "-1.0"
     else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** ms precision for the stdout twin — wall-clock noise dwarfs it. */
+  private[graft] def fmt3(v: Double): String =
+    if (!java.lang.Double.isFinite(v)) "-1.0"
+    else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
   private[graft] def persist(tag: String, line: String,
                              out: java.nio.file.Path): Unit =
