@@ -51,6 +51,8 @@ object BenchScale {
     "text_lm_score",
     // export side (map-side pure expressions — the exponent should be ~I/O)
     "pipeline_split_counts", "pipeline_shuffle_shards",
+    // budget/cap curation (histogram cut + bounded page aggregate)
+    "pipeline_token_budget", "pipeline_source_cap",
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf")
 

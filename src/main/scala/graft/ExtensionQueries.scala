@@ -783,6 +783,67 @@ object ExtensionQueries {
       }
     },
 
+    // ---- Token-budget curation: best docs per source until budget ----------
+    // Greedy prefix under a per-source token budget, ordered by quality
+    // (stop-ratio DESC, doc_id ASC) — the "spend your token budget on the
+    // best documents of every source" selection step of a training-data
+    // pipeline. The Spark side runs the HISTOGRAM-cut plan (coarse
+    // score-bin weight sums -> driver cut table -> whole bins selected
+    // map-side, only boundary-bin rows pay the window); the oracle is the
+    // naive full window cumsum — equality certifies the cut plan's
+    // exactness, not just its intent.
+    Q("pipeline_token_budget",
+      raw"""WITH q AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS BIGINT) * 1.0
+        |      / CAST(len(toks) AS BIGINT), 6) AS score
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, score,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS cum
+        |  FROM q)
+        |SELECT doc_id, source, n_tokens, score FROM c WHERE cum <= 700
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => {
+        val scored = TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text",
+          passthrough = Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            round(col("stop_ratio"), 6).as("score"))
+        sortSmall(
+          Sampling.selectByBudget(scored, "source", "doc_id", "n_tokens", "score",
+            budget = 700),
+          col("doc_id"))
+      }
+    },
+
+    // ---- Per-source cap: k best docs per source ----------------------------
+    // Deterministic top-k per group by quality — over-represented-domain
+    // control. Bounded page aggregate (partitions·sources·k rows shuffle),
+    // oracle = the row_number() window form it replaces.
+    Q("pipeline_source_cap",
+      raw"""WITH q AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS BIGINT) * 1.0
+        |      / CAST(len(toks) AS BIGINT), 6) AS score
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT doc_id, source, n_tokens, score FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => {
+        val scored = TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text",
+          passthrough = Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            round(col("stop_ratio"), 6).as("score"))
+        sortSmall(
+          Sampling.topKPerGroup(scored, "source", "doc_id", "score", k = 10)
+            .select(col("doc_id"), col("source"), col("n_tokens"), col("score")),
+          col("doc_id"))
+      }
+    },
+
     // ---- Sequence packing: chunks -> fixed token budgets per source --------
     // Composition of chunkTokens and packBins: chunks pack greedily into
     // 512-token bins WITHIN each source shard (order-defined, parallel

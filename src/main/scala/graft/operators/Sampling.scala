@@ -94,6 +94,124 @@ object Sampling {
         payload.toIndexedSeq.map(c => col(s"e.key.$c").as(c)): _*)
   }
 
+  /** Greedy PREFIX selection under a per-group weight budget — the
+    * corpus-curation primitive "per source, keep the highest-quality
+    * documents until the token budget is spent": order each group by
+    * (`scoreCol` DESC, `idCol` ASC), take the maximal prefix whose
+    * cumulative `weightCol` stays ≤ `budget`. Rows with a null score or
+    * a null/non-positive weight are excluded by contract (they have no
+    * place in a positive running sum).
+    *
+    * Scale shape (the whole point): the naive form is one window over
+    * EVERY group's full row set — a total sort of the corpus keyed by
+    * group, with each group's rows through one task. Instead:
+    *  1. bin scores on a coarse monotone grid (`floor(score·10^binScale)`)
+    *     and aggregate per-(group, bin) weight sums — one linear shuffle
+    *     whose output is groups·bins rows, SKETCH-sized by contract
+    *     (guarded by `maxHistRows`, loud failure);
+    *  2. on the driver, walk each group's bins in score order to find the
+    *     boundary bin where the budget runs out — bins strictly above it
+    *     are selected WHOLE (map-side broadcast-join filter, no shuffle),
+    *     bins below are dropped whole;
+    *  3. only BOUNDARY-BIN rows (≈ 1/bins of each group) pay the exact
+    *     window cumsum.
+    * Binning is exactness-preserving, not approximate: the bin function
+    * is monotone in score, so greedy order processes bins consecutively
+    * and the within-bin refinement uses the EXACT (score, id) order —
+    * the selected set is identical to the naive window's (parity-pinned).
+    *
+    * Returns the input columns of surviving rows (helper columns
+    * dropped); deterministic for deterministic inputs.
+    */
+  def selectByBudget(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, scoreCol: String, budget: Long,
+                     binScale: Int = 3, maxHistRows: Int = 1 << 20,
+                     scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    val outCols = df.columns.toIndexedSeq
+    val rows = df.filter(col(scoreCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) > 0)
+    // binned feeds BOTH the histogram and the selection passes — pin it
+    val binned = scope.pin(rows.withColumn("__bin",
+      floor(col(scoreCol) * math.pow(10, binScale)).cast("long")))
+    val hist = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .limit(maxHistRows + 1).collect()
+    require(hist.length <= maxHistRows,
+      s"selectByBudget histogram exceeds $maxHistRows (group, bin) rows — " +
+        "lower binScale or raise maxHistRows; the driver cut table must " +
+        "stay sketch-sized")
+    // per group: bins in score order (desc); boundary = first bin whose
+    // cumulative weight overflows the budget. Bins above it select whole;
+    // the boundary bin gets the residual budget; bins below drop whole.
+    val cuts = hist.groupBy(_.get(0)).map { case (g, rs) =>
+      val bins = rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(-_._1)
+      var cum = 0L
+      var boundary = Long.MinValue // sentinel: every real bin is above it
+      var rem = 0L
+      val it = bins.iterator
+      while (it.hasNext && boundary == Long.MinValue) {
+        val (b, w) = it.next()
+        if (cum + w > budget) { boundary = b; rem = budget - cum }
+        cum += w
+      }
+      org.apache.spark.sql.Row(g, boundary, rem)
+    }.toSeq
+    val groupField = df.schema(df.schema.fieldIndex(groupCol))
+    val cutSchema = org.apache.spark.sql.types.StructType(Seq(
+      groupField.copy(name = groupCol),
+      org.apache.spark.sql.types.StructField("__full_above", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__rem", org.apache.spark.sql.types.LongType, nullable = false)))
+    val cutDf = spark.createDataFrame(
+      java.util.Arrays.asList(cuts: _*), cutSchema)
+    val joined = binned.join(broadcast(cutDf), Seq(groupCol))
+    val fullSel = joined.filter(col("__bin") > col("__full_above"))
+      .select(outCols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val boundarySel = joined.filter(col("__bin") === col("__full_above"))
+      .withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("__rem"))
+      .select(outCols.map(col): _*)
+    fullSel.union(boundarySel)
+  }
+
+  /** Deterministic top-`k` rows PER GROUP by (`orderCol`, `idCol`) — the
+    * "cap every source/domain at its k best documents" curation primitive
+    * (spam and over-represented-domain control). Same bounded-buffer
+    * shape as [[uniformPerGroup]] — one [[graft.functions.NextKPageAgg]]
+    * page per (group, partition) carrying the full row behind the
+    * (order, id) sort prefix, so only `partitions · groups · k` rows
+    * shuffle — but ordered by a CALLER-provided deterministic column
+    * (quality score) instead of a seeded hash, so the selection is
+    * exactly the `row_number()` window form (parity-pinned) without
+    * sorting each group's full row set through one task.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                   orderCol: String, k: Int,
+                   descending: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val payload = df.columns.filter(c => c != groupCol && c != idCol && c != orderCol)
+    payload.foreach { c =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(df.schema(c).dataType),
+        s"topKPerGroup payload column '$c' has non-orderable type " +
+          s"${df.schema(c).dataType.simpleString}; project it out first")
+    }
+    val keyCols = Seq(col(orderCol), col(idCol)) ++ payload.map(col)
+    val flags = (!descending) +: Seq.fill(keyCols.length - 1)(true)
+    df.groupBy(col(groupCol))
+      .agg(call_function("graft_nextk_page",
+        struct(keyCols: _*), typedlit(flags), lit(k)).as("pg"))
+      .select(col(groupCol), explode(col("pg")).as("e"))
+      .select(col(groupCol) +: col(s"e.key.$orderCol").as(orderCol) +:
+        col(s"e.key.$idCol").as(idCol) +:
+        payload.toIndexedSeq.map(c => col(s"e.key.$c").as(c)): _*)
+  }
+
   /** Resolution-aware sampling rate (paper §4.1): a histogram rendered at
     * `pixelHeight` with `buckets` bars is statistically indistinguishable
     * from exact when built on ~ c·buckets·pixelHeight² samples (Chernoff

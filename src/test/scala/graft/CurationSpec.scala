@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Sampling, TextOps}
+
+/** Budget / cap curation operators (`Sampling.selectByBudget`,
+  * `Sampling.topKPerGroup`): exact parity with the naive window forms
+  * they replace, boundary handling, and degenerate budgets.
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Naive greedy-prefix reference: full window cumsum per group. */
+  private def naiveBudget(df: org.apache.spark.sql.DataFrame,
+                          budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    df.withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") <= budget)
+      .select("doc_id", "source", "n_tokens", "score")
+  }
+
+  private lazy val scored = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    TextOps.qualityScore(docs, "doc_id", "text", passthrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("score"))
+  }
+
+  test("selectByBudget: parity with the full-window form across budgets") {
+    for (budget <- Seq(0L, 37L, 400L, 100000L)) {
+      val got = Sampling.selectByBudget(scored, "source", "doc_id",
+        "n_tokens", "score", budget)
+        .select("doc_id", "source", "n_tokens", "score")
+        .collect().toSet
+      val want = naiveBudget(scored, budget).collect().toSet
+      assert(got == want, s"budget=$budget: ${got.size} vs ${want.size} rows")
+    }
+  }
+
+  test("selectByBudget: huge budget keeps every positive-weight row") {
+    val got = Sampling.selectByBudget(scored, "source", "doc_id",
+      "n_tokens", "score", budget = Long.MaxValue / 4)
+    assert(got.count() == scored.filter(col("n_tokens") > 0).count())
+  }
+
+  test("selectByBudget: coarse bins (many ties per bin) stay exact") {
+    // binScale 0 collapses every score into bin 0 — the whole selection
+    // goes through the boundary-bin window, exercising the residual-budget
+    // arithmetic with maximal within-bin population
+    val got = Sampling.selectByBudget(scored, "source", "doc_id",
+      "n_tokens", "score", budget = 400, binScale = 0)
+      .select("doc_id", "source", "n_tokens", "score").collect().toSet
+    assert(got == naiveBudget(scored, 400).collect().toSet)
+  }
+
+  test("selectByBudget: null / non-positive weights and null scores are excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "s", 10L, Some(0.9)), // selected
+      (2L, "s", 0L, Some(0.8)),  // zero weight: excluded
+      (3L, "s", -5L, Some(0.7)), // negative weight: excluded
+      (4L, "s", 10L, None),      // null score: excluded
+      (5L, "s", 10L, Some(0.5))  // selected (cum 20 <= 25)
+    ).toDF("doc_id", "source", "n_tokens", "score")
+    val got = Sampling.selectByBudget(rows, "source", "doc_id",
+      "n_tokens", "score", budget = 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L))
+  }
+
+  test("selectByBudget: first doc overflowing leaves its group empty") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 100L, 0.9), (2L, "a", 1L, 0.1), // first doc of 'a' blows the budget
+      (3L, "b", 5L, 0.9), (4L, "b", 5L, 0.8)
+    ).toDF("doc_id", "source", "n_tokens", "score")
+    val got = Sampling.selectByBudget(rows, "source", "doc_id",
+      "n_tokens", "score", budget = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // prefix semantics: 'a' stops at its first (overflowing) doc — doc 2
+    // is AFTER the overflow position in (score desc) order, so it is out
+    assert(got == Set(3L, 4L))
+  }
+
+  test("selectByBudget: partition-invariant") {
+    val a = Sampling.selectByBudget(scored, "source", "doc_id",
+      "n_tokens", "score", budget = 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.selectByBudget(
+      scored.repartition(13, col("doc_id")), "source", "doc_id",
+      "n_tokens", "score", budget = 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("topKPerGroup: parity with the row_number window form") {
+    val k = 7
+    val got = Sampling.topKPerGroup(scored, "source", "doc_id", "score", k)
+      .select("doc_id", "source", "n_tokens", "score").collect().toSet
+    val want = scored.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("__rk") <= k)
+      .select("doc_id", "source", "n_tokens", "score").collect().toSet
+    assert(got == want)
+    // ascending variant
+    val asc = Sampling.topKPerGroup(scored, "source", "doc_id", "score", k,
+      descending = false)
+      .select("doc_id", "source").collect().toSet
+    val wantAsc = scored.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").asc, col("doc_id").asc)))
+      .filter(col("__rk") <= k)
+      .select("doc_id", "source").collect().toSet
+    assert(asc == wantAsc)
+  }
+
+  test("topKPerGroup: groups smaller than k return whole group; payload survives") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", 5L, 0.3), (2L, "a", 6L, 0.2), (3L, "b", 7L, 0.1))
+      .toDF("doc_id", "source", "n_tokens", "score")
+    val got = Sampling.topKPerGroup(rows, "source", "doc_id", "score", k = 10)
+    assert(got.count() == 3)
+    val payloads = got.select("doc_id", "n_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(payloads == Map(1L -> 5L, 2L -> 6L, 3L -> 7L))
+  }
+}
