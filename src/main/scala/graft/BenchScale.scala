@@ -45,7 +45,8 @@ object BenchScale {
     // dedup / decontamination / subdoc / clustering
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
-    "dedup_groups_lsh", "dedup_groups_star", "pipeline_decontaminate",
+    "dedup_groups_lsh", "dedup_groups_star", "dedup_groups_incremental",
+    "pipeline_decontaminate",
     // text pipeline
     "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
     "text_lm_score",

@@ -398,6 +398,31 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- INCREMENTAL clustering: fold an ingest batch into old labels ------
+    // The nightly-ingest flow: the corpus (doc_id % 10 != 0) is already
+    // clustered; the batch (doc_id % 10 = 0) arrives with its LSH pairs
+    // (new-vs-corpus + new-vs-new — banding is per-pair, so the full-LSH
+    // filter used here produces EXACTLY the pair set an index probe
+    // yields in production), and incrementalComponents runs CC on the
+    // batch-sized contracted subgraph only. The final labels equal a
+    // from-scratch recluster of the union, so the oracle is sqlDocGroups
+    // VERBATIM — the strongest possible check for an incremental
+    // operator: its shortcut is invisible in the output.
+    Q("dedup_groups_incremental", sqlDocGroups) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val oldLabels = Dedup.connectedComponentsStar(oldDocs, "doc_id",
+          Dedup.minHashLSH(oldDocs, "doc_id", "text", n = 2, threshold = 0.5))
+        val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+        val newPairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
+          .filter(isNew(col("d1")) || isNew(col("d2")))
+        Dedup.incrementalComponents(oldLabels, newDocs, "doc_id", newPairs)
+          .select(col("id").as("doc_id"), col("rep_id"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Dedup corpus transform: one representative doc per cluster --------
     // The step that actually shrinks the corpus: keep the smallest-id doc
     // of each near-dup component with its member count; singletons pass

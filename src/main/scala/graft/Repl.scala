@@ -48,6 +48,11 @@ object Repl {
       |                                         n_tokens)
       |  mix <view> <srcCol> <T> <targetRows>   temperature-scaled source mixing;
       |                                         prints per-source kept counts
+      |  budget <view> <tokens>                 child view: best docs per source by
+      |                                         stop-ratio until the per-source token
+      |                                         budget is spent (histogram-cut plan)
+      |  cap <view> <k>                         child view: k best docs per source
+      |                                         by stop-ratio (bounded page aggregate)
       |  subdoc <view> <spanTokens> <maxDocs>   per-doc boilerplate-span stats (spans
       |                                         repeated in > maxDocs docs are dropped)
       |  subdocclean <view> <spanTokens> <maxDocs>
@@ -193,6 +198,30 @@ object Repl {
           .temperatureMix(df(vid), srcCol, t.toDouble, target.toLong)
           .groupBy(col(srcCol)).agg(count(lit(1)).as("kept"))
           .orderBy(col(srcCol)))
+      case "budget" :: vid :: tokens :: Nil =>
+        // the curated corpus joins the lineage as a child view (like
+        // `dedup`): later verbs compose over the budget-selected docs
+        s"view ${s.child(ViewId(vid), "budget")(d => {
+          val scored = graft.operators.TextOps
+            .qualityScore(d.select(col("doc_id"), col("text"), col("source")),
+              "doc_id", "text", passthrough = Seq("source"))
+            .select(col("doc_id"), col("source"), col("n_tokens"),
+              round(col("stop_ratio"), 6).as("score"))
+          d.join(graft.operators.Sampling.selectByBudget(scored, "source",
+            "doc_id", "n_tokens", "score", tokens.toLong)
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+        }).value}"
+      case "cap" :: vid :: k :: Nil =>
+        s"view ${s.child(ViewId(vid), "cap")(d => {
+          val scored = graft.operators.TextOps
+            .qualityScore(d.select(col("doc_id"), col("text"), col("source")),
+              "doc_id", "text", passthrough = Seq("source"))
+            .select(col("doc_id"), col("source"),
+              round(col("stop_ratio"), 6).as("score"))
+          d.join(graft.operators.Sampling.topKPerGroup(scored, "source",
+            "doc_id", "score", k.toInt)
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+        }).value}"
       case "subdoc" :: vid :: spanTokens :: maxDocs :: Nil =>
         render(graft.operators.Dedup
           .subdocDedup(df(vid), "doc_id", "text", spanTokens.toInt, maxDocs.toInt)

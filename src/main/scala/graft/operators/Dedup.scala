@@ -294,6 +294,75 @@ object Dedup {
       .select(col("id"), coalesce(col("star_rep"), col("id")).as("rep_id"))
   }
 
+  /** INCREMENTAL component maintenance — fold an ingest batch into an
+    * existing clustering without re-running CC over the corpus. Given the
+    * previous labels (id, rep_id) for every already-clustered doc, the
+    * batch's new ids, and `newPairs` = every near-dup pair INVOLVING a
+    * new doc (new-vs-corpus from an LSH index probe, new-vs-new from
+    * banding the batch — the [[buildLshIndex]]/probe path produces
+    * exactly this), returns updated (id, rep_id) labels for the union.
+    *
+    * Why it's correct: the old labels partition the corpus into
+    * components whose representative IS the component minimum, so
+    * contracting every old component to its rep preserves connectivity —
+    * a new edge (a, b) connects rep(a) to rep(b). CC therefore only
+    * needs to run on the CONTRACTED graph of touched vertices (old reps
+    * and new ids that appear in `newPairs`) — an ingest-batch-sized
+    * problem regardless of corpus size — and the result composes:
+    * final(x) = sub(rep(x)) when rep(x) was touched, else rep(x).
+    * The min-id contract survives composition because each old rep is
+    * already its component's minimum, so the contracted graph's min IS
+    * the member-level min. Output is exactly
+    * `connectedComponents(old ∪ new, oldPairs ∪ newPairs)` (parity-
+    * pinned in the spec, including the case where one new doc BRIDGES
+    * two previously-separate old components).
+    *
+    * Scale shape (the reason this exists): the iterative CC loop — the
+    * expensive, hard-to-scale part — runs on the touched subgraph only
+    * (≤ 2·|newPairs| vertices); the corpus-sized work is ONE linear
+    * rep-keyed broadcast-able join to re-label members of merged
+    * components. A nightly 0.1% ingest thus pays 0.1%-sized clustering,
+    * not a full recluster. Uses [[connectedComponentsStar]] for the
+    * subgraph (diameter-robust; chains of merges across many rounds of
+    * ingest are exactly where diameter grows).
+    */
+  def incrementalComponents(oldLabels: DataFrame, newIds: DataFrame,
+                            idCol: String, newPairs: DataFrame,
+                            scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    requireIntegralId(newIds, idCol, "incrementalComponents")
+    val old = oldLabels.select(col("id").cast("long").as("id"),
+      col("rep_id").cast("long").as("rep_id"))
+    val fresh = newIds.select(col(idCol).cast("long").as("id"))
+    // contract pair endpoints to current representatives (new ids are
+    // their own reps) — two linear id-keyed joins against the label table
+    val e = newPairs.select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+    val contracted = e
+      .join(old.select(col("id").as("a"), col("rep_id").as("ra")), Seq("a"), "left")
+      .join(old.select(col("id").as("b"), col("rep_id").as("rb")), Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("d1"),
+        coalesce(col("rb"), col("b")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    // the touched subgraph is ingest-batch-sized: pin it so the CC
+    // loop's rounds, the vertex derivation, and the final label joins
+    // share one materialization (scope-released, not eagerly unpersisted
+    // — the output plan still references it lazily)
+    val cached = scope.pin(contracted)
+    val touched = cached.select(col("d1").as("id"))
+      .union(cached.select(col("d2").as("id"))).distinct()
+    val sub = connectedComponentsStar(touched, "id", cached)
+      .select(col("id").as("t_id"), col("rep_id").as("t_rep"))
+    // compose: members of touched old components re-point at the merged
+    // rep; everything else keeps its label. One rep-keyed join each side
+    // (sub is batch-sized — broadcast-able at real scale).
+    val updatedOld = old
+      .join(sub, old("rep_id") === sub("t_id"), "left")
+      .select(col("id"), coalesce(col("t_rep"), col("rep_id")).as("rep_id"))
+    val updatedNew = fresh
+      .join(sub, fresh("id") === sub("t_id"), "left")
+      .select(col("id"), coalesce(col("t_rep"), col("id")).as("rep_id"))
+    updatedOld.union(updatedNew)
+  }
+
   /** The corpus-level dedup TRANSFORM: keep exactly one representative
     * document per near-dup component (the smallest id), tagged with the
     * component size — the step that actually shrinks a training corpus
