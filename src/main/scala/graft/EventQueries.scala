@@ -10,8 +10,9 @@ import graft.QueryDefs._
   * watermark by file replay; StreamingSpec asserts stream ≡ batch for all
   * three window shapes).
   *
-  * `events.ts` is nanos in parquet; the Spark loader truncates to µs
-  * (Tables.open), and the oracle mirrors with CAST(ts AS TIMESTAMP).
+  * `events.ts` arrives at µs precision whatever the fixture generation
+  * stored (Tables.normalizeEventsTs adapts nanos-as-long and native-micros
+  * encodings); the oracle mirrors with CAST(ts AS TIMESTAMP).
   */
 object EventQueries {
 
@@ -107,6 +108,47 @@ object EventQueries {
         Seq(count(lit(1)).as("cnt")))
         .select(col("user_id"), col("session_start"), col("cnt"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ---- Ordered conversion funnel (view -> click -> purchase) -------------
+    // Each step anchors at the user's earliest qualifying event STRICTLY
+    // after the previous step's time; output is per-step reached-user
+    // counts. k tiny user-keyed min-aggregations — never a per-user
+    // event-list collect.
+    Q("events_funnel",
+      """WITH s1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+        |ORDER BY step""".stripMargin) {
+      (s, d) => Funnels.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    },
+
+    // ---- Cohort retention (weekly) -----------------------------------------
+    // Users bucket by first-event week; each (cohort, offset) cell counts
+    // users active that week. Deterministic 7-day buckets from the
+    // corpus' earliest event date (no ISO-week dependency).
+    Q("events_retention",
+      """WITH o AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |uw AS (SELECT DISTINCT user_id,
+        |         CAST(floor(date_diff('day', o.d0, CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+        |       FROM events, o),
+        |c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1)
+        |SELECT cw AS cohort_week, w - cw AS week_offset, COUNT(*) AS n_users
+        |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) {
+      (s, d) => Funnels.retention(t(s, d, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 }
