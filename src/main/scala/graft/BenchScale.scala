@@ -38,7 +38,8 @@ object BenchScale {
   private val measured: Seq[String] = Seq(
     // anchor 12
     "summary_count", "basic_stats", "histogram_1d", "heatmap_2d",
-    "heavy_hitters", "approx_distinct", "quantiles", "next_k_page",
+    "heavy_hitters", "approx_distinct", "quantiles", "quantiles_per_group",
+    "next_k_page",
     "filter_count", "join_q3lite", "window_rank", "events_time_window",
     // relational stress
     "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",

@@ -283,6 +283,27 @@ object CoreQueries {
       (s, d) => Quantiles.approx(t(s, d, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
     },
 
+    // ---- Exact per-group quantiles via the histogram cut -------------------
+    // Rank-ceil(q*n) order statistics per group WITHOUT a per-group sort:
+    // per-(group, bin) counts -> driver rank cuts -> only boundary-bin
+    // rows windowed. The oracle is the naive full row_number() rank
+    // selection, so the hash certifies the cut plan's exactness.
+    Q("quantiles_per_group",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL)
+        |SELECT l_returnflag, q, v AS value
+        |FROM r CROSS JOIN (SELECT UNNEST([CAST(0.25 AS DOUBLE), 0.5, 0.75, 0.99]) AS q) p
+        |WHERE rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+        |ORDER BY l_returnflag, q""".stripMargin) {
+      (s, d) => sortSmall(
+        Quantiles.exactPerGroup(t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+          Seq(0.25, 0.5, 0.75, 0.99)),
+        col("l_returnflag"), col("q"))
+    },
+
     // ---- NextKSketch: dedup page under RecordOrder -------------------------
     Q("next_k_page",
       """SELECT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate, l_orderkey, cnt

@@ -70,6 +70,85 @@ object Quantiles {
     } finally vals.unpersist()
   }
 
+  /** EXACT discrete quantiles PER GROUP without a per-group sort — the
+    * histogram-cut pattern ([[Sampling.selectByBudget]]'s sibling):
+    * the naive `row_number().over(partitionBy(group).orderBy(v))` sorts
+    * every group's full value set through one task per group, which is
+    * precisely what dies when a 100 TB table has 6 groups. Instead:
+    *  1. per-(group, bin) counts on a coarse monotone grid (one linear
+    *     shuffle; sketch-sized result, guarded);
+    *  2. the driver walks each group's bins in value order to locate,
+    *     for every requested quantile q, the boundary bin holding rank
+    *     `max(1, ceil(q·n))` and the residual rank within it;
+    *  3. ONLY boundary-bin rows (≈ 1/bins of each group) are windowed to
+    *     pick the exact order statistic.
+    * Binning is exactness-preserving (monotone grid ⇒ bins are
+    * consecutive value ranges; the within-bin refinement orders by the
+    * exact value), and the discrete rank-`ceil(q·n)` semantics are the
+    * engine-portable ones (no interpolation — the value RETURNED exists
+    * in the data). Ties are value-ties, so any value-consistent order
+    * yields the same order statistic. Nulls are dropped; NaN ranks above
+    * every value (Spark sort order) — mirror the oracle accordingly.
+    * Returns (group, q, value), one row per (group, requested q).
+    */
+  def exactPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                    probs: Seq[Double], binScale: Int = 2,
+                    maxHistRows: Int = 1 << 20,
+                    scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    val rows = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    // NaN: floor(NaN·s) is null-ish — bin NaN explicitly ABOVE all finite
+    // bins so its grid position matches its sort position
+    val binExpr = when(isnan(col("v")), lit(Long.MaxValue))
+      .otherwise(floor(col("v") * math.pow(10, binScale)).cast("long"))
+    val binned = scope.pin(rows.withColumn("__bin", binExpr))
+    val hist = binned.groupBy(col("g"), col("__bin"))
+      .agg(count(lit(1)).as("c"))
+      .limit(maxHistRows + 1).collect()
+    require(hist.length <= maxHistRows,
+      s"exactPerGroup histogram exceeds $maxHistRows (group, bin) rows — " +
+        "lower binScale or raise maxHistRows")
+    // driver walk: per group, ascending bins; per prob, the boundary bin
+    // and within-bin residual rank
+    val cuts = hist.groupBy(_.get(0)).flatMap { case (g, rs) =>
+      val bins = rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val n = bins.map(_._2).sum
+      probs.map { p =>
+        val target = math.max(1L, math.ceil(p * n).toLong)
+        var cum = 0L
+        var bin = Long.MinValue
+        var within = 0L
+        val it = bins.iterator
+        while (it.hasNext && bin == Long.MinValue) {
+          val (b, c) = it.next()
+          if (cum + c >= target) { bin = b; within = target - cum }
+          else cum += c
+        }
+        Row(g, p, bin, within)
+      }
+    }.toSeq
+    val groupField = df.schema(df.schema.fieldIndex(groupCol))
+    val cutSchema = StructType(Seq(
+      groupField.copy(name = "g"),
+      StructField("q", DoubleType, nullable = false),
+      StructField("__bin", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("__rk", org.apache.spark.sql.types.LongType, nullable = false)))
+    val cutDf = spark.createDataFrame(java.util.Arrays.asList(cuts: _*), cutSchema)
+    // boundary fetch: rows of the right (group, bin) fan out per requested
+    // q (bins rarely coincide across probs, and the fan-out is bounded by
+    // |probs|), then a window over (group, q) — boundary-bin-sized — picks
+    // the exact order statistic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("q")).orderBy(col("v").asc)
+    binned.join(broadcast(cutDf), Seq("g", "__bin"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === col("__rk"))
+      .select(col("g").as(groupCol), col("q"), col("v").as("value"))
+  }
+
   /** Approximate percentiles — GK sketch, the single-pass bounded-memory
     * path (one shared sketch for all probs).
     */

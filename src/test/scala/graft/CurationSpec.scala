@@ -116,6 +116,44 @@ class CurationSpec extends SparkSpec {
     assert(asc == wantAsc)
   }
 
+  test("exactPerGroup quantiles: parity with full row_number rank selection") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.99, 1.0)
+    def naive(df: DataFrame): Set[(String, Double, Double)] = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v").asc)
+      df.select(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .crossJoin(probs.toDF("q"))
+        .filter(col("rn") === greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+        .select("l_returnflag", "q", "v")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    }
+    val got = operators.Quantiles
+      .exactPerGroup(li, "l_returnflag", "l_quantity", probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == naive(li))
+    // every (group, prob) pair present
+    assert(got.size == li.select("l_returnflag").distinct().count() * probs.size)
+  }
+
+  test("exactPerGroup quantiles: coarse single-bin grid stays exact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // binScale -2: l_quantity in [1, 50] collapses into one bin — the
+    // whole selection goes through the boundary window
+    val coarse = operators.Quantiles
+      .exactPerGroup(li, "l_returnflag", "l_quantity", Seq(0.5), binScale = -2)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    val fine = operators.Quantiles
+      .exactPerGroup(li, "l_returnflag", "l_quantity", Seq(0.5), binScale = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(coarse == fine)
+  }
+
   test("topKPerGroup: groups smaller than k return whole group; payload survives") {
     import spark.implicits._
     val rows = Seq((1L, "a", 5L, 0.3), (2L, "a", 6L, 0.2), (3L, "b", 7L, 0.1))

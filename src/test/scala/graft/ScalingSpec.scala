@@ -63,6 +63,41 @@ class ScalingSpec extends SparkSpec {
     acc.get()
   }
 
+  test("selectByBudget windows only boundary-bin rows, not the corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    // one group, spread scores: with binScale 3 the boundary bin holds
+    // ~1/1000 of the rows, so the histogram-cut plan's total shuffle sits
+    // far below the naive window's (which shuffles every row into the
+    // per-group sort + cumsum)
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      (i.toLong, "g", 1L + rnd.nextInt(20).toLong, rnd.nextDouble())
+    }.toDF("id", "grp", "w", "score")
+    rows.cache().count()
+    val naive = shuffleRecords {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+      rows.withColumn("__cum", sum(col("w")).over(win))
+        .filter(col("__cum") <= 50000)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val cut = shuffleRecords {
+      CacheScope.scoped { scope =>
+        graft.operators.Sampling
+          .selectByBudget(rows, "grp", "id", "w", "score", 50000, scope = scope)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    rows.unpersist()
+    // naive shuffles ≥ n rows (every row through the window sort); the
+    // cut plan shuffles the histogram (≤ 1001 bins) + boundary-bin rows
+    assert(naive >= n,
+      s"naive window expected to shuffle the corpus, saw $naive")
+    assert(cut < n / 2,
+      s"histogram cut should shuffle far less than the corpus: $cut vs $n")
+  }
+
   test("contamination shuffles only matching pairs, never the train shingle set") {
     import spark.implicits._
     val rnd = new scala.util.Random(3L)
