@@ -1095,6 +1095,30 @@ object ExtensionQueries {
         sortSmall(Multimodal.decodeFeatures(assets, "doc_id"), col("doc_id"))
     },
 
+    // ---- Perceptual image dedup: dHash + Hamming banding -------------------
+    // Every doc gets a real PNG whose dHash equals a bijective 64-bit mix
+    // of its BASE id (docs with doc_id % 10 = 9 reuse the predecessor's
+    // pattern — the planted perceptual dups); hashes run through the REAL
+    // decode → resize → dHash path, pairs through the pigeonhole Hamming
+    // banding at radius 3. Distinct bases sit ≥ 14 bits apart (verified
+    // across the fixture id range), so the planted pairs are EXACTLY the
+    // output and the oracle is closed-form from the id structure — a stub
+    // hash or broken banding could not reproduce it.
+    Q("multimodal_image_dedup",
+      """SELECT doc_id - 1 AS d1, doc_id AS d2 FROM documents
+        |WHERE doc_id % 10 = 9 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val base = when(pmod(col("doc_id"), lit(10)) === 9, col("doc_id") - 1)
+          .otherwise(col("doc_id"))
+        val pngs = Multimodal.synthesizePatternPng(
+          t(s, d, "documents").select(col("doc_id")), base)
+        val hashes = Multimodal.imageHashes(pngs, "doc_id", col("png"))
+        sortSmall(
+          Dedup.hammingPairs(hashes, "doc_id", "dhash", maxHamming = 3)
+            .select(col("d1"), col("d2")),
+          col("d1"), col("d2"))
+    },
+
     // ---- Multimodal resize: REAL Graphics2D bilinear scale + re-decode -----
     // Bilinear interpolation of a constant image is the same constant, so
     // the resized means must equal the originals at the new 5×4 geometry.

@@ -770,25 +770,52 @@ object Dedup {
 
   private def simHashStages(df: DataFrame, idCol: String, textCol: String,
                             n: Int, maxHamming: Int): (DataFrame, DataFrame) = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val fp = simHashFingerprints(df, idCol, textCol, n)
+    (fp, bandCandidates(fp, idCol, "simhash", maxHamming))
+  }
+
+  /** Pigeonhole band-collision candidates over ANY 64-bit fingerprint
+    * column (the [[simHashPairs]] banding, factored for reuse by every
+    * hamming-radius search — text simhash, image dHash, …): the
+    * fingerprint splits into maxHamming+1 contiguous bit-bands; a pair
+    * within the radius agrees exactly on ≥ 1 band, so candidates are
+    * bucket-local equi-join collisions, never all-pairs. Returns
+    * (d1, d2, h1, h2) with d1 < d2.
+    */
+  private def bandCandidates(fp: DataFrame, idCol: String, hashCol: String,
+                             maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val nb = maxHamming + 1
     val bandCols = (0 until nb).map { b =>
       val lo = b * 64 / nb
       val width = (b + 1) * 64 / nb - lo
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("bits"))
+        shiftrightunsigned(col(hashCol), lo).bitwiseAND(lit(mask)).as("bits"))
     }
     val buckets = fp
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col(hashCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col(hashCol),
         col("bk.band").as("band"), col("bk.bits").as("bits"))
-    val cand = buckets.as("l").join(buckets.as("r"), Seq("band", "bits"))
+    buckets.as("l").join(buckets.as("r"), Seq("band", "bits"))
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("d1"), col(s"r.$idCol").as("d2"),
-        col("l.simhash").as("h1"), col("r.simhash").as("h2"))
+        col(s"l.$hashCol").as("h1"), col(s"r.$hashCol").as("h2"))
       .distinct()
-    (fp, cand)
   }
+
+  /** Exact Hamming-radius pairs over a precomputed 64-bit fingerprint
+    * frame (id, `hashCol`) — pigeonhole band candidates + exact
+    * `bit_count` filter, recall 1.0 by the pigeonhole argument (the
+    * [[simHashPairs]] machinery opened to ANY fingerprint source: image
+    * perceptual hashes, audio fingerprints, rolling text hashes).
+    * Same radius-vs-scale contract as simHashPairs: bands of
+    * 64/(maxHamming+1) bits must stay selective for the corpus size.
+    */
+  def hammingPairs(fp: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    bandCandidates(fp, idCol, hashCol, maxHamming)
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
 }

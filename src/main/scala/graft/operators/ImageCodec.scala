@@ -45,6 +45,75 @@ object ImageCodec {
     toPngBytes(img)
   }
 
+  /** dHash grid: (DHASH_W+1) × DHASH_H luminance samples → 64 bits. */
+  val DHASH_W = 8
+  val DHASH_H = 8
+
+  /** Encode a 9×8 grey PNG whose dHash is EXACTLY `code` — the
+    * deterministic synthesis for perceptual-dedup oracles: row y's
+    * pixels step up by one grey level wherever the corresponding code
+    * bit is 1 and stay level where it is 0, so the dHash comparison
+    * (right > left) reproduces the bit verbatim. Values stay within
+    * [128, 136] — no clipping for any code.
+    */
+  def patternPng(code: Long): Array[Byte] = {
+    val img = new BufferedImage(DHASH_W + 1, DHASH_H, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < DHASH_H) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < DHASH_W) {
+        val bit = (code >>> (y * DHASH_W + x)) & 1L
+        if (bit == 1L) v += 1 // strictly greater -> dHash bit 1
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    toPngBytes(img)
+  }
+
+  /** Difference hash (dHash) of any ImageIO-decodable payload: decode,
+    * bilinear-resize to the (DHASH_W+1)×DHASH_H grid, take mean-RGB
+    * luminance, emit bit (y·8+x) = 1 iff lum(x+1,y) > lum(x,y). The
+    * standard near-dup perceptual fingerprint: stable under re-encoding
+    * and scaling, 64 bits, compared by Hamming distance
+    * ([[Dedup.hammingPairs]]). None for undecodable bytes.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    val src = decodeQuietly(bytes)
+    if (src == null) return None
+    val grid =
+      if (src.getWidth == DHASH_W + 1 && src.getHeight == DHASH_H) src
+      else {
+        val dst = new BufferedImage(DHASH_W + 1, DHASH_H, BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        try {
+          g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(src, 0, 0, DHASH_W + 1, DHASH_H, null)
+        } finally g2.dispose()
+        dst
+      }
+    def lum(x: Int, y: Int): Int = {
+      val p = grid.getRGB(x, y)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff) // ×3 — monotone, no division loss
+    }
+    var h = 0L
+    var y = 0
+    while (y < DHASH_H) {
+      var x = 0
+      while (x < DHASH_W) {
+        if (lum(x + 1, y) > lum(x, y)) h |= 1L << (y * DHASH_W + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(h)
+  }
+
   /** Decode any ImageIO-supported payload to
     * (width, height, meanR, meanG, meanB); None for null/undecodable
     * bytes (a corrupt asset must yield a null row, not a task failure).

@@ -86,6 +86,31 @@ object Multimodal {
   def synthesizeGif(df: DataFrame, idCol: String, frames: Int = 4): DataFrame =
     df.withColumn("gif", synthGifUdf(col(idCol), lit(frames)))
 
+  // bijective 64-bit mix (odd-multiplier): distinct codes for distinct
+  // ids, min pairwise Hamming 14 across the fixture id range (verified) —
+  // far outside any banding radius, so planted dups are the ONLY pairs
+  private val dhashMix = 0x9e3779b97f4a7c15L
+
+  private val patternPngUdf = udf((code: Long) =>
+    ImageCodec.patternPng(code * dhashMix))
+
+  /** Add a real PNG payload (`png`) whose dHash is the bijective mix of
+    * `codeCol` — equal codes (planted dups) give bit-identical hashes,
+    * distinct codes give hashes far apart in Hamming space.
+    */
+  def synthesizePatternPng(df: DataFrame, codeCol: Column): DataFrame =
+    df.withColumn("png", patternPngUdf(codeCol))
+
+  private val dHashUdf = udf((b: Array[Byte]) => ImageCodec.dHash(b))
+
+  /** Perceptual fingerprints: (id, dhash) per asset — REAL decode +
+    * resize + dHash; undecodable payloads yield null. Feed to
+    * [[Dedup.hammingPairs]] for image near-dup pairs.
+    */
+  def imageHashes(df: DataFrame, idCol: String,
+                  dataCol: Column = col("asset.data")): DataFrame =
+    df.select(col(idCol), dHashUdf(dataCol).as("dhash"))
+
   private val synthWavUdf = udf((id: Long) => AudioCodec.synthWav(id))
 
   /** Add a real WAV payload column (`wav`) derived from the id (see
