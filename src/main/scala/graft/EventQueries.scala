@@ -149,6 +149,24 @@ object EventQueries {
         |ORDER BY 1, 2""".stripMargin) {
       (s, d) => Funnels.retention(t(s, d, "events"), "user_id", "ts")
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // ---- Mergeable HLL sketch table: weekly rollup WITHOUT rescanning ------
+    // Build per-(week, day) user sketches once, answer the weekly
+    // distinct-user rollup by sketch UNION — the reference's mergeable-
+    // sketch model as a persistable artifact (no_oracle: HLL estimates;
+    // SketchTablesSpec pins accuracy, merge≡direct, and the parquet
+    // round trip).
+    Q.noOracle("events_distinct_rollup") {
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("week", weekofyear(col("ts")))
+        val daily = SketchTables.hllTable(ev, Seq("week", "day"), "user_id")
+        sortSmall(
+          SketchTables.hllEstimate(SketchTables.hllRollup(daily, Seq("week"))),
+          col("week"))
+      }
     }
   )
 }

@@ -78,9 +78,13 @@ class PlanGuardSpec extends SparkSpec {
       // documented cap — the k-means|| driver-memory contract);
       // appendToIvfIndex: stored centroid table (nlist rows)
       "Similarity.scala"    -> 10,
-      "Quantiles.scala"     -> 1,  // ≤ 2·|probs| order statistics
+      // exact: ≤ 2·|probs| order statistics; exactPerGroup: the
+      // (group, bin) histogram, ≤ maxHistRows by the guarded contract
+      "Quantiles.scala"     -> 2,
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
-      "Sampling.scala"      -> 1)  // temperatureMix: one row per source
+      // temperatureMix: one row per source; selectByBudget: the
+      // (group, bin) histogram, ≤ maxHistRows by the guarded contract
+      "Sampling.scala"      -> 2)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
