@@ -61,6 +61,10 @@ object Repl {
       |  contaminate <trainView> <evalView> <n> <minHits>
       |                                         train docs sharing >= minHits n-gram
       |                                         shingles with the eval view
+      |  funnel <view> <type1> <type2> [...]    ordered conversion funnel over an
+      |                                         events view: per-step user counts
+      |  retention <view>                       weekly cohort retention over an
+      |                                         events view (cohort, offset, users)
       |  lmscore <lmView> <view>                bigram-LM cross-entropy of <view> docs
       |                                         under a model trained on <lmView>
       |  lineage <view>                         root-to-leaf chain of a view
@@ -198,6 +202,14 @@ object Repl {
           .temperatureMix(df(vid), srcCol, t.toDouble, target.toLong)
           .groupBy(col(srcCol)).agg(count(lit(1)).as("kept"))
           .orderBy(col(srcCol)))
+      case "funnel" :: vid :: steps if steps.size >= 2 =>
+        render(graft.operators.Funnels
+          .funnel(df(vid), "user_id", "event_type", "ts", steps)
+          .orderBy(col("step")))
+      case "retention" :: vid :: Nil =>
+        render(graft.operators.Funnels
+          .retention(df(vid), "user_id", "ts")
+          .orderBy(col("cohort_week"), col("week_offset")))
       case "budget" :: vid :: tokens :: Nil =>
         // the curated corpus joins the lineage as a child view (like
         // `dedup`): later verbs compose over the budget-selected docs

@@ -165,4 +165,27 @@ class ReplSpec extends SparkSpec {
     assert(out.contains("documents-1 -> dedup-2 -> filter-3"),
       s"dedup view must join the lineage chain:\n$out")
   }
+
+  test("funnel and retention verbs render product analytics; budget/cap register curated views") {
+    val out = script(
+      "open events",
+      "funnel events-1 view click purchase",
+      "retention events-1",
+      "open documents",
+      "budget documents-2 300",
+      "cap documents-2 5",
+      "lineage cap-4",
+      "quit")
+    val fHeader = out.linesIterator.indexWhere(_.startsWith("step\tevent_type\tn_users"))
+    assert(fHeader >= 0, s"funnel must render a step table:\n$out")
+    assert(out.linesIterator.drop(fHeader + 1).next().startsWith("1\tview"),
+      s"funnel step 1 must be the anchor type:\n$out")
+    assert(out.linesIterator.exists(_.startsWith("cohort_week\tweek_offset\tn_users")),
+      s"retention must render cohort cells:\n$out")
+    // budget/cap register curated child views composable downstream
+    assert(out.contains("view budget-3"), out)
+    assert(out.contains("view cap-4"), out)
+    assert(out.contains("documents-2 -> cap-4"),
+      s"cap view must join the lineage chain:\n$out")
+  }
 }
