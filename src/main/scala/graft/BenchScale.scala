@@ -54,7 +54,9 @@ object BenchScale {
     // export side (map-side pure expressions — the exponent should be ~I/O)
     "pipeline_split_counts", "pipeline_shuffle_shards",
     // budget/cap curation (histogram cut + bounded page aggregate)
-    "pipeline_token_budget", "pipeline_source_cap",
+    "pipeline_token_budget", "pipeline_source_cap", "pipeline_quality_tiers",
+    // perceptual image dedup (map-side hash + pigeonhole banding)
+    "multimodal_image_dedup",
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf")
 

@@ -841,6 +841,53 @@ object ExtensionQueries {
       }
     },
 
+    // ---- Quality tiers: per-source tercile thresholds -> tier rollup -------
+    // Composition of exactPerGroup (histogram-cut rank selection) with a
+    // broadcast threshold join: per-source tercile cut points over the
+    // quality score, every doc assigned its tier map-side, then a
+    // (source, tier) rollup. The oracle recomputes the same rank-based
+    // thresholds via the naive window — certifying the whole composed
+    // flow, cut plan included.
+    Q("pipeline_quality_tiers",
+      raw"""WITH q AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS BIGINT) * 1.0
+        |      / CAST(len(toks) AS BIGINT), 6) AS score
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |r AS (
+        |  SELECT source, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM q),
+        |t AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(n * (1.0/3.0)) AS BIGINT)) THEN score END) AS t1,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(n * (2.0/3.0)) AS BIGINT)) THEN score END) AS t2
+        |  FROM r GROUP BY source)
+        |SELECT q.source,
+        |  CASE WHEN score <= t1 THEN 0 WHEN score <= t2 THEN 1 ELSE 2 END AS tier,
+        |  COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        |FROM q JOIN t ON q.source = t.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val scored = TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text",
+          passthrough = Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            round(col("stop_ratio"), 6).as("score"))
+        val th = Quantiles.exactPerGroup(scored, "source", "score",
+          Seq(1.0 / 3, 2.0 / 3))
+        val t1 = th.filter(col("q") < 0.5).select(col("source"), col("value").as("t1"))
+        val t2 = th.filter(col("q") > 0.5).select(col("source"), col("value").as("t2"))
+        scored.join(broadcast(t1), Seq("source")).join(broadcast(t2), Seq("source"))
+          .withColumn("tier",
+            when(col("score") <= col("t1"), 0)
+              .when(col("score") <= col("t2"), 1).otherwise(2))
+          .groupBy(col("source"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("source"), col("tier"))
+      }
+    },
+
     // ---- Per-source cap: k best docs per source ----------------------------
     // Deterministic top-k per group by quality — over-represented-domain
     // control. Bounded page aggregate (partitions·sources·k rows shuffle),
