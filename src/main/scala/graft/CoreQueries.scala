@@ -518,6 +518,20 @@ object CoreQueries {
         .orderBy(col("source"))
     },
 
+    // ---- Token-weighted temperature mixing (the budgeted form) -------------
+    Q.noOracle("sample_temperature_tokens") {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withTok = docs.join(
+          TextOps.tokenCount(docs, "doc_id", "text"), Seq("doc_id"))
+        Sampling.temperatureMixTokens(withTok, "source", "n_tokens",
+            temperature = 2.0, targetTokens = 8000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("source"))
+      }
+    },
+
     // ---- CorrMatrixSketch (one cell, exact moments) ------------------------
     Q("correlation",
       """SELECT n, (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr_val

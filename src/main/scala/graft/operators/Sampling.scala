@@ -94,6 +94,34 @@ object Sampling {
         payload.toIndexedSeq.map(c => col(s"e.key.$c").as(c)): _*)
   }
 
+  /** [[temperatureMix]] weighted by TOKENS instead of rows — the form a
+    * training-data pipeline actually budgets in: source s with W_s total
+    * tokens is sampled at a row rate making its EXPECTED token share of
+    * the output ∝ W_s^(1/T), clamped at keeping every row, with
+    * `targetTokens` expected output tokens overall. Rows sample
+    * uniformly within a source, so expected sampled tokens = rate·W_s
+    * exactly, whatever the per-doc length distribution.
+    *
+    * Same scale shape as temperatureMix: one sketch-sized weight
+    * aggregation (one row per source), then per-partition `sampleBy` —
+    * no shuffle, seeded, deterministic.
+    */
+  def temperatureMixTokens(df: DataFrame, sourceCol: String, weightCol: String,
+                           temperature: Double, targetTokens: Long,
+                           seed: Long = 42L): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val weights = df.groupBy(sourceCol)
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect() // one row per SOURCE — sketch-sized by contract
+      .map(r => r.get(0) -> r.getLong(1))
+    val scaled = weights.map { case (k, w) => (k, w, math.pow(w.toDouble, 1.0 / temperature)) }
+    val z = scaled.map(_._3).sum
+    val fractions: Map[Any, Double] = scaled.map { case (k, w, p) =>
+      k -> math.min(1.0, targetTokens * p / z / w.toDouble)
+    }.toMap
+    df.stat.sampleBy(df(sourceCol), fractions, seed)
+  }
+
   /** Greedy PREFIX selection under a per-group weight budget — the
     * corpus-curation primitive "per source, keep the highest-quality
     * documents until the token budget is spent": order each group by

@@ -763,6 +763,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(flat("big") < 0.55, s"high-T share still skewed: $flat")
   }
 
+  test("temperatureMixTokens budgets TOKEN shares, independent of doc-length skew") {
+    import spark.implicits._
+    // 'big' holds many SHORT docs, 'fat' few LONG docs — equal token mass
+    // (5000 each); row-based mixing would sample 'big' 10x more ROWS, but
+    // token-weighted mixing at T=1 must return ~equal token masses
+    val rows = Seq.tabulate(1000)(i => ("big", i.toLong, 5L)) ++
+      Seq.tabulate(100)(i => ("fat", 10000L + i, 50L))
+    val df = rows.toDF("src", "id", "n_tok")
+    val got = Sampling.temperatureMixTokens(df, "src", "n_tok",
+        temperature = 1.0, targetTokens = 5000L)
+      .groupBy("src").agg(sum("n_tok").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = got.values.sum.toDouble
+    // expected: 2500 tokens each (share 0.5); allow Bernoulli noise
+    assert(math.abs(got("big") / tot - 0.5) < 0.1, got.toString)
+    assert(tot > 3500 && tot < 6500, s"total tokens off target: $tot")
+  }
+
   test("chunkTokens equals the sequential model on randomized lengths") {
     import spark.implicits._
     val rnd = new scala.util.Random(5L)
