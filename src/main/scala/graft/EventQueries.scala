@@ -151,6 +151,31 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
+    // ---- Window-count anomaly detection (z-score per (hour, type)) ---------
+    // Moments from EXACT integer sums so both engines compute identical
+    // doubles (distributed aggregation order cannot perturb an integer
+    // sum); z rounded to 6 before the threshold compare.
+    Q("events_anomaly",
+      """WITH w AS (
+        |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |         event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(cnt) AS s1, SUM(cnt * cnt) AS s2
+        |  FROM w GROUP BY 1)
+        |SELECT window_start, w.event_type, cnt,
+        |       round((cnt - s1 * 1.0 / n) /
+        |             sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1)), 6) AS z
+        |FROM w JOIN m ON w.event_type = m.event_type
+        |WHERE n > 1 AND s2 * n > s1 * s1
+        |  AND ABS(round((cnt - s1 * 1.0 / n) /
+        |            sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1)), 6)) > 2.0
+        |ORDER BY 1, 2""".stripMargin) {
+      (s, d) => Funnels.countAnomalies(t(s, d, "events"), "event_type", "ts")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
     // ---- Mergeable HLL sketch table: weekly rollup WITHOUT rescanning ------
     // Build per-(week, day) user sketches once, answer the weekly
     // distinct-user rollup by sketch UNION — the reference's mergeable-

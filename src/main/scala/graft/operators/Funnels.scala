@@ -50,6 +50,40 @@ object Funnels {
     counts.reduce(_.unionByName(_))
   }
 
+  /** Window-count anomaly detection: bucket events into fixed windows
+    * per `typeCol`, score each (window, type) count against that type's
+    * mean/stddev across windows, keep |z| > `zThreshold`. The monitoring
+    * query over an event pipeline ("which hours spiked?").
+    *
+    * Determinism note (engine-portable on purpose): moments are computed
+    * from EXACT integer sums (Σcnt, Σcnt² as longs — counts are
+    * integers), converted to double only in the final z expression, so
+    * Spark's unordered distributed aggregation and a single-threaded
+    * oracle produce bit-identical scores. Two linear shuffles (window
+    * counts, per-type moments — the latter sketch-sized).
+    */
+  def countAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                     width: String = "1 hour",
+                     zThreshold: Double = 2.0): DataFrame = {
+    val w = events
+      .groupBy(window(col(tsCol), width).as("w"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(Det.fmtTs(col("w.start")).as("window_start"), col(typeCol), col("cnt"))
+    val mom = w.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    val mu = col("s1") * lit(1.0) / col("n")
+    val varS = (col("s2") - col("s1") * col("s1") * lit(1.0) / col("n")) / (col("n") - 1)
+    w.join(broadcast(mom), Seq(typeCol))
+      // n > 1 AND variance > 0, tested in EXACT integer arithmetic
+      // (n·s2 > s1² ⟺ var > 0): a type whose every window has the same
+      // count has no z-score (and would divide by zero under ANSI)
+      .filter(col("n") > 1 && col("s2") * col("n") > col("s1") * col("s1"))
+      .withColumn("z", round((col("cnt") - mu) / sqrt(varS), 6))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("window_start"), col(typeCol), col("cnt"), col("z"))
+  }
+
   /** Cohort retention: bucket every user by the WEEK of their first
     * event (cohort), then count, for each (cohort week, week offset ≥ 0),
     * the distinct users with any activity that week. Weeks are 7-day

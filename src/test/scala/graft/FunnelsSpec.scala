@@ -66,6 +66,23 @@ class FunnelsSpec extends SparkSpec {
       (1L, 0L) -> 1L))
   }
 
+  test("countAnomalies flags a planted spike and nothing else") {
+    import spark.implicits._
+    // 20 calm hours of 10 events + one 100-event spike for type 'a';
+    // type 'b' stays flat (no row may be flagged for it)
+    val calm = for (h <- 0 until 20; i <- 0 until 10)
+      yield ("a", ts(f"2024-01-01 $h%02d:00:${i % 60}%02d"))
+    val spike = (0 until 100).map(i => ("a", ts(f"2024-01-02 05:00:${i % 60}%02d.${i}%03d")))
+    val flat = for (h <- 0 until 21; i <- 0 until 10)
+      yield ("b", ts(f"2024-01-01 $h%02d:30:${i % 60}%02d"))
+    val ev = (calm ++ spike ++ flat).toDF("event_type", "ts")
+    val got = Funnels.countAnomalies(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 1, s"expected only the planted spike: ${got.mkString}")
+    assert(got.head._1 == "2024-01-02 05:00:00" && got.head._2 == "a" &&
+      got.head._3 == 100L)
+  }
+
   test("retention: every user appears exactly once at offset 0") {
     val ev = graft.sources.Tables.open(spark, sf, "events")
     val ret = Funnels.retention(ev, "user_id", "ts")
