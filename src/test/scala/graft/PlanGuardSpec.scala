@@ -82,9 +82,10 @@ class PlanGuardSpec extends SparkSpec {
       // (group, bin) histogram, ≤ maxHistRows by the guarded contract
       "Quantiles.scala"     -> 2,
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
-      // temperatureMix: one row per source; selectByBudget: the
-      // (group, bin) histogram, ≤ maxHistRows by the guarded contract
-      "Sampling.scala"      -> 2)
+      // temperatureMix + temperatureMixTokens: one row per source each;
+      // selectByBudget: the (group, bin) histogram, ≤ maxHistRows by the
+      // guarded contract
+      "Sampling.scala"      -> 3)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
