@@ -561,6 +561,33 @@ object ExtensionQueries {
           .orderBy(col("shard"), col("pos"))
     },
 
+    // ---- JSONL shard export round trip -------------------------------------
+    // The wire format a training corpus ships in: shuffled shards
+    // materialized as Hive-partitioned JSON-lines files, re-read with
+    // the generic JSON source. The re-read rows must reproduce the
+    // shuffleShards layout EXACTLY (same oracle family as
+    // pipeline_shuffle_shards plus a text checksum per row), so the
+    // row certifies writer, partitioning, and reader end to end.
+    Q("pipeline_export_jsonl",
+      """WITH h AS (SELECT doc_id, text, md5(doc_id || ':42') AS hx FROM documents),
+        |s AS (SELECT doc_id, text, hx,
+        |             CAST(('0x' || substring(hx, 1, 6)) AS BIGINT) % 8 AS shard
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos,
+        |       md5(COALESCE(text, '')) AS text_md5
+        |FROM s ORDER BY shard, pos""".stripMargin) {
+      (s, d) => {
+        val dir = QueryDefs.ioDir(d, "jsonl_shards")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        Export.writeJsonlShards(docs, "doc_id", 8, dir)
+        graft.sources.Tables.json(s, dir)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("pos"), md5(coalesce(col("text"), lit(""))).as("text_md5"))
+          .orderBy(col("shard"), col("pos"))
+      }
+    },
+
     // ---- Sub-document dedup, transform form --------------------------------
     // The cleaned documents themselves: kept (non-boilerplate) spans
     // re-joined in span order. The oracle replays the identical chunking,

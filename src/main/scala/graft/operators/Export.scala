@@ -46,6 +46,24 @@ object Export {
     df.withColumn("split", label)
   }
 
+  /** Materialize a shuffled-shard layout as JSONL shard files — the
+    * wire format training corpora actually ship in: one directory per
+    * call, one `part-*` JSON-lines file per shard (Hive-partitioned by
+    * `shard`), rows within a file in the deterministic hash order
+    * [[shuffleShards]] assigns. The write is fully distributed (one
+    * task per shard after the in-partition sort); re-reading with
+    * `spark.read.json` restores the exact rows — the round trip is the
+    * catalog row's oracle.
+    */
+  def writeJsonlShards(df: DataFrame, idCol: String, nShards: Int,
+                       path: String, seed: Long = 42L): Unit =
+    shuffleShards(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .json(path)
+
   /** Shuffled shard layout: assigns every row a `shard` in [0, nShards)
     * and a `pos` within its shard, both from the keyed hash — a
     * deterministic global shuffle. Scale shape: shard assignment is

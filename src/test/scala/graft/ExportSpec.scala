@@ -63,4 +63,28 @@ class ExportSpec extends SparkSpec {
     assert(monotoneRuns < pairs.length / 4,
       s"shard 0 looks id-ordered: $monotoneRuns consecutive-id adjacencies of ${pairs.length}")
   }
+
+  test("writeJsonlShards: one file per shard, round trip restores the exact layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val n = 4
+    Export.writeJsonlShards(docs.select("doc_id", "text"), "doc_id", n, dir)
+    // Hive layout: shard=K directories, each holding exactly ONE data file
+    // (the one-task-per-shard write contract)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == n, shardDirs.mkString(", "))
+    shardDirs.foreach { sd =>
+      val data = sd.listFiles().filter(f => f.getName.startsWith("part-") &&
+        !f.getName.endsWith(".crc"))
+      assert(data.length == 1, s"${sd.getName}: ${data.mkString(", ")}")
+    }
+    // re-read restores every row with its layout slot
+    val back = spark.read.json(dir)
+      .select(col("doc_id"), col("shard").cast("long"), col("pos"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val want = Export.shuffleShards(docs.select("doc_id", "text"), "doc_id", n)
+      .select(col("doc_id"), col("shard"), col("pos"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(back == want)
+  }
 }
