@@ -166,4 +166,62 @@ class RandomizedParitySpec extends SparkSpec {
       assert(out == expected, s"as-of diverged on trial $trial")
     }
   }
+
+  test("histogram-cut budget selection equals the greedy model on hostile randoms") {
+    val rnd = new scala.util.Random(47L)
+    (1 to 5).foreach { trial =>
+      val groups = 1 + rnd.nextInt(4)
+      // hostile score distribution: negatives, heavy ties (coarse grid of
+      // its own), and a huge outlier weight somewhere
+      val rows = (0L until (30 + rnd.nextInt(60)).toLong).map { id =>
+        val g = s"g${rnd.nextInt(groups)}"
+        val w = if (rnd.nextInt(20) == 0) 500L else 1L + rnd.nextInt(9).toLong
+        val score = math.rint((rnd.nextDouble() * 4 - 2) * 50) / 50.0 // ties
+        (id, g, w, score)
+      }
+      val budget = 10L + rnd.nextInt(150).toLong
+      // greedy model: per group, (score desc, id asc) prefix while cum <= B
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val order = rs.sortBy(r => (-r._4, r._1))
+        var cum = 0L
+        order.takeWhile { r => cum += r._3; cum <= budget }.map(_._1)
+      }.toSet
+      val df = rows.toDF("id", "grp", "w", "score")
+      val got = graft.operators.Sampling
+        .selectByBudget(df, "grp", "id", "w", "score", budget,
+          binScale = rnd.nextInt(3)) // grid coarseness varies per trial
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"budget selection diverged on trial $trial (budget $budget)")
+    }
+  }
+
+  test("per-group quantile histogram cut equals the sorted model on hostile randoms") {
+    val rnd = new scala.util.Random(53L)
+    (1 to 5).foreach { trial =>
+      val groups = 1 + rnd.nextInt(3)
+      val rows = (0L until (20 + rnd.nextInt(80)).toLong).map { id =>
+        val g = s"g${rnd.nextInt(groups)}"
+        // negatives, exact ties, and the occasional extreme value
+        val v = rnd.nextInt(5) match {
+          case 0 => -7.5
+          case 1 => 1e6 + rnd.nextInt(3)
+          case _ => math.rint((rnd.nextDouble() * 10 - 5) * 10) / 10.0
+        }
+        (id, g, v)
+      }
+      val probs = Seq(0.01, 0.5, 0.9, 1.0)
+      val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val sorted = rs.map(_._3).sorted
+        probs.map { p =>
+          val rank = math.max(1L, math.ceil(p * sorted.length).toLong)
+          (g, p, sorted((rank - 1).toInt))
+        }
+      }.toSet
+      val df = rows.toDF("id", "grp", "v")
+      val got = graft.operators.Quantiles
+        .exactPerGroup(df, "grp", "v", probs, binScale = rnd.nextInt(3))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == expected, s"per-group quantiles diverged on trial $trial")
+    }
+  }
 }
