@@ -92,11 +92,39 @@ object Bench {
       System.err.println(s"[bench] third pass for ${suspect.size} queries with >3x sample spread: " +
         suspect.map(_._1).mkString(", "))
     val pass3 = suspect.map { case (name, fn) => name -> force(spark, sfDir, name, fn) }.toMap
-    val allSamples = queries.map { case (name, _) =>
+    val samplesSoFar = queries.map { case (name, _) =>
       name -> Seq(pass1(name), pass2(name), pass3.get(name).flatten).flatten
+    }
+    // idle-machine guard (cross-RUN, vs the in-run >3x tie-breaker above):
+    // any query whose min moved >1.5x against the previous committed
+    // full-catalog artifact at the SAME sf gets two more spaced samples.
+    // Rounds 9-10 shipped 1.5-2.2x swings on queries with zero code
+    // change — the host's minutes-long throttling windows can cover both
+    // original passes; extra spaced samples let min-of-N see through.
+    // The adjudication (query, previous, final) is logged to stderr so a
+    // reviewer can separate environmental swings from real regressions.
+    val prev = previousCommitted(sfDir)
+    val swung = queries.filter { case (name, _) =>
+      (samplesSoFar.toMap.apply(name).minOption, prev.get(name)) match {
+        case (Some(cur), Some(p)) if p > 0 =>
+          math.max(cur, p) / math.min(cur, p) > 1.5
+        case _ => false
+      }
+    }
+    if (swung.nonEmpty)
+      System.err.println(s"[bench] idle-guard re-sampling ${swung.size} queries " +
+        s">1.5x off the previous committed artifact: ${swung.map(_._1).mkString(", ")}")
+    val pass4 = swung.map { case (name, fn) => name -> force(spark, sfDir, name, fn) }.toMap
+    val pass5 = swung.reverse.map { case (name, fn) => name -> force(spark, sfDir, name, fn) }.toMap
+    val allSamples = samplesSoFar.map { case (name, s) =>
+      name -> (s ++ Seq(pass4.get(name).flatten, pass5.get(name).flatten).flatten)
     }
     val results = allSamples.map { case (name, samples) =>
       name -> (if (samples.isEmpty) None else Some(samples.min))
+    }
+    swung.foreach { case (name, _) =>
+      System.err.println(f"[bench] idle-guard adjudication: $name prev=${prev(name)}%.3f " +
+        f"final=${results.toMap.apply(name).getOrElse(-1.0)}%.3f")
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(fmt).getOrElse("-1.0") }
@@ -126,6 +154,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v.map(fmt3).getOrElse("-1.0") }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"errors":$errors,"sf":"$sfDir"}""")
+    // truncation-proof SECOND line: the driver keeps a bounded stdout
+    // TAIL, so when the full per-query line clips mid-map (rounds 9-10:
+    // parsed=null), the LAST line is the one that survives intact. Emit
+    // the BASELINE.md §B 12-anchor subset — ~400 bytes, cannot clip —
+    // with the FULL-catalog total as the headline value, so the round
+    // artifact parses even under the tightest capture. The complete map
+    // stays authoritative in BENCH_full_latest.json (committed).
+    val anchors = Seq("summary_count", "basic_stats", "histogram_1d",
+      "heatmap_2d", "heavy_hitters", "approx_distinct", "quantiles",
+      "next_k_page", "filter_count", "join_q3lite", "window_rank",
+      "events_time_window")
+    val rmap = results.toMap
+    val aqs = anchors.flatMap(a => rmap.get(a).map(v =>
+      "\"" + a + "\":" + v.map(fmt3).getOrElse("-1.0"))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$aqs,"errors":$errors,"sf":"$sfDir","subset":"anchor12_of_${results.size}","full":"BENCH_full_latest.json"}""")
     // self-contained artifact: the driver captures stdout, but a truncated
     // capture loses the tail of the (long) per-query map — persist the full
     // line so the bench is reconstructable from disk. Written BOTH to
@@ -146,6 +189,33 @@ object Bench {
       persistAtRepoRoot("bench", line, "BENCH_full_latest.json")
     spark.stop()
   }
+
+  /** Per-query minimums from the previous committed full-catalog artifact
+    * (repo-root `BENCH_full_latest.json`), for the idle-machine guard —
+    * empty when the file is absent, unparsable, or recorded a DIFFERENT
+    * sf dir (cross-sf comparison would re-sample everything for nothing).
+    * Hand-rolled extraction (no JSON lib on the unmanaged classpath): the
+    * artifact is this object's own single-line output, so the quoted-key
+    * number-value shape is stable by construction.
+    */
+  private def previousCommitted(sfDir: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("BENCH_full_latest.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (!line.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val start = line.indexOf("\"queries\":{")
+          val end = line.indexOf("}", start)
+          if (start < 0 || end < 0) Map.empty
+          else "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+            .findAllMatchIn(line.substring(start + 11, end))
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toMap
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** µs precision is plenty for wall-clock seconds, and the shorter line
     * raises how many per-query entries survive a truncated stdout capture.

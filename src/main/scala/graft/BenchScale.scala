@@ -47,6 +47,7 @@ object BenchScale {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
     "dedup_groups_lsh", "dedup_groups_star", "dedup_groups_incremental",
+    "dedup_groups_incremental_fold",
     "pipeline_decontaminate",
     // text pipeline
     "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
@@ -58,7 +59,13 @@ object BenchScale {
     // perceptual image dedup (map-side hash + pigeonhole banding)
     "multimodal_image_dedup",
     // ANN / embedding dedup (sub-quadratic paths)
-    "similarity_topk", "similarity_ivf", "dedup_embedding_ivf")
+    "similarity_topk", "similarity_ivf", "dedup_embedding_ivf",
+    // product analytics (user-keyed min-aggregations / cohort cells)
+    "events_funnel", "events_retention", "events_anomaly",
+    "events_distinct_rollup",
+    // mixing + export + the flagship composition (CC ∘ LSH inside)
+    "sample_temperature_tokens", "pipeline_export_jsonl",
+    "pipeline_clean_corpus")
 
   private def remapped(spark: SparkSession, srcDir: String, table: String,
                        copy: Int, off: Long): DataFrame = {
@@ -231,6 +238,45 @@ object BenchScale {
         sComp.filter(col("count") > 1).count() ==
           factor * bComp.filter(col("count") > 1).count()
     }, "component counts not factor x base")
+    check("funnel_steps_scale_exactly", {
+      // user_ids shift by a copy-unique offset while ts values repeat
+      // verbatim, so every copy replays the base's per-user event history
+      // under fresh users: each step's reached-user count is exactly
+      // factor× the base
+      val b = q(srcDir, "events_funnel").collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val s = q(outDir, "events_funnel").collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      s.keySet == b.keySet && b.forall { case (step, n) => s(step) == factor * n }
+    }, "funnel per-step user counts not factor x base")
+    check("retention_cohorts_scale_exactly", {
+      // the origin (global min event date) is unchanged by copying, so the
+      // (cohort_week, week_offset) cell SET is identical and every cell's
+      // user count is exactly factor× the base
+      val b = q(srcDir, "events_retention").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val s = q(outDir, "events_retention").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      s.keySet == b.keySet && b.forall { case (cell, n) => s(cell) == factor * n }
+    }, "retention cohort cells not factor x base")
+    check("anomaly_windows_stable", {
+      // per-(hour, type) counts scale by exactly factor, so mean and sd
+      // scale together and every z-score is mathematically unchanged; the
+      // flagged-window set should match up to double-rounding at the
+      // |z| = 2 threshold (allow a ±2% count drift for ulp flips)
+      val b = q(srcDir, "events_anomaly").count()
+      val s = q(outDir, "events_anomaly").count()
+      math.abs(s - b) <= math.max(1L, b / 50)
+    }, "anomaly flagged-window count moved with scale")
+    check("clean_corpus_scales_linearly", {
+      // quality filter, exact dedup, and the near-dup component graph all
+      // replicate per copy; LSH banding re-rolls per copy (salted
+      // shingles), so allow ±2% around exactly factor× on both outputs
+      val b = q(srcDir, "pipeline_clean_corpus").head
+      val s = q(outDir, "pipeline_clean_corpus").head
+      (0 until 2).forall { i =>
+        math.abs(s.getLong(i) - factor * b.getLong(i)) <=
+          math.max(1L, factor * b.getLong(i) / 50)
+      }
+    }, "clean-corpus doc/token totals departed from linear")
     check("lm_score_rows_scale_exactly", {
       // the held-out split replicates per copy (vec/doc ids shift by a
       // multiple of 10), so scored-doc count and total bigram count are

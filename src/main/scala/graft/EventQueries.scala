@@ -162,7 +162,7 @@ object EventQueries {
         |  FROM events GROUP BY 1, 2),
         |m AS (
         |  SELECT event_type, COUNT(*) AS n,
-        |         SUM(cnt) AS s1, SUM(cnt * cnt) AS s2
+        |         CAST(SUM(cnt) AS BIGINT) AS s1, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
         |  FROM w GROUP BY 1)
         |SELECT window_start, w.event_type, cnt,
         |       round((cnt - s1 * 1.0 / n) /
@@ -184,9 +184,13 @@ object EventQueries {
     // round trip).
     Q.noOracle("events_distinct_rollup") {
       (s, d) => {
+        // week key = Monday of the ISO week as a DATE (not bare
+        // weekofyear): distinct years must not collapse into one cohort,
+        // and the ISO week-52/week-1 year straddle stays unambiguous —
+        // same deterministic-bucket rule as the retention operator
         val ev = t(s, d, "events")
           .withColumn("day", to_date(col("ts")))
-          .withColumn("week", weekofyear(col("ts")))
+          .withColumn("week", date_trunc("week", col("ts")).cast("date"))
         val daily = SketchTables.hllTable(ev, Seq("week", "day"), "user_id")
         sortSmall(
           SketchTables.hllEstimate(SketchTables.hllRollup(daily, Seq("week"))),

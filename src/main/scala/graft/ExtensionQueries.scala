@@ -89,6 +89,24 @@ object ExtensionQueries {
     dir
   }
 
+  /** Build-once memo for the persisted OLD-corpus clustering LABELS — the
+    * build/serve split for the incremental-fold row (same pattern as the
+    * LSH/IVF indexes): a prior batch job clustered the 90% corpus once
+    * (star CC over its LSH pairs) and wrote (id, rep_id); every nightly
+    * fold reads the label table, never re-clusters the corpus.
+    */
+  private def ccLabelsDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = QueryDefs.ioDir(d, "cc_labels")
+    ivfIndexBuilt.computeIfAbsent(dir, _ => {
+      val oldDocs = t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Dedup.connectedComponentsStar(oldDocs, "doc_id",
+          Dedup.minHashLSH(oldDocs, "doc_id", "text", n = 2, threshold = 0.5))
+        .write.mode("overwrite").parquet(dir)
+      java.lang.Boolean.TRUE
+    })
+    dir
+  }
+
   /** Build-once memo for the IVF index over the 90% CORPUS split (the
     * embedding ingest gate's static side — distinct from [[ivfIndexDir]],
     * which indexes the full table for the ANN rows).
@@ -413,12 +431,35 @@ object ExtensionQueries {
         val docs = t(s, d, "documents")
         val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
         val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        val oldLabels = Dedup.connectedComponentsStar(oldDocs, "doc_id",
-          Dedup.minHashLSH(oldDocs, "doc_id", "text", n = 2, threshold = 0.5))
+        // pinned: incrementalComponents references the label table three
+        // times (both contraction joins + the re-label join); without the
+        // pin the star-CC setup plan re-executes per reference
+        val oldLabels = graft.CacheScope.session.pin(
+          Dedup.connectedComponentsStar(oldDocs, "doc_id",
+            Dedup.minHashLSH(oldDocs, "doc_id", "text", n = 2, threshold = 0.5)))
         val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
         val newPairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
           .filter(isNew(col("d1")) || isNew(col("d2")))
         Dedup.incrementalComponents(oldLabels, newDocs, "doc_id", newPairs)
+          .select(col("id").as("doc_id"), col("rep_id"))
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Incremental fold SERVED from persisted artifacts ------------------
+    // The row above measures mostly SETUP (it clusters the 90% corpus
+    // from scratch before folding); this row is the actual nightly cost:
+    // labels and LSH index are persisted build-job artifacts (memoized,
+    // the IVF build/serve precedent), so query time = probe the stored
+    // buckets with the 10% batch + CC on the batch-sized contracted
+    // subgraph + one label join. Same from-scratch-recluster oracle —
+    // the serving shortcut must be invisible in the output.
+    Q("dedup_groups_incremental_fold", sqlDocGroups) {
+      (s, d) =>
+        val labels = s.read.parquet(ccLabelsDir(s, d))
+        val newDocs = t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
+        val pairs = Dedup.lshIndexPairs(s, newDocs, "doc_id", "text",
+          lshIndexDir(s, d))
+        Dedup.incrementalComponents(labels, newDocs, "doc_id", pairs)
           .select(col("id").as("doc_id"), col("rep_id"))
           .orderBy(col("doc_id"))
     },
@@ -885,7 +926,7 @@ object ExtensionQueries {
         |  SELECT source, score,
         |    row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
         |    COUNT(*) OVER (PARTITION BY source) AS n
-        |  FROM q),
+        |  FROM q WHERE score IS NOT NULL),
         |t AS (
         |  SELECT source,
         |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(n * (1.0/3.0)) AS BIGINT)) THEN score END) AS t1,
@@ -893,7 +934,7 @@ object ExtensionQueries {
         |  FROM r GROUP BY source)
         |SELECT q.source,
         |  CASE WHEN score <= t1 THEN 0 WHEN score <= t2 THEN 1 ELSE 2 END AS tier,
-        |  COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM q JOIN t ON q.source = t.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
       (s, d) => {
@@ -901,14 +942,7 @@ object ExtensionQueries {
           passthrough = Seq("source"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             round(col("stop_ratio"), 6).as("score"))
-        val th = Quantiles.exactPerGroup(scored, "source", "score",
-          Seq(1.0 / 3, 2.0 / 3))
-        val t1 = th.filter(col("q") < 0.5).select(col("source"), col("value").as("t1"))
-        val t2 = th.filter(col("q") > 0.5).select(col("source"), col("value").as("t2"))
-        scored.join(broadcast(t1), Seq("source")).join(broadcast(t2), Seq("source"))
-          .withColumn("tier",
-            when(col("score") <= col("t1"), 0)
-              .when(col("score") <= col("t2"), 1).otherwise(2))
+        Sampling.qualityTiers(scored, "source", "score", tiers = 3)
           .groupBy(col("source"), col("tier"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .orderBy(col("source"), col("tier"))

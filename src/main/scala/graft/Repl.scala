@@ -65,6 +65,11 @@ object Repl {
       |                                         events view: per-step user counts
       |  retention <view>                       weekly cohort retention over an
       |                                         events view (cohort, offset, users)
+      |  anomaly <view>                         z-score-flagged (hour, event_type)
+      |                                         count windows over an events view
+      |  tiers <view> [k]                       per-(source, tier) doc/token rollup
+      |                                         of the per-source quality k-tiles
+      |                                         (default terciles; histogram-cut)
       |  lmscore <lmView> <view>                bigram-LM cross-entropy of <view> docs
       |                                         under a model trained on <lmView>
       |  lineage <view>                         root-to-leaf chain of a view
@@ -210,6 +215,25 @@ object Repl {
         render(graft.operators.Funnels
           .retention(df(vid), "user_id", "ts")
           .orderBy(col("cohort_week"), col("week_offset")))
+      case "anomaly" :: vid :: Nil =>
+        // flagged (hour, type) windows only — linear in windows, sketch-
+        // sized after the |z| cut; render's TakeOrdered bounds the driver
+        render(graft.operators.Funnels
+          .countAnomalies(df(vid), "event_type", "ts")
+          .orderBy(col("window_start"), col("event_type")))
+      case "tiers" :: vid :: rest if rest.size <= 1 =>
+        // per-(source, tier) rollup of the quality terciles (or k-tiles):
+        // sources·k rows — sketch-sized summary, never per-doc output
+        val k = rest.headOption.map(_.toInt).getOrElse(3)
+        val scored = graft.operators.TextOps
+          .qualityScore(df(vid).select(col("doc_id"), col("text"), col("source")),
+            "doc_id", "text", passthrough = Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            round(col("stop_ratio"), 6).as("score"))
+        render(graft.operators.Sampling.qualityTiers(scored, "source", "score", k)
+          .groupBy(col("source"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("source"), col("tier")))
       case "budget" :: vid :: tokens :: Nil =>
         // the curated corpus joins the lineage as a child view (like
         // `dedup`): later verbs compose over the budget-selected docs

@@ -679,6 +679,53 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(s"$indexDir/buckets")
   }
 
+  /** Near-dup PAIRS for an ingest batch against a persisted
+    * [[buildLshIndex]] artifact — the pair-producing probe the
+    * incremental clustering fold consumes: batch-vs-corpus candidates
+    * from the stored band buckets (exact-Jaccard verified against the
+    * stored arrays) plus batch-vs-batch pairs from banding the batch
+    * itself, both under the band parameters the index records. The union
+    * is EXACTLY the full-corpus [[minHashLSH]] pair set restricted to
+    * pairs involving a batch doc — a band signature depends only on a
+    * doc's own shingles and the shared seed, so probing stored buckets
+    * and banding the union produce the same collisions — which is why
+    * [[incrementalComponents]] over these pairs reproduces the
+    * from-scratch clustering without ever re-shingling the corpus.
+    * Returns (d1, d2, jacc) with d1 < d2. Batch-sized work throughout:
+    * the corpus contributes two parquet reads (buckets join + verify
+    * arrays join), never a shingle pass.
+    */
+  def lshIndexPairs(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                    idCol: String, textCol: String, indexDir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val p = spark.read.parquet(s"$indexDir/params").head()
+    val (n, bands, rowsPerBand, seed) =
+      (p.getAs[Int]("n"), p.getAs[Int]("bands"),
+        p.getAs[Int]("rows_per_band"), p.getAs[Long]("seed"))
+    val ndocs = shingleIdArrays(batch, idCol, textCol, n)
+    val nbuckets = ndocs
+      .select(col(idCol).as("n_id"),
+        explode(bandSigs(col("ids"), bands, rowsPerBand, seed)).as("bk"))
+      .select(col("n_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val cand = nbuckets
+      .join(spark.read.parquet(s"$indexDir/buckets"), Seq("band", "bsig"))
+      .select(col("n_id"), col("c_id")).distinct()
+    val batchVsCorpus = cand
+      .join(spark.read.parquet(s"$indexDir/arrays"), Seq("c_id"))
+      .join(ndocs.select(col(idCol).as("n_id"), col("ids").as("n_ids")), Seq("n_id"))
+      .select(col("n_id"), col("c_id"),
+        size(array_intersect(col("n_ids"), col("c_ids"))).as("i"),
+        size(col("n_ids")).as("n1"), size(col("c_ids")).as("n2"))
+      .select(col("n_id"), col("c_id"),
+        (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+      .select(least(col("n_id"), col("c_id")).as("d1"),
+        greatest(col("n_id"), col("c_id")).as("d2"), col("jacc"))
+    val batchVsBatch = minHashLSH(batch, idCol, textCol, n, bands,
+      rowsPerBand, threshold, seed)
+    batchVsCorpus.union(batchVsBatch.select(col("d1"), col("d2"), col("jacc")))
+  }
+
   /** Band signatures as a map-side array expression over a sorted
     * shingle-hash array column: one `(band, bsig)` struct per band, bsig =
     * hash of the band's `rowsPerBand` min-rehashes. Shared by the batch

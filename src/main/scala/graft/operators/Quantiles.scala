@@ -87,9 +87,11 @@ object Quantiles {
     * exact value), and the discrete rank-`ceil(q·n)` semantics are the
     * engine-portable ones (no interpolation — the value RETURNED exists
     * in the data). Ties are value-ties, so any value-consistent order
-    * yields the same order statistic. Nulls are dropped; NaN ranks above
-    * every value (Spark sort order) — mirror the oracle accordingly.
-    * Returns (group, q, value), one row per (group, requested q).
+    * yields the same order statistic. Null VALUES are dropped; NaN ranks
+    * above every value (Spark sort order) — mirror the oracle accordingly.
+    * A null GROUP is a real group (null-safe boundary join) and gets its
+    * quantiles like any other. Returns (group, q, value), one row per
+    * (group, requested q).
     */
   def exactPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                     probs: Seq[Double], binScale: Int = 2,
@@ -119,14 +121,19 @@ object Quantiles {
       probs.map { p =>
         val target = math.max(1L, math.ceil(p * n).toLong)
         var cum = 0L
-        var bin = Long.MinValue
+        // explicit found flag: a genuine Long.MinValue bin (values past the
+        // double->long saturation point) must not read as "not found yet"
+        // and let a later bin overwrite the boundary
+        var found = false
+        var bin = 0L
         var within = 0L
         val it = bins.iterator
-        while (it.hasNext && bin == Long.MinValue) {
+        while (it.hasNext && !found) {
           val (b, c) = it.next()
-          if (cum + c >= target) { bin = b; within = target - cum }
+          if (cum + c >= target) { found = true; bin = b; within = target - cum }
           else cum += c
         }
+        assert(found, s"exactPerGroup: target rank $target unreachable in group $g ($n rows)")
         Row(g, p, bin, within)
       }
     }.toSeq
@@ -143,7 +150,13 @@ object Quantiles {
     // the exact order statistic
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g"), col("q")).orderBy(col("v").asc)
-    binned.join(broadcast(cutDf), Seq("g", "__bin"))
+    // null-safe group match (<=>): a null group is a real group — its cut
+    // row must reach its bin rows, matching the naive window form (which
+    // partitions nulls into their own group) instead of silently dropping
+    // the group's quantiles at this equi-join
+    val cut = broadcast(cutDf).withColumnRenamed("g", "__cg")
+      .withColumnRenamed("__bin", "__cbin")
+    binned.join(cut, col("g") <=> col("__cg") && col("__bin") === col("__cbin"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === col("__rk"))
       .select(col("g").as(groupCol), col("q"), col("v").as("value"))

@@ -114,8 +114,17 @@ object Sampling {
       .agg(sum(col(weightCol).cast("long")).as("w"))
       .collect() // one row per SOURCE — sketch-sized by contract
       .map(r => r.get(0) -> r.getLong(1))
-    val scaled = weights.map { case (k, w) => (k, w, math.pow(w.toDouble, 1.0 / temperature)) }
+    require(weights.forall(_._1 != null),
+      s"temperatureMixTokens: null $sourceCol key — every row needs a source")
+    // sources with no positive token weight contribute nothing; dropping
+    // them here (sampleBy treats a missing stratum as fraction 0) keeps the
+    // p/z/w arithmetic NaN-free
+    val scaled = weights.filter(_._2 > 0)
+      .map { case (k, w) => (k, w, math.pow(w.toDouble, 1.0 / temperature)) }
     val z = scaled.map(_._3).sum
+    require(z > 0,
+      s"temperatureMixTokens: total $weightCol weight must be positive " +
+        s"across sources (got z=$z)")
     val fractions: Map[Any, Double] = scaled.map { case (k, w, p) =>
       k -> math.min(1.0, targetTokens * p / z / w.toDouble)
     }.toMap
@@ -128,7 +137,9 @@ object Sampling {
     * (`scoreCol` DESC, `idCol` ASC), take the maximal prefix whose
     * cumulative `weightCol` stays ≤ `budget`. Rows with a null score or
     * a null/non-positive weight are excluded by contract (they have no
-    * place in a positive running sum).
+    * place in a positive running sum); a NaN score ranks ABOVE every
+    * finite score (Spark's double sort order), so NaN rows spend budget
+    * first — exactly as the naive window form would.
     *
     * Scale shape (the whole point): the naive form is one window over
     * EVERY group's full row set — a total sort of the corpus keyed by
@@ -160,9 +171,15 @@ object Sampling {
     val outCols = df.columns.toIndexedSeq
     val rows = df.filter(col(scoreCol).isNotNull &&
       col(weightCol).isNotNull && col(weightCol) > 0)
-    // binned feeds BOTH the histogram and the selection passes — pin it
+    // binned feeds BOTH the histogram and the selection passes — pin it.
+    // NaN scores bin explicitly ABOVE all finite bins (Long.MaxValue) so
+    // the grid position matches NaN's sort position in the exact window
+    // (Spark orders NaN above every finite double) — same contract as
+    // Quantiles.exactPerGroup.
+    val scoreD = col(scoreCol).cast("double")
     val binned = scope.pin(rows.withColumn("__bin",
-      floor(col(scoreCol) * math.pow(10, binScale)).cast("long")))
+      when(isnan(scoreD), lit(Long.MaxValue))
+        .otherwise(floor(scoreD * math.pow(10, binScale)).cast("long"))))
     val hist = binned.groupBy(col(groupCol), col("__bin"))
       .agg(sum(col(weightCol).cast("long")).as("__w"))
       .limit(maxHistRows + 1).collect()
@@ -173,33 +190,39 @@ object Sampling {
     // per group: bins in score order (desc); boundary = first bin whose
     // cumulative weight overflows the budget. Bins above it select whole;
     // the boundary bin gets the residual budget; bins below drop whole.
+    // An explicit found flag (not an in-band bin-value sentinel) marks the
+    // no-boundary case, so a genuine Long.MinValue bin (scores past the
+    // double->long saturation point) is never confused with "budget never
+    // ran out".
     val cuts = hist.groupBy(_.get(0)).map { case (g, rs) =>
       val bins = rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(-_._1)
       var cum = 0L
-      var boundary = Long.MinValue // sentinel: every real bin is above it
+      var found = false
+      var boundary = 0L
       var rem = 0L
       val it = bins.iterator
-      while (it.hasNext && boundary == Long.MinValue) {
+      while (it.hasNext && !found) {
         val (b, w) = it.next()
-        if (cum + w > budget) { boundary = b; rem = budget - cum }
+        if (cum + w > budget) { found = true; boundary = b; rem = budget - cum }
         cum += w
       }
-      org.apache.spark.sql.Row(g, boundary, rem)
+      org.apache.spark.sql.Row(g, found, boundary, rem)
     }.toSeq
     val groupField = df.schema(df.schema.fieldIndex(groupCol))
     val cutSchema = org.apache.spark.sql.types.StructType(Seq(
       groupField.copy(name = groupCol),
-      org.apache.spark.sql.types.StructField("__full_above", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__bounded", org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("__boundary", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("__rem", org.apache.spark.sql.types.LongType, nullable = false)))
     val cutDf = spark.createDataFrame(
       java.util.Arrays.asList(cuts: _*), cutSchema)
     val joined = binned.join(broadcast(cutDf), Seq(groupCol))
-    val fullSel = joined.filter(col("__bin") > col("__full_above"))
+    val fullSel = joined.filter(!col("__bounded") || col("__bin") > col("__boundary"))
       .select(outCols.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
-    val boundarySel = joined.filter(col("__bin") === col("__full_above"))
+    val boundarySel = joined.filter(col("__bounded") && col("__bin") === col("__boundary"))
       .withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
       .filter(col("__cum") <= col("__rem"))
       .select(outCols.map(col): _*)
@@ -238,6 +261,42 @@ object Sampling {
       .select(col(groupCol) +: col(s"e.key.$orderCol").as(orderCol) +:
         col(s"e.key.$idCol").as(idCol) +:
         payload.toIndexedSeq.map(c => col(s"e.key.$c").as(c)): _*)
+  }
+
+  /** Per-group quantile TIER assignment — "bucket every document into its
+    * source's quality tercile (or quartile, …)": per-group cut points at
+    * k/tiers (k = 1..tiers-1) over `scoreCol` via the histogram-cut
+    * [[graft.operators.Quantiles.exactPerGroup]], then every row tagged
+    * map-side through a broadcast threshold join. Appends an integer
+    * `tier` column (0 = lowest-score tier).
+    *
+    * Null / NaN score contract (pinned in CurationSpec): thresholds are
+    * computed from NON-NULL scores only (exactPerGroup drops nulls), and a
+    * null or NaN score lands in the TOP tier — every `score <= t_k`
+    * comparison is false/null, so the when-chain falls through to the
+    * else-branch, exactly as the SQL CASE in the oracle does. A null
+    * group is dropped (inner threshold join), matching the oracle's
+    * equi-join semantics.
+    *
+    * Scale shape: thresholds are groups·(tiers-1) rows — sketch-sized —
+    * so the assignment itself is a map-side broadcast join; nothing
+    * shuffles beyond exactPerGroup's one linear histogram pass.
+    */
+  def qualityTiers(df: DataFrame, groupCol: String, scoreCol: String,
+                   tiers: Int = 3): DataFrame = {
+    require(tiers >= 2, s"tiers must be >= 2, got $tiers")
+    val probs = (1 until tiers).map(_.toDouble / tiers)
+    val th = Quantiles.exactPerGroup(df, groupCol, scoreCol, probs)
+    val joined = probs.zipWithIndex.foldLeft(df) { case (acc, (p, i)) =>
+      val tk = th.filter(col("q") > (i + 0.5) / tiers && col("q") < (i + 1.5) / tiers)
+        .select(col(groupCol), col("value").as(s"__t$i"))
+      acc.join(broadcast(tk), Seq(groupCol))
+    }
+    val tier = (0 until tiers - 1).foldLeft(when(lit(false), 0)) { (c, i) =>
+      c.when(col(scoreCol) <= col(s"__t$i"), i)
+    }.otherwise(tiers - 1)
+    joined.withColumn("tier", tier)
+      .drop((0 until tiers - 1).map(i => s"__t$i"): _*)
   }
 
   /** Resolution-aware sampling rate (paper §4.1): a histogram rendered at

@@ -154,6 +154,63 @@ class CurationSpec extends SparkSpec {
     assert(coarse == fine)
   }
 
+  test("selectByBudget: NaN scores spend budget first, parity with the window") {
+    import spark.implicits._
+    // NaN sorts ABOVE every finite double in Spark's desc order, so the
+    // NaN docs are the greedy prefix; the histogram cut must bin them
+    // above all finite bins or it selects a different set than the window
+    val rows = Seq(
+      (1L, "s", 10L, Double.NaN), (2L, "s", 10L, Double.NaN),
+      (3L, "s", 10L, 0.9), (4L, "s", 10L, 0.5)
+    ).toDF("doc_id", "source", "n_tokens", "score")
+    for (budget <- Seq(5L, 10L, 25L, 35L, 100L)) {
+      val got = Sampling.selectByBudget(rows, "source", "doc_id",
+        "n_tokens", "score", budget)
+        .select("doc_id").as[Long].collect().toSet
+      val want = naiveBudget(rows, budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"budget=$budget: $got vs $want")
+    }
+  }
+
+  test("exactPerGroup quantiles: a null group keeps its quantiles (null-safe join)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0), (None, 40.0)
+    ).toDF("g", "v")
+    val got = operators.Quantiles.exactPerGroup(rows, "g", "v", Seq(0.5, 1.0))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      (Some("a"), 0.5) -> 2.0, (Some("a"), 1.0) -> 3.0,
+      (None, 0.5) -> 20.0, (None, 1.0) -> 40.0))
+  }
+
+  test("qualityTiers: null scores excluded from ranks, NaN ranked above all; both tier top") {
+    import spark.implicits._
+    // The pinned contract, identical in Spark and the DuckDB oracle:
+    //  - a NULL score is excluded from the rank population (WHERE score IS
+    //    NOT NULL / exactPerGroup's isNotNull filter) and tiers into the
+    //    CASE else-branch (top tier);
+    //  - a NaN score IS ranked — above every finite value in BOTH engines'
+    //    sort order — so it shifts n and the cut ranks, and also tiers top
+    //    (score <= t is false for NaN).
+    // 9 finite scores 0.1..0.9 + 1 NaN → n=10, cut ranks ceil(10/3)=4 and
+    // ceil(20/3)=7 → t1=0.4, t2=0.7.
+    val finite = (1 to 9).map(i => (i.toLong, "s", i / 10.0))
+    val rows = (finite ++ Seq((100L, "s", Double.NaN))).toDF("doc_id", "source", "score")
+      .union(Seq((101L, "s")).toDF("doc_id", "source")
+        .withColumn("score", lit(null).cast("double")))
+    val got = Sampling.qualityTiers(rows, "source", "score", tiers = 3)
+      .select("doc_id", "tier")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wantFinite = finite.map { case (id, _, s) =>
+      id -> (if (s <= 0.4) 0 else if (s <= 0.7) 1 else 2)
+    }.toMap
+    assert(got == wantFinite ++ Map(100L -> 2, 101L -> 2),
+      s"tier drift with planted null/NaN docs: $got")
+  }
+
   test("topKPerGroup: groups smaller than k return whole group; payload survives") {
     import spark.implicits._
     val rows = Seq((1L, "a", 5L, 0.3), (2L, "a", 6L, 0.2), (3L, "b", 7L, 0.1))

@@ -50,6 +50,22 @@ class IncrementalCcSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("lshIndexPairs: index probe equals the full-LSH pair set restricted to the batch") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_pairs").toString
+    Dedup.buildLshIndex(oldDocs, "doc_id", "text", dir)
+    val probed = Dedup.lshIndexPairs(spark, newDocs, "doc_id", "text", dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+    val want = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .filter(isNew(col("d1")) || isNew(col("d2")))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == want,
+      s"probe-only: ${(probed -- want).take(5)}; full-only: ${(want -- probed).take(5)}")
+  }
+
   test("chained ingest: two successive batches still equal full recluster") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)

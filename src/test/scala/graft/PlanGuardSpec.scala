@@ -85,7 +85,11 @@ class PlanGuardSpec extends SparkSpec {
       // temperatureMix + temperatureMixTokens: one row per source each;
       // selectByBudget: the (group, bin) histogram, ≤ maxHistRows by the
       // guarded contract
-      "Sampling.scala"      -> 3)
+      "Sampling.scala"      -> 3,
+      // scale-invariant checks, not operators: funnel step counts (3
+      // rows) and retention cohort cells (tens of rows) collected at
+      // both scales to assert exact factor-x replication
+      "BenchScale.scala"    -> 4)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)

@@ -171,7 +171,9 @@ class ReplSpec extends SparkSpec {
       "open events",
       "funnel events-1 view click purchase",
       "retention events-1",
+      "anomaly events-1",
       "open documents",
+      "tiers documents-2",
       "budget documents-2 300",
       "cap documents-2 5",
       "lineage cap-4",
@@ -182,6 +184,12 @@ class ReplSpec extends SparkSpec {
       s"funnel step 1 must be the anchor type:\n$out")
     assert(out.linesIterator.exists(_.startsWith("cohort_week\tweek_offset\tn_users")),
       s"retention must render cohort cells:\n$out")
+    assert(out.linesIterator.exists(_.startsWith("window_start\tevent_type\tcnt\tz")),
+      s"anomaly must render flagged windows:\n$out")
+    val tHeader = out.linesIterator.indexWhere(_.startsWith("source\ttier\tn_docs\tn_tokens"))
+    assert(tHeader >= 0, s"tiers must render the (source, tier) rollup:\n$out")
+    assert(out.linesIterator.drop(tHeader + 1).next().split("\t").length == 4,
+      s"no tier rows rendered:\n$out")
     // budget/cap register curated child views composable downstream
     assert(out.contains("view budget-3"), out)
     assert(out.contains("view cap-4"), out)

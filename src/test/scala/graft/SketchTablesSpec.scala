@@ -11,7 +11,7 @@ class SketchTablesSpec extends SparkSpec {
 
   private lazy val events = graft.sources.Tables.open(spark, sf, "events")
     .withColumn("day", to_date(col("ts")))
-    .withColumn("week", weekofyear(col("ts")))
+    .withColumn("week", date_trunc("week", col("ts")).cast("date"))
 
   test("per-day estimates land within HLL error of exact distinct counts") {
     val est = SketchTables.hllEstimate(
@@ -34,10 +34,10 @@ class SketchTablesSpec extends SparkSpec {
     val daily = SketchTables.hllTable(events, Seq("week", "day"), "user_id")
     val merged = SketchTables.hllEstimate(
         SketchTables.hllRollup(daily, Seq("week")))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     val direct = SketchTables.hllEstimate(
         SketchTables.hllTable(events, Seq("week"), "user_id"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(merged.keySet == direct.keySet)
     // union of a partition of the data is the SAME distinct set — the
     // sketch algebra must agree with direct sketching up to HLL mode
