@@ -532,6 +532,68 @@ object CoreQueries {
       }
     },
 
+    // ---- Portable hash sampling (md5-keyed) --------------------------------
+    // Oracle-EXACT siblings of the seeded sampling family: every inclusion
+    // decision is a pure expression over md5(id:seed) (the splitByHash
+    // convention), so the very same subset re-derives in DuckDB and the
+    // rows are hash-checked, not rows-only. The aggregate output pins the
+    // WHOLE selected set (count + exact decimal sum + key extremes), not
+    // just a page of it.
+    Q("sample_rows_hash",
+      s"""WITH s AS (
+        |  SELECT * FROM lineitem
+        |  WHERE CAST(('0x' || substring(md5(l_orderkey || '-' || l_linenumber || ':42'), 1, 13)) AS BIGINT)
+        |        < ${Sampling.hashThreshold(0.01)})
+        |SELECT COUNT(*) AS n_rows,
+        |       ${QueryDefs.sqlDsum("l_quantity")} AS sum_qty,
+        |       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM s""".stripMargin) {
+      (s, d) =>
+        val li = t(s, d, "lineitem").withColumn("__id",
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")))
+        Sampling.uniformByHash(li, "__id", 0.01)
+          .agg(count(lit(1)).as("n_rows"),
+            Det.dsum(col("l_quantity")).as("sum_qty"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+    },
+
+    // ---- Portable stratified sample (per-stratum hash thresholds) ----------
+    Q("sample_stratified_hash",
+      s"""WITH s AS (
+        |  SELECT l_returnflag FROM lineitem
+        |  WHERE CAST(('0x' || substring(md5(l_orderkey || '-' || l_linenumber || ':42'), 1, 13)) AS BIGINT)
+        |        < CASE l_returnflag WHEN 'A' THEN ${Sampling.hashThreshold(0.02)}
+        |                            WHEN 'N' THEN ${Sampling.hashThreshold(0.005)}
+        |                            WHEN 'R' THEN ${Sampling.hashThreshold(0.02)} END)
+        |SELECT l_returnflag, COUNT(*) AS cnt
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        val li = t(s, d, "lineitem").withColumn("__id",
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")))
+        Sampling.stratifiedByHash(li, "l_returnflag", "__id",
+            Map("A" -> 0.02, "N" -> 0.005, "R" -> 0.02))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    // ---- Portable exactly-k per-group sample (md5 rank order) --------------
+    Q("sample_per_group_hash",
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(doc_id || ':42'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin) {
+      (s, d) => Sampling.uniformPerGroupByHash(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", k = 5)
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // ---- CorrMatrixSketch (one cell, exact moments) ------------------------
     Q("correlation",
       """SELECT n, (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr_val

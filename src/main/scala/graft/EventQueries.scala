@@ -176,6 +176,23 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // ---- Weekly distinct-user rollup, EXACT (oracle-green twin of the
+    // HLL sketch-table row below: same week buckets, COUNT(DISTINCT)
+    // instead of sketch union — pins the rollup's bucket semantics
+    // exactly; the HLL sibling pins the mergeable-artifact path) --------
+    Q("events_distinct_rollup_exact",
+      """SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) => t(s, d, "events")
+        // week bucket rendered as a formatted string (the strftime oracle
+        // convention — no cross-engine DATE physical-type gamble)
+        .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+        .groupBy("week")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("week"))
+    },
+
     // ---- Mergeable HLL sketch table: weekly rollup WITHOUT rescanning ------
     // Build per-(week, day) user sketches once, answer the weekly
     // distinct-user rollup by sketch UNION — the reference's mergeable-

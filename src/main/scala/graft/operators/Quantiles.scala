@@ -22,18 +22,31 @@ object Quantiles {
   def exact(df: DataFrame, column: String, probs: Seq[Double]): DataFrame =
     exactNamed(df, column, probs, probs.map(p => s"p${(p * 100).round}"))
 
-  /** Exact interpolated percentiles, computed DISTRIBUTED: a global
-    * range-partitioned sort of the value column, then only the
-    * ≤ 2·|probs| order statistics at the interpolation ranks leave the
-    * cluster. Spark's `percentile` aggregate buffers the entire column
-    * in one aggregation buffer — at 100 TB that is an OOM, not a plan; a
-    * full sort shuffles the same data but spreads it across every
-    * executor. Semantics match `percentile`/`quantile_cont` exactly:
-    * nulls are dropped, NaN ranks above every value (Spark sort order),
-    * interpolation is `lower + (higher - lower) * frac` in IEEE double —
-    * the same expression both engines evaluate — then one HALF_UP round
-    * to 6. The column is pinned for its two passes (count + sort) and
-    * released before returning.
+  /** Exact interpolated percentiles WITHOUT a global sort — the
+    * histogram-cut pattern ([[exactPerGroup]]'s global sibling). Spark's
+    * `percentile` aggregate buffers the entire column in one aggregation
+    * buffer — at 100 TB that is an OOM, not a plan — and the
+    * sort+zipWithIndex form this replaces range-shuffles the whole
+    * column just to read back ≤ 2·|probs| order statistics. Instead:
+    *  1. one agg pass for (count, finite min/max) to auto-fit a monotone
+    *     bin grid of ~2¹⁶ cells across the observed range;
+    *  2. one linear bin-count shuffle whose output (≤ ~10·2¹⁶ rows of
+    *     (bin, count)) is driver-walked to locate, per interpolation
+    *     rank, the boundary bin and residual within-bin rank;
+    *  3. ONLY boundary-bin rows (≈ n/bins each) pay an exact window to
+    *     yield the order statistics.
+    * The grid is exactness-preserving: `floor(v·10^s)` is monotone in v
+    * (IEEE multiply by a positive constant is monotone), so the bins are
+    * consecutive value ranges and the within-bin window orders by the
+    * EXACT value — the rank-r statistic is the same value the full sort
+    * would pick (ties are value-ties; saturated/NaN bins still order
+    * correctly inside their window). Semantics are unchanged from the
+    * sort form and match `percentile`/`quantile_cont`: nulls dropped,
+    * NaN ranks above every value, interpolation
+    * `lower + (higher - lower) * frac` in IEEE double, one HALF_UP
+    * round to 6. A constant or all-NaN column degenerates to a single
+    * bin whose window IS the old sort — still exact. The binned column
+    * is pinned across its two passes and released before returning.
     */
   private def exactNamed(df: DataFrame, column: String, probs: Seq[Double],
                          names: Seq[String]): DataFrame = {
@@ -45,23 +58,59 @@ object Quantiles {
       .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = vals.count()
+      val stats = vals.agg(
+        count(lit(1)).as("n"),
+        min(when(!isnan(col("v")), col("v"))).as("mn"),
+        max(when(!isnan(col("v")), col("v"))).as("mx")).head()
+      val n = stats.getLong(0)
       val out: Row =
         if (n == 0) Row(probs.map(_ => null): _*)
         else {
+          // auto grid: ~2^16 bins across the finite range; exponent
+          // clamped so 10^s stays a normal double (degenerate ranges
+          // collapse to one bin — correct, just unaccelerated)
+          val range =
+            if (stats.isNullAt(1) || stats.isNullAt(2)) 0.0
+            else stats.getDouble(2) - stats.getDouble(1)
+          val s10 =
+            if (range > 0 && !range.isInfinite)
+              math.min(18.0, math.max(-18.0, math.floor(math.log10(65536.0 / range))))
+            else 0.0
+          val cmul = math.pow(10, s10)
+          val binned = vals.withColumn("__bin",
+            when(isnan(col("v")), lit(Long.MaxValue))
+              .otherwise(floor(col("v") * cmul).cast("long")))
+          val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("c"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
           val ranks = probs.map { p =>
             val pos = p * (n - 1)
             val lo = math.floor(pos).toLong
             (p, lo, math.ceil(pos).toLong, pos - lo)
           }
-          val needed = ranks.flatMap(r => Seq(r._2, r._3)).toSet
-          val neededB = spark.sparkContext.broadcast(needed)
-          // sketch-sized collect: at most 2 order statistics per prob
-          val picked: Map[Long, Double] = vals.orderBy(col("v")).rdd
-            .map(_.getDouble(0))
-            .zipWithIndex()
-            .collect { case (v, i) if neededB.value(i) => (i, v) }
-            .collect().toMap
+          // per needed 0-based rank: boundary bin + 1-based within rank
+          // (needed is sorted, so one cumulative walk covers all ranks)
+          val needed = ranks.flatMap(r => Seq(r._2, r._3)).distinct.sorted
+          var cum = 0L
+          var bi = 0
+          val cuts = needed.map { r =>
+            val target = r + 1
+            while (cum + hist(bi)._2 < target) { cum += hist(bi)._2; bi += 1 }
+            Row(r, hist(bi)._1, target - cum)
+          }
+          val cutSchema = StructType(Seq(
+            StructField("__rank", org.apache.spark.sql.types.LongType, nullable = false),
+            StructField("__cbin", org.apache.spark.sql.types.LongType, nullable = false),
+            StructField("__within", org.apache.spark.sql.types.LongType, nullable = false)))
+          val cutDf = spark.createDataFrame(java.util.Arrays.asList(cuts: _*), cutSchema)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__cbin"), col("__rank")).orderBy(col("v").asc)
+          // sketch-sized collect: one row per needed order statistic
+          val picked: Map[Long, Double] = binned
+            .join(broadcast(cutDf), col("__bin") === col("__cbin"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === col("__within"))
+            .select(col("__rank"), col("v"))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
           Row(ranks.map { case (_, lo, hi, frac) =>
             Det.round6(picked(lo) + (picked(hi) - picked(lo)) * frac)
           }: _*)
@@ -173,7 +222,7 @@ object Quantiles {
       }: _*)
 
   /** Equi-depth quantile table of size q over a sort column — the
-    * reference's quantile "scroll bar" table (same distributed sort
+    * reference's quantile "scroll bar" table (same histogram-cut
     * machinery as `exact`; names are positional q01..q(q-1), never
     * colliding regardless of q).
     */

@@ -23,6 +23,60 @@ object Sampling {
                  seed: Long = 42L): DataFrame =
     df.stat.sampleBy(column, fractions, seed)
 
+  // ---- Portable (hash-keyed) deterministic sampling ----------------------
+  // The seeded family above is deterministic per ENGINE (Spark's
+  // partition-seeded RNG); this family is deterministic per ROW: every
+  // inclusion decision is a pure expression over md5(id:seed) — the
+  // Export.splitByHash convention — so the same subset re-derives
+  // anywhere md5 exists, independent of engine, run, row order, and
+  // partitioning. That per-row purity is what a training pipeline needs
+  // to reproduce a sample outside the engine (and what makes the catalog
+  // rows oracle-EXACT, unlike the seeded family's rows-only contract).
+  // A row's membership is also STABLE under corpus growth — new rows
+  // never evict old ones, the same property the hash splits rely on —
+  // and samples NEST: fraction f1 < f2 selects a strict subset.
+
+  /** 16^13 = 2^52: 13 hex chars of the keyed md5 read as a long are
+    * uniform on [0, 2^52); `hash < round(f·2^52)` keeps fraction f. */
+  private val HashUnit: Long = 1L << 52
+
+  private def hashKey(idCol: String, seed: Long) =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 13), 16, 10)
+      .cast("long")
+
+  /** Hash-fraction threshold for fraction `f` — exposed so oracles and
+    * callers quantize identically (round-half-up on f·2^52). */
+  def hashThreshold(fraction: Double): Long = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    math.round(fraction * HashUnit)
+  }
+
+  /** Portable uniform sample: keep rows whose keyed hash fraction falls
+    * below `fraction`. Map-side pure expression — no shuffle, no state,
+    * no RNG; exact oracle form:
+    * `CAST(('0x' || substring(md5(id || ':seed'), 1, 13)) AS BIGINT) < threshold`.
+    */
+  def uniformByHash(df: DataFrame, idCol: String, fraction: Double,
+                    seed: Long = 42L): DataFrame =
+    df.filter(hashKey(idCol, seed) < lit(hashThreshold(fraction)))
+
+  /** Portable stratified sample: per-stratum hash thresholds over the
+    * same keyed hash. Strata absent from `fractions` are dropped
+    * (null threshold → comparison null → filtered), mirroring
+    * [[stratified]]'s missing-stratum contract — but unlike `sampleBy`
+    * the selection is a pure per-row expression, exactly reproducible
+    * cross-engine.
+    */
+  def stratifiedByHash(df: DataFrame, stratumCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "stratifiedByHash: empty fraction map")
+    val thr = fractions.foldLeft(lit(null).cast("long")) { case (rest, (k, f)) =>
+      when(col(stratumCol) === lit(k), lit(hashThreshold(f))).otherwise(rest)
+    }
+    df.filter(hashKey(idCol, seed) < thr)
+  }
+
   /** Temperature-scaled source mixing — the corpus-rebalancing step of a
     * training-data pipeline: source s with n_s rows is sampled at a rate
     * that makes its share of the output ∝ n_s^(1/T), clamped at keeping
@@ -70,7 +124,30 @@ object Sampling {
     * exact-size samples (not present there).
     */
   def uniformPerGroup(df: DataFrame, groupCol: String, idCol: String,
-                      k: Int, seed: Long = 42L): DataFrame = {
+                      k: Int, seed: Long = 42L): DataFrame =
+    hashPerGroup(df, groupCol, idCol, k, xxhash64(col(idCol), lit(seed)))
+
+  /** [[uniformPerGroup]] keyed by the PORTABLE hash (md5 hex prefix)
+    * instead of xxhash64 — same bounded-buffer plan and the same
+    * exactly-k-per-group sampling semantics, but the rank order
+    * reproduces anywhere md5 exists ([0-9a-f] hex compares identically
+    * under any byte-wise collation), so the selected sample is
+    * oracle-EXACT: `row_number() OVER (PARTITION BY group
+    * ORDER BY md5(id || ':seed'), id) <= k`.
+    */
+  def uniformPerGroupByHash(df: DataFrame, groupCol: String, idCol: String,
+                            k: Int, seed: Long = 42L): DataFrame =
+    hashPerGroup(df, groupCol, idCol, k,
+      md5(concat(col(idCol).cast("string"), lit(s":$seed"))))
+
+  /** Shared bottom-k-by-hash page plan: one bounded
+    * [[graft.functions.NextKPageAgg]] buffer per (group, partition)
+    * carrying the full row behind the (hash, id) sort prefix, so only
+    * `partitions · groups · k` rows shuffle and no join back to the
+    * corpus is needed.
+    */
+  private def hashPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                           k: Int, hashCol: org.apache.spark.sql.Column): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     graft.functions.VectorExprs.register(df.sparkSession)
     val payload = df.columns.filter(c => c != groupCol && c != idCol)
@@ -83,8 +160,7 @@ object Sampling {
         s"uniformPerGroup payload column '$c' has non-orderable type " +
           s"${df.schema(c).dataType.simpleString}; project it out first")
     }
-    val keyCols = Seq(xxhash64(col(idCol), lit(seed)).as("__h"), col(idCol)) ++
-      payload.map(col)
+    val keyCols = Seq(hashCol.as("__h"), col(idCol)) ++ payload.map(col)
     val flags = Seq.fill(keyCols.length)(true)
     df.groupBy(col(groupCol))
       .agg(call_function("graft_nextk_page",

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Portable (md5-keyed) sampling family: per-row pure-expression
+  * membership, so the contracts are exact — cross-engine hex rendering
+  * (pinned against the JVM's own MessageDigest), partition invariance,
+  * fraction accuracy, sample NESTING under growing fractions, stratum
+  * threshold algebra, and window parity for the per-group form.
+  */
+class HashSamplingSpec extends SparkSpec {
+
+  private lazy val li = Tables.open(spark, sf, "lineitem")
+    .withColumn("__id", concat(col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string")))
+    .cache()
+
+  test("uniformByHash: fraction accuracy, partition invariance, determinism") {
+    val n = li.count()
+    val f = 0.05
+    val s1 = Sampling.uniformByHash(li, "__id", f, seed = 42L)
+    val got = s1.count()
+    assert(math.abs(got - f * n) <= 4 * math.sqrt(f * n) + 5,
+      s"selected $got of $n at fraction $f")
+    // membership is a pure per-row expression: any physical partitioning
+    // (and a second run) selects the identical set
+    val s2 = Sampling.uniformByHash(li.repartition(13, col("l_partkey")),
+      "__id", f, seed = 42L)
+    assert(s1.select("__id").collect().map(_.getString(0)).toSet ==
+      s2.select("__id").collect().map(_.getString(0)).toSet)
+  }
+
+  test("uniformByHash: samples nest as the fraction grows") {
+    // hash < t1 implies hash < t2 for t1 <= t2: the f=0.01 sample must be
+    // a strict subset of f=0.05 — the reproducible-subset property the
+    // seeded RNG family cannot offer
+    val small = Sampling.uniformByHash(li, "__id", 0.01)
+      .select("__id").collect().map(_.getString(0)).toSet
+    val big = Sampling.uniformByHash(li, "__id", 0.05)
+      .select("__id").collect().map(_.getString(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("uniformByHash: boundary fractions and membership stability under growth") {
+    assert(Sampling.uniformByHash(li, "__id", 0.0).count() == 0)
+    assert(Sampling.uniformByHash(li, "__id", 1.0).count() == li.count())
+    intercept[IllegalArgumentException] {
+      Sampling.uniformByHash(li, "__id", 1.5)
+    }
+    // growth stability: sampling a SUBSET of the corpus selects exactly
+    // the intersection — new rows never evict old ones
+    val sub = li.filter(col("l_orderkey") % 3 === 0)
+    val fromSub = Sampling.uniformByHash(sub, "__id", 0.05)
+      .select("__id").collect().map(_.getString(0)).toSet
+    val fromFull = Sampling.uniformByHash(li, "__id", 0.05)
+      .filter(col("l_orderkey") % 3 === 0)
+      .select("__id").collect().map(_.getString(0)).toSet
+    assert(fromSub == fromFull)
+  }
+
+  test("hash rendering matches the JVM md5 of the same key (oracle contract)") {
+    // the oracle re-derives membership from md5(id || ':seed') hex — pin
+    // Spark's rendering byte-for-byte so the cross-engine contract can
+    // never drift silently
+    val row = li.select(col("__id"),
+      md5(concat(col("__id"), lit(":42"))).as("h")).head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest((row.getString(0) + ":42").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getString(1) == expect)
+  }
+
+  test("stratifiedByHash: per-stratum thresholds are uniformByHash restricted") {
+    val fr = Map("A" -> 0.08, "N" -> 0.02, "R" -> 0.08)
+    val got = Sampling.stratifiedByHash(li, "l_returnflag", "__id", fr)
+    // a stratum's selection IS the uniform selection at its fraction,
+    // restricted to the stratum (same hash, same threshold algebra)
+    fr.foreach { case (k, f) =>
+      val strat = got.filter(col("l_returnflag") === k)
+        .select("__id").collect().map(_.getString(0)).toSet
+      val uni = Sampling.uniformByHash(li.filter(col("l_returnflag") === k),
+        "__id", f).select("__id").collect().map(_.getString(0)).toSet
+      assert(strat == uni, s"stratum $k")
+    }
+    // a stratum absent from the map is dropped entirely
+    val dropped = Sampling.stratifiedByHash(li, "l_returnflag", "__id",
+      Map("A" -> 0.5))
+    assert(dropped.filter(col("l_returnflag") =!= "A").count() == 0)
+  }
+
+  test("uniformPerGroupByHash: window parity and exactly-k sizes") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val k = 4
+    val got = Sampling.uniformPerGroupByHash(docs, "lang", "doc_id", k)
+    val win = docs
+      .withColumn("__h", md5(concat(col("doc_id").cast("string"), lit(":42"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))))
+      .filter(col("__rk") <= k)
+      .select("lang", "doc_id", "n_chars")
+    assert(got.select("lang", "doc_id", "n_chars").collect().toSet ==
+      win.collect().toSet)
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotSizes = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (g, n) =>
+      assert(gotSizes(g) == math.min(k.toLong, n), s"group $g")
+    }
+    // partition invariance (pure hash order, bounded-buffer merge)
+    val re = Sampling.uniformPerGroupByHash(
+      docs.repartition(17, col("doc_id")), "lang", "doc_id", k)
+    assert(re.select("lang", "doc_id").collect().toSet ==
+      got.select("lang", "doc_id").collect().toSet)
+  }
+
+  test("hashThreshold quantization is the shared oracle constant") {
+    // the SQL literals in the catalog oracles interpolate hashThreshold —
+    // pin the quantization rule (round-half-up on f·2^52) so a change
+    // here can't silently diverge from committed oracle text
+    assert(Sampling.hashThreshold(0.01) == 45035996273705L)
+    assert(Sampling.hashThreshold(0.5) == (1L << 51))
+    assert(Sampling.hashThreshold(0.0) == 0L)
+    assert(Sampling.hashThreshold(1.0) == (1L << 52))
+  }
+}

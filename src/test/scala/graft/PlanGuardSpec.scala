@@ -78,9 +78,10 @@ class PlanGuardSpec extends SparkSpec {
       // documented cap — the k-means|| driver-memory contract);
       // appendToIvfIndex: stored centroid table (nlist rows)
       "Similarity.scala"    -> 10,
-      // exact: ≤ 2·|probs| order statistics; exactPerGroup: the
+      // exact: the global bin histogram (≤ ~10·2^16 rows by the auto-fit
+      // grid) + ≤ 2·|probs| order statistics; exactPerGroup: the
       // (group, bin) histogram, ≤ maxHistRows by the guarded contract
-      "Quantiles.scala"     -> 2,
+      "Quantiles.scala"     -> 3,
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       // temperatureMix + temperatureMixTokens: one row per source each;
       // selectByBudget: the (group, bin) histogram, ≤ maxHistRows by the

@@ -224,4 +224,30 @@ class RandomizedParitySpec extends SparkSpec {
       assert(got == expected, s"per-group quantiles diverged on trial $trial")
     }
   }
+
+  test("global exact quantiles (histogram cut) equal the percentile aggregate on hostile randoms") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(59L)
+    (1 to 5).foreach { trial =>
+      // negatives, exact ties, huge outliers (stretching the auto grid to
+      // its coarse clamp), and sub-unit clusters (stretching it fine)
+      val rows = (0L until (15 + rnd.nextInt(85)).toLong).map { id =>
+        val v = rnd.nextInt(6) match {
+          case 0 => -1234.5
+          case 1 => 9.9e8 + rnd.nextInt(4)
+          case 2 => rnd.nextDouble() * 1e-3
+          case _ => math.rint((rnd.nextDouble() * 20 - 10) * 4) / 4.0
+        }
+        (id, v)
+      }
+      val probs = Seq(0.0, 0.25, 0.5, 0.77, 1.0)
+      val df = rows.toDF("id", "v")
+      val got = graft.operators.Quantiles.exact(df, "v", probs).head()
+      val agg = df.agg(percentile(col("v"), typedlit(probs)).as("q"))
+        .select(probs.indices.map(i => element_at(col("q"), i + 1)): _*).head()
+      val expect = org.apache.spark.sql.Row(
+        probs.indices.map(i => graft.operators.Det.round6(agg.getDouble(i))): _*)
+      assert(got == expect, s"global quantiles diverged on trial $trial: $got vs $expect")
+    }
+  }
 }
