@@ -43,7 +43,13 @@ object BenchScale {
     "filter_count", "join_q3lite", "window_rank", "events_time_window",
     // relational stress
     "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",
-    // dedup / decontamination / subdoc / clustering
+    // dedup / decontamination / subdoc / clustering. dedup_groups stays
+    // in the set DELIBERATELY even though its pair source is the
+    // quadratic-by-contract dense walk: its super-linear exponent is the
+    // measured CONTRAST against the sub-quadratic siblings right below
+    // (_lsh/_star compose the same clustering over LSH pairs and hold
+    // sub-linear exponents) — the artifact shows why the 100 TB flow
+    // routes through LSH, instead of hiding the quadratic path
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
     "dedup_groups_lsh", "dedup_groups_star", "dedup_groups_incremental",

@@ -30,6 +30,31 @@ object EventQueries {
        |event_type, COUNT(*) AS cnt, ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val funnelOracle =
+    """WITH s1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
+      |            FROM events WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
+  private val retentionOracle =
+    """WITH o AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+      |uw AS (SELECT DISTINCT user_id,
+      |         CAST(floor(date_diff('day', o.d0, CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+      |       FROM events, o),
+      |c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1)
+      |SELECT cw AS cohort_week, w - cw AS week_offset, COUNT(*) AS n_users
+      |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Tumbling window under Structured Streaming (same oracle as the
@@ -115,21 +140,19 @@ object EventQueries {
     // after the previous step's time; output is per-step reached-user
     // counts. k tiny user-keyed min-aggregations — never a per-user
     // event-list collect.
-    Q("events_funnel",
-      """WITH s1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
-        |            FROM events WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
-        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
-        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
-        |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
-        |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
-        |ORDER BY step""".stripMargin) {
+    Q("events_funnel", funnelOracle) {
       (s, d) => Funnels.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    },
+
+    // ---- Streaming funnel: per-user funnel-event state maintained by one
+    // stateful aggregation over the replayed stream; the anchor fold +
+    // counts run over the compact state table (never rescanning the log).
+    // Same oracle as the batch row — the state carries exactly the
+    // funnel-type event multiset, so stream ≡ batch by construction ------
+    Q("events_stream_funnel", funnelOracle) {
+      (s, d) => graft.streaming.StreamFunnels.funnel(s, d,
           Seq("view", "click", "purchase"))
         .orderBy(col("step"))
     },
@@ -138,16 +161,18 @@ object EventQueries {
     // Users bucket by first-event week; each (cohort, offset) cell counts
     // users active that week. Deterministic 7-day buckets from the
     // corpus' earliest event date (no ISO-week dependency).
-    Q("events_retention",
-      """WITH o AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
-        |uw AS (SELECT DISTINCT user_id,
-        |         CAST(floor(date_diff('day', o.d0, CAST(ts AS DATE)) / 7) AS BIGINT) AS w
-        |       FROM events, o),
-        |c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1)
-        |SELECT cw AS cohort_week, w - cw AS week_offset, COUNT(*) AS n_users
-        |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin) {
+    Q("events_retention", retentionOracle) {
       (s, d) => Funnels.retention(t(s, d, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // ---- Streaming retention: per-user distinct-active-day state
+    // maintained by one stateful aggregation (events collapse map-side to
+    // (user, day)); the cohort rollup runs over the compact state table.
+    // Same oracle as the batch row — the state is exactly the distinct
+    // (user, day) set the batch operator reduces the log to ---------------
+    Q("events_stream_retention", retentionOracle) {
+      (s, d) => graft.streaming.StreamFunnels.retention(s, d)
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 

@@ -65,4 +65,32 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "session_start", "cnt")
     assert(canon(stream) == canon(batch))
   }
+
+  test("streamed funnel equals batch funnel") {
+    val steps = Seq("view", "click", "purchase")
+    val batch = graft.operators.Funnels
+      .funnel(events, "user_id", "event_type", "ts", steps)
+    val stream = graft.streaming.StreamFunnels.funnel(spark, sf, steps)
+    assert(canon(stream) == canon(batch))
+    // the state layer compacts the log to funnel-type events only: its
+    // exploded multiset must be exactly the filtered log
+    val st = graft.streaming.StreamFunnels.userFunnelState(spark, sf, steps)
+    val stateEvents = st
+      .select(col("user_id"), explode(col("evts")).as("e"))
+      .select(col("user_id"), col("e.ts"), col("e.event_type"))
+    val logEvents = events.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    assert(canon(stateEvents) == canon(logEvents))
+  }
+
+  test("streamed retention equals batch retention") {
+    val batch = graft.operators.Funnels.retention(events, "user_id", "ts")
+    val stream = graft.streaming.StreamFunnels.retention(spark, sf)
+    assert(canon(stream) == canon(batch))
+    // the activity state is exactly the distinct (user, day) set of the log
+    val st = graft.streaming.StreamFunnels.userActivityState(spark, sf)
+    val stateDays = st.select(col("user_id"), explode(col("days")).as("day"))
+    val logDays = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    assert(canon(stateDays) == canon(logDays))
+  }
 }
