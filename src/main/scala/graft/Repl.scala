@@ -48,6 +48,8 @@ object Repl {
       |                                         n_tokens)
       |  mix <view> <srcCol> <T> <targetRows>   temperature-scaled source mixing;
       |                                         prints per-source kept counts
+      |  sample <view> <idCol> <fraction>       child view: portable md5-keyed sample
+      |                                         (same subset re-derives anywhere)
       |  budget <view> <tokens>                 child view: best docs per source by
       |                                         stop-ratio until the per-source token
       |                                         budget is spent (histogram-cut plan)
@@ -234,6 +236,12 @@ object Repl {
           .groupBy(col("source"), col("tier"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .orderBy(col("source"), col("tier")))
+      case "sample" :: vid :: idCol :: fraction :: Nil =>
+        // portable md5-keyed sample as a child view: the same subset
+        // re-derives anywhere (growth-stable, nested fractions), so a
+        // sampled child is a REPRODUCIBLE artifact, not a one-off draw
+        s"view ${s.child(ViewId(vid), "sample")(d =>
+          graft.operators.Sampling.uniformByHash(d, idCol, fraction.toDouble)).value}"
       case "budget" :: vid :: tokens :: Nil =>
         // the curated corpus joins the lineage as a child view (like
         // `dedup`): later verbs compose over the budget-selected docs

@@ -196,4 +196,19 @@ class ReplSpec extends SparkSpec {
     assert(out.contains("documents-2 -> cap-4"),
       s"cap view must join the lineage chain:\n$out")
   }
+
+  test("sample verb registers a reproducible hash-sampled child view") {
+    val out = script(
+      "open documents",
+      "sample documents-1 doc_id 0.2",
+      "summary sample-2 n_chars",
+      "lineage sample-2",
+      "quit")
+    assert(out.contains("view sample-2"), out)
+    assert(out.contains("documents-1 -> sample-2"),
+      s"sample view must join the lineage chain:\n$out")
+    // the sampled child must answer sketches like any view
+    assert(out.linesIterator.exists(_.startsWith("cnt\t")),
+      s"summary over the sampled child must render:\n$out")
+  }
 }
