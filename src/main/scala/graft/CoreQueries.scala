@@ -579,6 +579,28 @@ object CoreQueries {
           .orderBy(col("l_returnflag"))
     },
 
+    // ---- Portable weighted (PPS / Poisson) sample --------------------------
+    // Keep probability min(1, rate·n_chars): the threshold expression uses
+    // only IEEE-exact ops (multiply, min, floor, power-of-two scale), so
+    // both engines derive bit-identical per-row thresholds — the clamp
+    // branch is exercised (docs with n_chars ≥ 500 reach p = 1).
+    Q("sample_weighted_hash",
+      """WITH s AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |    AND CAST(('0x' || substring(md5(doc_id || ':42'), 1, 13)) AS BIGINT)
+        |        < CAST(FLOOR(LEAST(1.0, 0.002 * CAST(n_chars AS DOUBLE)) * 4503599627370496.0) AS BIGINT))
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s""".stripMargin) {
+      (s, d) => Sampling.weightedByHash(t(s, d, "documents"), "doc_id",
+          "n_chars", rate = 0.002)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    },
+
     // ---- Portable exactly-k per-group sample (md5 rank order) --------------
     Q("sample_per_group_hash",
       """WITH r AS (

@@ -60,6 +60,27 @@ object Sampling {
                     seed: Long = 42L): DataFrame =
     df.filter(hashKey(idCol, seed) < lit(hashThreshold(fraction)))
 
+  /** Portable WEIGHTED (probability-proportional-to-size / Poisson)
+    * sample: each row is kept independently with probability
+    * `min(1, rate · weight)` — "sample documents proportional to their
+    * token count" — decided by the same keyed hash. The per-row
+    * threshold `floor(min(1, rate·w) · 2^52)` uses ONLY operations IEEE
+    * 754 defines exactly (multiply, min, floor; the 2^52 scale is a
+    * power of two), so the threshold — and therefore the selected set —
+    * is bit-identical in any engine evaluating the same expression:
+    * oracle-EXACT, like the uniform/stratified hash forms. Rows with a
+    * null, NaN, or non-positive weight are excluded by contract (they
+    * have no sampling probability).
+    */
+  def weightedByHash(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double, seed: Long = 42L): DataFrame = {
+    require(rate > 0 && !rate.isInfinite, s"rate must be finite and > 0, got $rate")
+    val w = col(weightCol).cast("double")
+    df.filter(w.isNotNull && !isnan(w) && w > 0)
+      .filter(hashKey(idCol, seed) <
+        floor(least(lit(1.0), lit(rate) * w) * lit(HashUnit.toDouble)).cast("long"))
+  }
+
   /** Portable stratified sample: per-stratum hash thresholds over the
     * same keyed hash. Strata absent from `fractions` are dropped
     * (null threshold → comparison null → filtered), mirroring

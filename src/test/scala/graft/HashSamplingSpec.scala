@@ -119,6 +119,40 @@ class HashSamplingSpec extends SparkSpec {
       got.select("lang", "doc_id").collect().toSet)
   }
 
+  test("weightedByHash: inclusion tracks weight, clamps at 1, nests in rate") {
+    import spark.implicits._
+    // 3 weight levels x 600 rows: empirical keep-rates must track
+    // min(1, rate*w) within a binomial envelope
+    val rows = (0L until 1800L).map(id => (id, Seq(100.0, 400.0, 2000.0)((id % 3).toInt)))
+    val df = rows.toDF("id", "w")
+    val rate = 0.0008 // p = 0.08 / 0.32 / 1.0 (clamped)
+    val got = Sampling.weightedByHash(df, "id", "w", rate)
+    val byW = got.groupBy("w").count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    Seq(100.0, 400.0, 2000.0).foreach { w =>
+      val p = math.min(1.0, rate * w)
+      val exp = 600 * p
+      assert(math.abs(byW.getOrElse(w, 0L) - exp) <= 4 * math.sqrt(exp * (1 - p)) + 3,
+        s"w=$w: kept ${byW.get(w)}, expected ~$exp")
+    }
+    // clamp branch: every p=1 row survives
+    assert(byW(2000.0) == 600L)
+    // nesting: a smaller rate selects a subset (thresholds are monotone)
+    val small = Sampling.weightedByHash(df, "id", "w", rate / 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    // degenerate weights are excluded by contract
+    val weird = Seq((1L, Double.NaN), (2L, -5.0), (3L, 0.0))
+      .toDF("id", "w")
+      .unionByName(Seq((4L, Option.empty[Double])).toDF("id", "w"))
+    assert(Sampling.weightedByHash(weird, "id", "w", 1.0).count() == 0)
+    // partition invariance (pure per-row expression)
+    val re = Sampling.weightedByHash(df.repartition(13, col("w")), "id", "w", rate)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == big)
+  }
+
   test("hashThreshold quantization is the shared oracle constant") {
     // the SQL literals in the catalog oracles interpolate hashThreshold —
     // pin the quantization rule (round-half-up on f·2^52) so a change
