@@ -218,6 +218,58 @@ object EventQueries {
         .orderBy(col("week"))
     },
 
+    // ---- Audience overlap, EXACT (oracle twin of the theta row below) -----
+    // Distinct users per unordered event-type pair — the set-ALGEBRA
+    // question (A∩B) no union-only sketch can answer.
+    Q("events_user_overlap_exact",
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       COUNT(*) AS n_users
+        |FROM tu a JOIN tu b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val tu = t(s, d, "events").select("event_type", "user_id").distinct()
+        val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+        val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+        a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("type_a"), col("type_b"))
+      }
+    },
+
+    // ---- Audience overlap via THETA sketch table (set algebra on the
+    // persisted artifact: per-type sketches built once, every pairwise
+    // intersection/union answered by sketch ops — no_oracle: theta
+    // estimates; SketchTablesSpec pins exact-mode equality and the
+    // overlap matrix against the exact row above) -----------------------
+    Q.noOracle("events_user_overlap_theta") {
+      (s, d) => {
+        val tbl = SketchTables.thetaTable(
+          t(s, d, "events"), Seq("event_type"), "user_id")
+        sortSmall(SketchTables.thetaOverlap(tbl, "event_type"),
+          col("key_a"), col("key_b"))
+      }
+    },
+
+    // ---- Weekly value-quantile rollup via KLL sketch table -------------
+    // Per-(week, day) KLL sketches of the event value, rolled up to
+    // weekly p50/p95 by MERGE — the per-day build is the only base-data
+    // scan (no_oracle: KLL estimates; SketchTablesSpec pins the rank
+    // -error bound and merge≡direct).
+    Q.noOracle("events_value_quantile_rollup") {
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+        val daily = SketchTables.kllTable(ev, Seq("week", "day"), "value")
+        sortSmall(
+          SketchTables.kllQuantiles(
+            SketchTables.kllRollup(daily, Seq("week")), Seq(0.5, 0.95)),
+          col("week"))
+      }
+    },
+
     // ---- Mergeable HLL sketch table: weekly rollup WITHOUT rescanning ------
     // Build per-(week, day) user sketches once, answer the weekly
     // distinct-user rollup by sketch UNION — the reference's mergeable-

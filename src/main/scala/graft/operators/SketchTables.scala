@@ -43,4 +43,111 @@ object SketchTables {
   def hllEstimate(table: DataFrame): DataFrame =
     table.withColumn("n_distinct", hll_sketch_estimate(col("hll")).cast("long"))
       .drop("hll")
+
+  // ---- Theta sketch tables: distinct-set ALGEBRA -------------------------
+  // HLL answers union-rollups only; theta sketches also intersect and
+  // difference — "distinct users who did A AND B" (audience overlap) is
+  // not derivable from two HLL counts. Build/rollup are native
+  // TypedImperativeAggregates ([[graft.functions.ThetaSketchAgg]]);
+  // sketches below their nominal-entries bound are in EXACT mode, so
+  // small-cohort set ops are exact and large ones degrade gracefully to
+  // the documented ~1/sqrt(2^lgK) relative error.
+
+  /** Build the per-group theta sketch table over a LONG value column. */
+  def thetaTable(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 lgK: Int = 12): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_theta_sketch",
+        col(valueCol).cast("long"), lit(lgK)).as("theta"))
+  }
+
+  /** Roll a theta table up to coarser groups by sketch union. */
+  def thetaRollup(table: DataFrame, groupCols: Seq[String]): DataFrame = {
+    graft.functions.VectorExprs.register(table.sparkSession)
+    table.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_theta_union", col("theta")).as("theta"))
+  }
+
+  private val thetaEstimateUdf =
+    udf((b: Array[Byte]) => math.round(
+      org.apache.datasketches.theta.Sketches
+        .wrapSketch(org.apache.datasketches.memory.Memory.wrap(b)).getEstimate))
+
+  /** Materialize estimates: sketch column → `n_distinct`. */
+  def thetaEstimate(table: DataFrame): DataFrame =
+    table.withColumn("n_distinct", thetaEstimateUdf(col("theta"))).drop("theta")
+
+  private val thetaSetOpsUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    val sa = Sketches.wrapSketch(Memory.wrap(a))
+    val sb = Sketches.wrapSketch(Memory.wrap(b))
+    val inter = SetOperation.builder().buildIntersection().intersect(sa, sb).getEstimate
+    val uni = SetOperation.builder().buildUnion().union(sa, sb).getEstimate
+    (math.round(inter), math.round(uni))
+  }
+
+  /** Pairwise overlap matrix from a theta table: for every unordered key
+    * pair (a < b), the per-key distinct counts plus |A∩B| and |A∪B|
+    * estimates. The cross join is over the SKETCH TABLE (groups-sized by
+    * contract — a handful of audience rows, never base data), which is
+    * also why plain Scala UDFs are acceptable here: they run once per
+    * key pair, not per corpus row.
+    */
+  def thetaOverlap(table: DataFrame, keyCol: String): DataFrame = {
+    val a = table.select(col(keyCol).as("key_a"), col("theta").as("__ta"))
+    val b = table.select(col(keyCol).as("key_b"), col("theta").as("__tb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__ops", thetaSetOpsUdf(col("__ta"), col("__tb")))
+      .select(col("key_a"), col("key_b"),
+        thetaEstimateUdf(col("__ta")).as("n_a"),
+        thetaEstimateUdf(col("__tb")).as("n_b"),
+        col("__ops._1").as("n_intersect"),
+        col("__ops._2").as("n_union"))
+  }
+
+  // ---- KLL quantile sketch tables ----------------------------------------
+  // Mergeable per-group QUANTILE summaries: build per-day sketches once,
+  // answer "p95 by week/month" by merge — the dashboard-tile shape where
+  // exact per-group quantiles (Quantiles.exactPerGroup) would rescan the
+  // base table per rollup level. Rank error is the KLL bound (~1.65%
+  // one-sided at k = 200).
+
+  /** Build the per-group KLL sketch table over a DOUBLE value column. */
+  def kllTable(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               k: Int = 200): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_kll_sketch",
+        col(valueCol).cast("double"), lit(k)).as("kll"))
+  }
+
+  /** Roll a KLL table up to coarser groups by sketch merge. */
+  def kllRollup(table: DataFrame, groupCols: Seq[String]): DataFrame = {
+    graft.functions.VectorExprs.register(table.sparkSession)
+    table.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_kll_merge", col("kll")).as("kll"))
+  }
+
+  private val kllQuantileUdf = udf { (b: Array[Byte], p: Double) =>
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val s = KllDoublesSketch.heapify(Memory.wrap(b))
+    if (s.isEmpty) None
+    else Some(s.getQuantile(p,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  /** Materialize quantile estimates: sketch column → one `p<N>` column
+    * per requested prob (the [[Quantiles.exact]] naming convention).
+    * Empty-sketch groups yield nulls.
+    */
+  def kllQuantiles(table: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0, 1], got $probs")
+    probs.foldLeft(table) { (acc, p) =>
+      acc.withColumn(s"p${(p * 100).round}", kllQuantileUdf(col("kll"), lit(p)))
+    }.drop("kll")
+  }
 }

@@ -14,7 +14,12 @@ class PlanGuardSpec extends SparkSpec {
     * driver collect — the nested-loop is over a single broadcast row, so
     * cost stays linear (HeavyHitters.exactRelative, set_ops_counts).
     */
-  private val allPairsBaselines = Set("similarity_topk")
+  /** events_user_overlap_theta: the pairwise matrix is a deliberate
+    * non-equi self-join of the SKETCH TABLE — one row per group key (a
+    * handful of audience rows by the sketch-table contract), never base
+    * data, so the nested-loop is over a groups² grid of sketch pairs.
+    */
+  private val allPairsBaselines = Set("similarity_topk", "events_user_overlap_theta")
   private val scalarBroadcasts = Set("heavy_hitters_relative", "set_ops_counts")
 
   test("no catalog query plans a cartesian or nested-loop join (beyond the documented baselines)") {

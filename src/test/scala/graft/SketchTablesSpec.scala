@@ -60,4 +60,67 @@ class SketchTablesSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(served == direct)
   }
+
+  test("theta tables: exact-mode estimates, rollup-by-union, parquet round trip") {
+    // fixture cardinalities sit far below 2^12 nominal entries, so the
+    // sketches are in EXACT mode: estimates must EQUAL exact distincts
+    val perDay = SketchTables.thetaEstimate(
+        SketchTables.thetaTable(events, Seq("day"), "user_id"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = events.groupBy("day")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(perDay == exact)
+    // weekly rollup by union ≡ direct weekly sketching (exact mode)
+    val daily = SketchTables.thetaTable(events, Seq("week", "day"), "user_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta").toString
+    daily.write.mode("overwrite").parquet(dir)
+    val merged = SketchTables.thetaEstimate(
+        SketchTables.thetaRollup(spark.read.parquet(dir), Seq("week")))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val direct = SketchTables.thetaEstimate(
+        SketchTables.thetaTable(events, Seq("week"), "user_id"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(merged == direct)
+  }
+
+  test("theta overlap matrix equals exact set intersections on planted cohorts") {
+    import spark.implicits._
+    // partial overlaps by construction: A = [0,100), B = [60,200),
+    // C = [150,400) — every pairwise intersection/union size is known
+    val rows =
+      (0L until 100L).map(("A", _)) ++
+      (60L until 200L).map(("B", _)) ++
+      (150L until 400L).map(("C", _))
+    val df = rows.toDF("grp", "uid")
+    val got = SketchTables.thetaOverlap(
+        SketchTables.thetaTable(df, Seq("grp"), "uid"), "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("A", "B")) == ((100L, 140L, 40L, 200L)))
+    assert(got(("A", "C")) == ((100L, 250L, 0L, 350L)))
+    assert(got(("B", "C")) == ((140L, 250L, 50L, 340L)))
+  }
+
+  test("kll quantile rollup lands within rank error of exact quantiles") {
+    val probs = Seq(0.5, 0.95)
+    val daily = SketchTables.kllTable(events, Seq("week", "day"), "value")
+    val weekly = SketchTables.kllQuantiles(
+        SketchTables.kllRollup(daily, Seq("week")), probs)
+      .collect().map(r => r.getDate(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+    // exact per-week sorted values
+    val byWeek = events.select(col("week"), col("value"))
+      .collect().groupBy(_.getDate(0).toString)
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(weekly.keySet == byWeek.keySet)
+    // k = 200 → normalized rank error ~1.65%; assert the estimate's RANK
+    // lies within ±3.5% of the requested rank (generous envelope)
+    weekly.foreach { case (w, (p50, p95)) =>
+      val vs = byWeek(w)
+      def rankOf(v: Double): Double = vs.count(_ <= v).toDouble / vs.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.035, s"week $w p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.035, s"week $w p95 rank ${rankOf(p95)}")
+    }
+  }
 }
