@@ -69,6 +69,9 @@ object BenchScale {
     // product analytics (user-keyed min-aggregations / cohort cells)
     "events_funnel", "events_retention", "events_anomaly",
     "events_distinct_rollup",
+    // sketch-table set algebra / quantile rollups (linear build, sketch-
+    // sized serve side)
+    "events_user_overlap_theta", "events_value_quantile_rollup",
     // mixing + export + the flagship composition (CC ∘ LSH inside)
     "sample_temperature_tokens", "pipeline_export_jsonl",
     "pipeline_clean_corpus")
@@ -272,6 +275,37 @@ object BenchScale {
       val s = q(outDir, "events_anomaly").count()
       math.abs(s - b) <= math.max(1L, b / 50)
     }, "anomaly flagged-window count moved with scale")
+    check("theta_overlap_scales_linearly", {
+      // user_ids shift by a copy-unique offset, so each copy's audiences
+      // are DISJOINT from every other copy's: true pairwise
+      // intersections/unions are exactly factor× the base. The base run
+      // is exact-mode (fixture cohorts < 2^12 entries); the scaled run
+      // may be estimating — allow theta's ~1.6% rse at 5 sigma
+      val b = q(srcDir, "events_user_overlap_theta").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(4), r.getLong(5))).toMap
+      val s = q(outDir, "events_user_overlap_theta").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(4), r.getLong(5))).toMap
+      s.keySet == b.keySet && b.forall { case (k, (bi, bu)) =>
+        val (si, su) = s(k)
+        math.abs(si - factor * bi) <= math.max(2.0, 0.10 * factor * bi) &&
+          math.abs(su - factor * bu) <= math.max(2.0, 0.10 * factor * bu)
+      }
+    }, "theta overlap cells departed from linear scaling")
+    check("kll_rollup_quantiles_stable", {
+      // event values repeat VERBATIM per copy, so every week's true value
+      // distribution — and therefore its true quantiles — is unchanged at
+      // any scale; both runs' KLL estimates sit within rank error of the
+      // same CDF, so estimates must agree within a small value tolerance
+      val b = q(srcDir, "events_value_quantile_rollup").collect()
+        .map(r => r.get(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+      val s = q(outDir, "events_value_quantile_rollup").collect()
+        .map(r => r.get(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+      s.keySet == b.keySet && b.forall { case (w, (b50, b95)) =>
+        val (s50, s95) = s(w)
+        math.abs(s50 - b50) <= 0.15 * math.abs(b50) + 1.0 &&
+          math.abs(s95 - b95) <= 0.15 * math.abs(b95) + 1.0
+      }
+    }, "weekly KLL quantiles moved with scale (distribution is invariant)")
     check("clean_corpus_scales_linearly", {
       // quality filter, exact dedup, and the near-dup component graph all
       // replicate per copy; LSH banding re-rolls per copy (salted

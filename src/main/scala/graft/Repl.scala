@@ -69,6 +69,8 @@ object Repl {
       |                                         events view (cohort, offset, users)
       |  anomaly <view>                         z-score-flagged (hour, event_type)
       |                                         count windows over an events view
+      |  overlap <view>                         audience-overlap matrix (theta set
+      |                                         algebra) over an events view
       |  tiers <view> [k]                       per-(source, tier) doc/token rollup
       |                                         of the per-source quality k-tiles
       |                                         (default terciles; histogram-cut)
@@ -223,6 +225,14 @@ object Repl {
         render(graft.operators.Funnels
           .countAnomalies(df(vid), "event_type", "ts")
           .orderBy(col("window_start"), col("event_type")))
+      case "overlap" :: vid :: Nil =>
+        // audience-overlap matrix from the per-type theta sketch table:
+        // sketch build is the only event scan; the pairwise set ops run
+        // over the groups-sized sketch table
+        render(graft.operators.SketchTables.thetaOverlap(
+          graft.operators.SketchTables.thetaTable(
+            df(vid), Seq("event_type"), "user_id"), "event_type")
+          .orderBy(col("key_a"), col("key_b")))
       case "tiers" :: vid :: rest if rest.size <= 1 =>
         // per-(source, tier) rollup of the quality terciles (or k-tiles):
         // sources·k rows — sketch-sized summary, never per-doc output

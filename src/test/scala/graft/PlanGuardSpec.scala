@@ -93,9 +93,10 @@ class PlanGuardSpec extends SparkSpec {
       // guarded contract
       "Sampling.scala"      -> 3,
       // scale-invariant checks, not operators: funnel step counts (3
-      // rows) and retention cohort cells (tens of rows) collected at
-      // both scales to assert exact factor-x replication
-      "BenchScale.scala"    -> 4)
+      // rows), retention cohort cells (tens of rows), theta overlap
+      // cells (type-pairs), and weekly KLL quantiles (weeks) collected
+      // at both scales to assert the factor-x / invariance contracts
+      "BenchScale.scala"    -> 8)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)

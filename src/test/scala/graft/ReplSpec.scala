@@ -172,6 +172,7 @@ class ReplSpec extends SparkSpec {
       "funnel events-1 view click purchase",
       "retention events-1",
       "anomaly events-1",
+      "overlap events-1",
       "open documents",
       "tiers documents-2",
       "budget documents-2 300",
@@ -186,6 +187,8 @@ class ReplSpec extends SparkSpec {
       s"retention must render cohort cells:\n$out")
     assert(out.linesIterator.exists(_.startsWith("window_start\tevent_type\tcnt\tz")),
       s"anomaly must render flagged windows:\n$out")
+    assert(out.linesIterator.exists(_.startsWith("key_a\tkey_b\tn_a\tn_b\tn_intersect\tn_union")),
+      s"overlap must render the audience matrix:\n$out")
     val tHeader = out.linesIterator.indexWhere(_.startsWith("source\ttier\tn_docs\tn_tokens"))
     assert(tHeader >= 0, s"tiers must render the (source, tier) rollup:\n$out")
     assert(out.linesIterator.drop(tHeader + 1).next().split("\t").length == 4,
