@@ -252,6 +252,31 @@ object EventQueries {
       }
     },
 
+    // ---- Weekly value quantiles, EXACT (oracle twin of the KLL row
+    // below: same week buckets and probs, exact histogram-cut order
+    // statistics vs the naive rank-window oracle) ------------------------
+    Q("events_value_quantiles_exact",
+      """WITH e AS (
+        |  SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
+        |         value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT week, v,
+        |    row_number() OVER (PARTITION BY week ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY week) AS n
+        |  FROM e)
+        |SELECT week, q, v AS value
+        |FROM r CROSS JOIN (SELECT UNNEST([CAST(0.5 AS DOUBLE), 0.95]) AS q) p
+        |WHERE rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+        |ORDER BY week, q""".stripMargin) {
+      (s, d) => sortSmall(
+        Quantiles.exactPerGroup(
+          t(s, d, "events")
+            .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")),
+          "week", "value", Seq(0.5, 0.95)),
+        col("week"), col("q"))
+    },
+
     // ---- Weekly value-quantile rollup via KLL sketch table -------------
     // Per-(week, day) KLL sketches of the event value, rolled up to
     // weekly p50/p95 by MERGE — the per-day build is the only base-data
