@@ -295,6 +295,17 @@ object EventQueries {
       }
     },
 
+    // ---- Streamed HLL sketch table: the per-day build runs as ONE
+    // streaming aggregation (sketches merge in the state store), the
+    // weekly rollup serves from the compact table — no_oracle (HLL
+    // estimates); StreamingSpec pins stream ≡ batch exactly (the sketch
+    // is deterministic on the input set) ---------------------------------
+    Q.noOracle("events_stream_distinct_rollup") {
+      (s, d) => sortSmall(
+        graft.streaming.StreamSketches.weeklyDistinctRollup(s, d),
+        col("week"))
+    },
+
     // ---- Mergeable HLL sketch table: weekly rollup WITHOUT rescanning ------
     // Build per-(week, day) user sketches once, answer the weekly
     // distinct-user rollup by sketch UNION — the reference's mergeable-

@@ -83,6 +83,22 @@ class StreamingSpec extends SparkSpec {
     assert(canon(stateEvents) == canon(logEvents))
   }
 
+  test("streamed HLL sketch table equals the batch-built table") {
+    val stream = graft.streaming.StreamSketches.weeklyDistinctRollup(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val ev = events
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+    val batch = graft.operators.SketchTables.hllEstimate(
+        graft.operators.SketchTables.hllRollup(
+          graft.operators.SketchTables.hllTable(ev, Seq("week", "day"), "user_id"),
+          Seq("week")))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // the sketch is deterministic on the input set, so the streamed
+    // table's rollup must agree EXACTLY, not just within HLL error
+    assert(stream == batch)
+  }
+
   test("streamed retention equals batch retention") {
     val batch = graft.operators.Funnels.retention(events, "user_id", "ts")
     val stream = graft.streaming.StreamFunnels.retention(spark, sf)
