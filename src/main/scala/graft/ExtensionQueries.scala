@@ -797,6 +797,25 @@ object ExtensionQueries {
         ivfIndexDir(s, d), 10, nprobe = 8)
     },
 
+    // ---- Product-quantization ANN (scale path #3: compressed serving) -----
+    // 64-dim float vectors compress to 8 one-byte codes (32×); ADC scores
+    // each row with 2m table lookups, query side exact. Recall /
+    // determinism / shuffle contracts pinned in PqSpec; exactness stays
+    // the brute-force sibling's job.
+    Q.noOracle("similarity_pq") {
+      (s, d) => Pq.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, m = 8, ksub = 16)
+    },
+
+    // ---- PQ with exact re-rank: shortlist by code, rescore refine·k ---------
+    // The standard two-stage deployment: only refine·k full vectors per
+    // query are ever touched; top-k approaches brute-force (PqSpec pins
+    // the measured recall floor).
+    Q.noOracle("similarity_pq_refined") {
+      (s, d) => Pq.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, m = 8, ksub = 16, refine = 8)
+    },
+
     // ---- Token count -------------------------------------------------------
     Q("text_token_count",
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -1125,6 +1144,35 @@ object ExtensionQueries {
           .orderBy(col("doc_id"), col("rk"))
     },
 
+    // ---- BM25 full-text relevance top-k ------------------------------------
+    // Lucene-parameterized Okapi BM25 over a fixed two-term query; the
+    // oracle recomputes the identical formula naively (full window over
+    // every doc) while Spark filters to query terms map-side and cuts the
+    // global top-k with TakeOrderedAndProject. Constants stay in
+    // UNFOLDED form ((1.2 + 1), (1 - 0.75)) on both sides so each engine
+    // derives the same IEEE doubles; round-6 after the per-doc sum
+    // absorbs last-ulp ln() noise (the tfidf precedent).
+    Q("text_bm25_topk",
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+        |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |         SELECT doc_id, UNNEST(toks) AS w FROM tk)
+        |       WHERE w IN ('spark', 'join') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         SUM(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |             * (t.tf * (1.2 + 1)) /
+        |             (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / (st.sdl * 1.0 / st.n)))) AS score
+        |       FROM tf t JOIN dfq d USING (term) JOIN dl l ON t.doc_id = l.doc_id
+        |       CROSS JOIN st GROUP BY 1)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 15""".stripMargin) {
+      (s, d) =>
+        TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          query = Seq("spark", "join"), k = 15)
+    },
+
     // ---- Bigram-LM cross-entropy quality score -----------------------------
     // CCNet-style: the add-k bigram LM trains on the 90% reference split
     // and scores the held-out 10% (same split as the ingest-dedup rows),
@@ -1270,6 +1318,30 @@ object ExtensionQueries {
         val assets = Multimodal.toAsset(wavs, "doc_id", "wav", "audio/wav")
         // sortSmall: map-only codec plan (see multimodal_frames)
         sortSmall(Multimodal.audioFeatures(assets, "doc_id"), col("doc_id"))
+    },
+
+    // ---- Multimodal audio dedup: gain-invariant perceptual fingerprints ---
+    // Every doc_id % 10 == 9 carries the PREVIOUS doc's waveform re-mastered
+    // at 2x volume (byte-distinct payload, identical energy-delta
+    // fingerprint — AudioCodec.audioFingerprint's gain-invariance
+    // contract), so the planted (d-1, d) pairs are the ONLY Hamming-3
+    // matches: a byte-level dedup would find nothing, a stub fingerprint
+    // would match everything. Same closed-form oracle as the image twin.
+    Q("multimodal_audio_dedup",
+      """SELECT doc_id - 1 AS d1, doc_id AS d2 FROM documents
+        |WHERE doc_id % 10 = 9 ORDER BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val isCopy = pmod(col("doc_id"), lit(10)) === 9
+        val wavs = Multimodal.synthesizePatternWav(
+          t(s, d, "documents").select(col("doc_id")),
+          when(isCopy, col("doc_id") - 1).otherwise(col("doc_id")),
+          when(isCopy, lit(2)).otherwise(lit(1)))
+        val fps = Multimodal.audioHashes(wavs, "doc_id", col("wav"))
+        sortSmall(
+          Dedup.hammingPairs(fps, "doc_id", "afp", maxHamming = 3)
+            .select(col("d1"), col("d2")),
+          col("d1"), col("d2"))
+      }
     },
 
     // ---- Multimodal video: minimal RIFF-AVI (uncompressed DIB) container ---

@@ -42,6 +42,7 @@ object Repl {
       |  simsearch <view> <id> <k> [idCol vecCol]
       |                                         LSH top-k cosine neighbours of row <id>
       |                                         (cols default vec_id/embedding)
+      |  search <view> <k> <term> [term...]     BM25 relevance top-k over doc_id/text
       |  chunk <view> <size> <overlap>          context-window token chunks (doc_id/text)
       |  pack <view> <size> <overlap> <budget>  chunk then pack into per-source token
       |                                         bins; prints (source, bin, n_chunks,
@@ -185,6 +186,11 @@ object Repl {
         render(s.sketch(ViewId(vid), s"simsearch:$id:$k:$idCol:$vecCol")(d =>
           graft.operators.Similarity.lshTopK(d, idCol, vecCol,
             col(idCol) === lit(id.toLong), k.toInt)))
+      case "search" :: vid :: k :: terms if terms.nonEmpty =>
+        // BM25 top-k is sketch-sized (k rows) — memoized like the other
+        // interactive sketches
+        render(s.sketch(ViewId(vid), s"search:$k:${terms.mkString(",")}")(d =>
+          graft.operators.TextOps.bm25TopK(d, "doc_id", "text", terms, k.toInt)))
       // chunk/contaminate outputs are corpus-LINEAR, not sketch-sized, so
       // they must NOT go through the sketch memo (which collects fully);
       // render's limit over orderBy plans as TakeOrderedAndProject — one

@@ -124,4 +124,95 @@ object AudioCodec {
       case scala.util.control.NonFatal(_) => None
     }
   }
+
+  // ---- perceptual fingerprint (audio dHash) -------------------------------
+
+  /** Fingerprint geometry: 65 equal windows → 64 energy-delta bits, the
+    * audio analogue of [[ImageCodec.dHash]]'s 9×8 grid (Haitsma/Kalker
+    * ISMIR'02 reduced to one band: bit w = "does window w+1 carry more
+    * energy than window w"). 64 bits compare by Hamming distance through
+    * the same [[Dedup.hammingPairs]] banding as the image path.
+    */
+  val FP_WINDOWS: Int = 65
+
+  /** Perceptual fingerprint of a WAV payload: decode, split the pooled
+    * sample stream into [[FP_WINDOWS]] equal windows (tail remainder
+    * dropped), sum each window's energy exactly in Long (|s| ≤ 2¹⁵ ⇒
+    * s² ≤ 2³⁰; overflow needs ≥ 2³³ samples per window), emit bit w = 1
+    * iff E(w+1) > E(w). GAIN-INVARIANT by construction: scaling every
+    * sample by a constant scales every window energy by its square, so
+    * every strict `>` (and every tie) is preserved — a re-mastered /
+    * volume-shifted copy fingerprints identically, which is the whole
+    * point of a perceptual hash. None for null / undecodable /
+    * non-16-bit-PCM payloads or streams shorter than one sample per
+    * window (a bad asset yields a null row, never a task failure).
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return None
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        val win = n / FP_WINDOWS
+        if (win == 0) return None
+        val energy = new Array[Long](FP_WINDOWS)
+        var w = 0
+        while (w < FP_WINDOWS) {
+          var e = 0L
+          var i = w * win
+          val end = i + win
+          while (i < end) {
+            val s =
+              if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+            e += s.toLong * s
+            i += 1
+          }
+          energy(w) = e
+          w += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < FP_WINDOWS - 1) {
+          if (energy(b + 1) > energy(b)) h |= 1L << b
+          b += 1
+        }
+        Some(h)
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Mono WAV whose [[audioFingerprint]] is exactly `code` — the audio
+    * twin of [[ImageCodec.patternPng]]: window w holds an alternating
+    * ±a(w) square wave with a(0) = 1000 and a(w+1) = a(w) + (bit w of
+    * code) · 100, so E(w+1) > E(w) iff the bit is set and E ties exactly
+    * otherwise (bit 0). Amplitudes stay ≤ 7400, so any `gain` ≤ 4 is
+    * clipping-free; a gain ≠ 1 copy differs byte-wise but fingerprints
+    * identically (the gain-invariance contract above) — the planted
+    * "re-mastered duplicate" for the perceptual-dedup oracle.
+    */
+  def patternWav(code: Long, gain: Int = 1): Array[Byte] = {
+    require(gain >= 1 && gain <= 4, s"gain must be in [1, 4], got $gain")
+    val win = 64
+    val samples = new Array[Short](FP_WINDOWS * win)
+    var a = 1000
+    var w = 0
+    while (w < FP_WINDOWS) {
+      var i = 0
+      while (i < win) {
+        val s = if (i % 2 == 0) a * gain else -a * gain
+        samples(w * win + i) = s.toShort
+        i += 1
+      }
+      if (w < FP_WINDOWS - 1 && ((code >>> w) & 1L) == 1L) a += 100
+      w += 1
+    }
+    pcmWav(8000, 1, samples)
+  }
 }

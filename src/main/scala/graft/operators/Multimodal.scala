@@ -111,6 +111,30 @@ object Multimodal {
                   dataCol: Column = col("asset.data")): DataFrame =
     df.select(col(idCol), dHashUdf(dataCol).as("dhash"))
 
+  private val patternWavUdf = udf((code: Long, gain: Int) =>
+    AudioCodec.patternWav(code * dhashMix, gain))
+
+  /** Add a real WAV payload (`wav`) whose [[AudioCodec.audioFingerprint]]
+    * is the bijective mix of `codeCol` — equal codes (planted dups) give
+    * bit-identical fingerprints even at DIFFERENT `gainCol` volumes
+    * (byte-distinct payloads), distinct codes give fingerprints far apart
+    * in Hamming space (the same odd-multiplier mix as the image path).
+    */
+  def synthesizePatternWav(df: DataFrame, codeCol: Column,
+                           gainCol: Column): DataFrame =
+    df.withColumn("wav", patternWavUdf(codeCol, gainCol.cast("int")))
+
+  private val audioFpUdf = udf((b: Array[Byte]) => AudioCodec.audioFingerprint(b))
+
+  /** Perceptual audio fingerprints: (id, afp) per asset — REAL decode +
+    * windowed energy-delta hash; undecodable payloads yield null. Feed to
+    * [[Dedup.hammingPairs]] for audio near-dup pairs, exactly as
+    * [[imageHashes]] feeds the image path.
+    */
+  def audioHashes(df: DataFrame, idCol: String,
+                  dataCol: Column = col("asset.data")): DataFrame =
+    df.select(col(idCol), audioFpUdf(dataCol).as("afp"))
+
   private val synthWavUdf = udf((id: Long) => AudioCodec.synthWav(id))
 
   /** Add a real WAV payload column (`wav`) derived from the id (see

@@ -1,0 +1,361 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", IEEE PAMI 2011) — the ANN path that makes a
+  * 100 TB embedding corpus SERVABLE FROM MEMORY: split every vector into
+  * `m` subvectors, learn a tiny k-means codebook per subspace, and store
+  * each vector as `m` one-byte codes. A 64-dim float vector (256 B)
+  * becomes an 8-byte code — 32× compression — and the asymmetric-distance
+  * search (ADC) scores a row with `m` table lookups instead of `dim`
+  * multiplies, with the UNCOMPRESSED query on the lookup side so
+  * quantization error applies to the corpus only (the paper's ADC
+  * estimator). North-star extension next to [[Similarity]]'s IVF family
+  * (ref capability: approximate similarity sketches; the reference has no
+  * embedding search surface).
+  *
+  * Scale shape: training samples a deterministic sketch-sized subset to
+  * the driver (the k-means|| candidate-cap precedent); codebooks are
+  * `m·ksub·dsub` doubles — broadcast-sized by construction; encoding is
+  * one map-side pass; search builds each query's `m × ksub` lookup table
+  * ONCE PER PARTITION (not per row) in a partition kernel, folds per-row
+  * scores into the bounded [[graft.functions.NextKPageAgg]] top-k buffer,
+  * and only `partitions · |Q| · k` rows ever shuffle. Nothing anywhere is
+  * corpus-sized on the driver or quadratic in the corpus.
+  *
+  * Like every approximate family here, exactness is the sibling's job
+  * ([[Similarity.cosineTopK]]); PQ rows are `no_oracle` with recall /
+  * determinism / parity contracts pinned in PqSpec.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `centroids(s)(j)` is the `dsub`-dim centroid
+    * for code `j` of subspace `s`. `ksub` ≤ 256 so codes pack one byte.
+    */
+  case class Codebooks(m: Int, dsub: Int, ksub: Int,
+                       centroids: Array[Array[Array[Double]]]) {
+    require(m > 0 && dsub > 0 && ksub > 1 && ksub <= 256,
+      s"bad codebook geometry m=$m dsub=$dsub ksub=$ksub")
+    def dim: Int = m * dsub
+  }
+
+  /** Train PQ codebooks on a deterministic sketch-sized sample: the
+    * `sampleSize` rows with the smallest `xxhash64(id, seed)` (the
+    * bottom-k-by-hash sampling contract — deterministic under any
+    * partitioning), k-means++ init + Lloyd to `maxIters` per subspace on
+    * the driver. Driver cost is O(sampleSize · dim · ksub · iters) —
+    * sample-sized by contract, never corpus-sized.
+    *
+    * Empty-cluster rule: a centroid that captures no points keeps its
+    * previous position (the standard frozen-centroid fallback) — with
+    * ksub ≪ sampleSize this is rare and harmless for an encoder.
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+            sampleSize: Int = 4096, maxIters: Int = 12): Codebooks = {
+    require(m > 0 && ksub > 1 && ksub <= 256, s"bad m=$m / ksub=$ksub")
+    val sample = emb
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(sampleSize)
+      .collect() // sketch-sized by contract (sampleSize rows)
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "Pq.train: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(sample.forall(_.length == dim), "Pq.train: ragged vector lengths")
+    val dsub = dim / m
+    val cents = Array.tabulate(m) { s =>
+      val pts = sample.map { v =>
+        val a = new Array[Double](dsub)
+        var i = 0
+        while (i < dsub) { a(i) = v(s * dsub + i); i += 1 }
+        a
+      }
+      lloyd(pts, math.min(ksub, pts.length), new scala.util.Random(seed + s), maxIters)
+    }
+    Codebooks(m, dsub, ksub, cents)
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Seeded k-means++ init + Lloyd on a driver-local sample; ties in
+    * assignment break to the lowest code (deterministic).
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+                    rnd: scala.util.Random, maxIters: Int): Array[Array[Double]] = {
+    val cs = new Array[Array[Double]](k)
+    cs(0) = pts(rnd.nextInt(pts.length)).clone()
+    val d2 = pts.map(l2(_, cs(0)))
+    var c = 1
+    while (c < k) {
+      val tot = d2.sum
+      val pick =
+        if (tot <= 0) pts(rnd.nextInt(pts.length)) // degenerate: all points equal
+        else {
+          var r = rnd.nextDouble() * tot
+          var i = 0
+          while (i < pts.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
+          pts(i)
+        }
+      cs(c) = pick.clone()
+      var i = 0
+      while (i < pts.length) { d2(i) = math.min(d2(i), l2(pts(i), cs(c))); i += 1 }
+      c += 1
+    }
+    var it = 0
+    var moved = true
+    while (it < maxIters && moved) {
+      val sums = Array.fill(k)(new Array[Double](cs(0).length))
+      val cnts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0
+        var bd = l2(p, cs(0))
+        var j = 1
+        while (j < k) {
+          val d = l2(p, cs(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        cnts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < p.length) { s(i) += p(i); i += 1 }
+      }
+      moved = false
+      var j = 0
+      while (j < k) {
+        if (cnts(j) > 0) {
+          val nc = sums(j).map(_ / cnts(j))
+          if (l2(nc, cs(j)) > 1e-12) moved = true
+          cs(j) = nc
+        } // else: frozen-centroid fallback
+        j += 1
+      }
+      it += 1
+    }
+    cs
+  }
+
+  /** Encode every vector to its `m`-byte PQ code (nearest centroid per
+    * subspace, ties to the lowest code) — one map-side pass, the 32×
+    * compression step. Output: (id, code binary).
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             cb: Codebooks): DataFrame = {
+    val enc = udf { (v: Seq[Float]) =>
+      if (v == null || v.length != cb.dim) null
+      else {
+        val code = new Array[Byte](cb.m)
+        var s = 0
+        while (s < cb.m) {
+          val sub = new Array[Double](cb.dsub)
+          var i = 0
+          while (i < cb.dsub) { sub(i) = v(s * cb.dsub + i); i += 1 }
+          var best = 0
+          var bd = l2(sub, cb.centroids(s)(0))
+          var j = 1
+          while (j < cb.centroids(s).length) {
+            val d = l2(sub, cb.centroids(s)(j))
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          code(s) = best.toByte
+          s += 1
+        }
+        code
+      }
+    }
+    emb.select(col(idCol), enc(col(vecCol)).as("code"))
+  }
+
+  /** ADC approximate cosine top-k over PQ codes: per query, approximate
+    * `cos(q, x) ≈ Σ_s lut_s(code_s(x)) / (|q| · |x̃|)` where
+    * `lut_s(j) = q_s · c_{s,j}` and `x̃` is the reconstruction — we fold
+    * BOTH the dot product and the reconstruction norm through the same
+    * lookup tables (`|x̃|² = Σ_s |c_{s,code_s}|²`), so scoring is `2m`
+    * lookups per row, dimension-free. The query side is exact (asymmetric
+    * distance — the paper's ADC estimator).
+    *
+    * Partition kernel, not a per-row UDF, because the LUTs must build
+    * once per (query, partition) — `|Q| · m · ksub` doubles — and then
+    * amortize over every row in the partition; a scalar expression would
+    * recompute them per row, turning the m-lookup score back into a
+    * dim-multiply score. Emitted (q_id, n_id, asim) rows fold into the
+    * bounded page aggregate map-side, so the shuffle stays
+    * `partitions · |Q| · k`.
+    *
+    * `queries` is collected (sketch-sized by contract — the
+    * ivfTopKFromIndex batch precedent, same loud cap).
+    */
+  def adcTopK(codes: DataFrame, cb: Codebooks, queries: DataFrame,
+              k: Int, maxQueryBatch: Int = 100000): DataFrame = {
+    val spark = codes.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val qRows = queries.limit(maxQueryBatch + 1).collect()
+    require(qRows.length <= maxQueryBatch,
+      s"adcTopK query batch exceeds maxQueryBatch=$maxQueryBatch rows — " +
+        "query batches are sketch-sized by contract; split the batch or raise the cap")
+    val qs: Array[(Long, Array[Double])] = qRows.map { r =>
+      val v = r.getSeq[Float](1)
+      (r.getLong(0), v.map(_.toDouble).toArray)
+    }
+    require(qs.forall(_._2.length == cb.dim),
+      s"adcTopK: query dim != codebook dim ${cb.dim}")
+    val bc = spark.sparkContext.broadcast((cb, qs))
+    import spark.implicits._
+    val scored = codes
+      .select(col("*"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (cbl, qsl) = bc.value
+        // per-query LUTs: dot(q_s, c_{s,j}) and the shared centroid norms
+        val cn2 = Array.tabulate(cbl.m, cbl.ksub) { (s, j) =>
+          if (j < cbl.centroids(s).length) {
+            val c = cbl.centroids(s)(j)
+            var t = 0.0; var i = 0
+            while (i < c.length) { t += c(i) * c(i); i += 1 }
+            t
+          } else 0.0
+        }
+        val luts = qsl.map { case (qid, q) =>
+          val lut = Array.tabulate(cbl.m, cbl.ksub) { (s, j) =>
+            if (j < cbl.centroids(s).length) {
+              val c = cbl.centroids(s)(j)
+              var t = 0.0; var i = 0
+              while (i < c.length) { t += q(s * cbl.dsub + i) * c(i); i += 1 }
+              t
+            } else 0.0
+          }
+          var qn = 0.0; var i = 0
+          while (i < q.length) { qn += q(i) * q(i); i += 1 }
+          (qid, lut, math.sqrt(qn))
+        }
+        it.flatMap { case (nid, code) =>
+          if (code == null) Iterator.empty
+          else luts.iterator.collect { case (qid, lut, qnorm) if qid != nid =>
+            var dot = 0.0
+            var rn2 = 0.0
+            var s = 0
+            while (s < cbl.m) {
+              val j = code(s) & 0xff
+              dot += lut(s)(j)
+              rn2 += cn2(s)(j)
+              s += 1
+            }
+            val denom = qnorm * math.sqrt(rn2)
+            (qid, nid, if (denom > 0) dot / denom else 0.0)
+          }
+        }
+      }
+      .toDF("q_id", "n_id", "asim")
+    scored.groupBy(col("q_id"))
+      .agg(call_function("graft_nextk_page",
+        struct(round(col("asim"), 6).as("asim"), col("n_id")),
+        typedlit(Seq(false, true)), lit(k)).as("pg"))
+      .select(col("q_id"), posexplode(col("pg")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.key.n_id").as("n_id"),
+        col("e.key.asim").as("asim"), (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Fused train → encode → ADC search, with optional EXACT re-rank:
+    * `refine > 1` retrieves `refine·k` ADC candidates per query and
+    * re-ranks them with the exact cosine over the original vectors (the
+    * LSH/IVF re-rank precedent) — the standard two-stage PQ deployment
+    * where compressed codes cut the corpus to a candidate shortlist and
+    * only `refine·k` full vectors per query are ever touched. Output
+    * matches the other top-k paths: (q_id, n_id, sim|asim, rk).
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, m: Int = 8, ksub: Int = 16,
+             seed: Long = 42L, refine: Int = 1,
+             scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(Seq("bigint", "int", "smallint").contains(
+      emb.schema(idCol).dataType.simpleString),
+      s"pqTopK needs an integral id column, got ${emb.schema(idCol).dataType}")
+    val cb = train(emb, idCol, vecCol, m, ksub, seed)
+    val codes = encode(emb, idCol, vecCol, cb)
+      .select(col(idCol).cast("long").as("n_id"), col("code"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    if (refine <= 1) adcTopK(codes, cb, queries, k)
+    else {
+      val shortlist = adcTopK(codes, cb, queries, k * refine)
+      val qv = queries
+      val cv = emb.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      Similarity.rerankTopK(
+        shortlist.select(col("q_id"), col("n_id"))
+          .join(qv, Seq("q_id")).join(cv, Seq("n_id"))
+          .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")), k)
+    }
+  }
+
+  // ---- persisted build / serve split (the IVF index precedent) -----------
+
+  /** Persist codebooks + codes: `dir/codebooks` is (subspace, code,
+    * centroid) — `m·ksub` rows, sketch-sized; `dir/codes` is the
+    * compressed corpus (n_id, code), the only corpus-sized artifact and
+    * 32× smaller than the vectors it replaces.
+    */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   indexDir: String, m: Int = 8, ksub: Int = 16,
+                   seed: Long = 42L): Codebooks = {
+    val cb = train(emb, idCol, vecCol, m, ksub, seed)
+    val spark = emb.sparkSession
+    val rows = for (s <- 0 until cb.m; j <- cb.centroids(s).indices)
+      yield Row(s, j, cb.centroids(s)(j).toSeq)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("subspace",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    encode(emb, idCol, vecCol, cb)
+      .select(col(idCol).cast("long").as("n_id"), col("code"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    cb
+  }
+
+  /** Load persisted codebooks (sketch-sized: `m·ksub` rows). */
+  def loadCodebooks(spark: SparkSession, indexDir: String): Codebooks = {
+    val rows = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy(col("subspace"), col("code"))
+      .collect() // m·ksub rows — sketch-sized by contract
+    require(rows.nonEmpty, s"empty codebooks at $indexDir")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    Codebooks(m, cents(0)(0).length, ksub, cents)
+  }
+
+  /** Serve ADC top-k from a persisted index: the executed plan is one
+    * sketch-sized codebook read plus one scan of the 32×-compressed code
+    * table — the original vectors are never touched (`refine` re-ranks
+    * would join them back; serving stays compressed-only).
+    */
+  def pqTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = loadCodebooks(spark, indexDir)
+    adcTopK(spark.read.parquet(s"$indexDir/codes"), cb,
+      queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")), k)
+  }
+}

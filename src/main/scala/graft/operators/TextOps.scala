@@ -119,6 +119,56 @@ object TextOps {
         col("e.key.tfidf").as("tfidf"), (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** BM25 relevance top-k — full-text search over the corpus for a fixed
+    * bag of query terms (Robertson/Sparck Jones probabilistic ranking,
+    * the Lucene `k1`/`b` parameterization with the nonnegative
+    * `ln(1 + (N - df + ½)/(df + ½))` idf):
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Returns the k highest-scoring docs as (id, score rounded to 6),
+    * ordered by (rounded score DESC, id) — deterministic on both engines.
+    *
+    * Scale shape: the corpus explodes to tokens but FILTERS to query
+    * terms map-side BEFORE any shuffle (the contamination precedent), so
+    * only matching (doc, term) pairs reach the tf aggregation; document
+    * lengths are a map-side projection joined doc-keyed (AQE broadcasts
+    * the small tf side); df and the (N, Σ|d|) scalars are driver-side
+    * sketch-sized by contract (≤ |query| rows + one row), baked into the
+    * score as literals; the global top-k is `orderBy().limit(k)` =
+    * TakeOrderedAndProject — per-partition heaps, never a full sort.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopK: empty query")
+    require(k > 0, s"k must be > 0, got $k")
+    val lens = df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("__dl"))
+    val st = lens.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sdl")).head()
+    val n = st.getLong(0)
+    require(n > 0, "bm25TopK: empty corpus")
+    val avgdl = st.getLong(1).toDouble / n
+    val tf = rawShingles(df, idCol, textCol, 1)
+      .filter(col("sh").isin(query.map(lit): _*)) // map-side, pre-shuffle
+      .groupBy(col(idCol), col("sh").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per query term — ≤ |query| rows by contract
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = query.distinct.foldLeft(lit(null).cast("double")) { (rest, t) =>
+      val d = dfreq.getOrElse(t, 0L).toDouble
+      when(col("term") === lit(t), lit(math.log(1.0 + (n - d + 0.5) / (d + 0.5))))
+        .otherwise(rest)
+    }
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    tf.join(lens, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(round(sum(termScore), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
   /** Quality heuristics: token count, stopword ratio, mean token length,

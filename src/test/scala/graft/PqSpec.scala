@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+
+/** Product-quantization ANN (`Pq`): code geometry, determinism, recall
+  * floors, exact-parity of the full-refine path, and build/serve parity.
+  */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Planted clustered corpus: `nClusters` seeded Gaussian centers, each
+    * with `per` members at small radius — nearest neighbors are cluster
+    * mates by construction, the regime ANN recall is measured in.
+    */
+  private def planted(nClusters: Int = 10, per: Int = 12, dim: Int = 64,
+                      noise: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until per
+    } yield ((c * per + i).toLong,
+      centers(c).map(x => (x + noise * rnd.nextGaussian()).toFloat).toSeq)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("codes are exactly m bytes and encoding is deterministic") {
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb.m == 8 && cb.dsub == 8 && cb.dim == 64)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb).collect()
+    assert(codes.forall(_.getAs[Array[Byte]]("code").length == 8))
+    val again = Pq.encode(emb, "vec_id", "embedding", cb).collect()
+    assert(codes.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet ==
+      again.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet)
+  }
+
+  test("train is deterministic for a fixed seed, differs across seeds") {
+    val a = Pq.train(emb, "vec_id", "embedding", seed = 42L)
+    val b = Pq.train(emb, "vec_id", "embedding", seed = 42L)
+    val c = Pq.train(emb, "vec_id", "embedding", seed = 43L)
+    def flat(cb: Pq.Codebooks): Seq[Double] =
+      cb.centroids.flatMap(_.flatMap(_.toSeq)).toSeq
+    assert(flat(a) == flat(b))
+    assert(flat(a) != flat(c))
+  }
+
+  test("ADC recall floor on a clustered corpus; refine lifts it") {
+    val data = planted()
+    val pred = col("vec_id") < 5
+    val exact = Similarity.cosineTopK(data, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Pq.pqTopK(data, "vec_id", "embedding", pred, 10, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ADC recall $recall below floor")
+    val refined = Pq.pqTopK(data, "vec_id", "embedding", pred, 10,
+      m = 8, ksub = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRecall = refined.intersect(exact).size.toDouble / exact.size
+    assert(rRecall >= recall, s"refine lowered recall: $recall -> $rRecall")
+    assert(rRecall >= 0.9, s"refined recall $rRecall below floor")
+  }
+
+  test("full-refine PQ EQUALS brute force exactly (shortlist covers the corpus)") {
+    // refine·k ≥ N makes the ADC shortlist the whole corpus, so the exact
+    // re-rank IS cosineTopK — pins the re-rank path end to end
+    val pred = col("vec_id") < 5
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val full = Pq.pqTopK(emb, "vec_id", "embedding", pred, 10,
+      m = 8, ksub = 16, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(full == exact)
+  }
+
+  test("served PQ (persisted index) equals the fused ADC path") {
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/pq_spec/serve"
+    Pq.buildPqIndex(emb, "vec_id", "embedding", dir, m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    val served = Pq.pqTopKFromIndex(queries, "vec_id", "embedding", dir, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val fused = Pq.adcTopK(
+      Pq.encode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id").cast("long").as("n_id"), col("code")),
+      cb,
+      queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_vec")),
+      10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served == fused)
+  }
+
+  test("adcTopK ranks through the bounded page aggregate, not a window sort") {
+    val cb = Pq.train(emb, "vec_id", "embedding")
+    val plan = Pq.adcTopK(
+      Pq.encode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id").cast("long").as("n_id"), col("code")),
+      cb,
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_vec")),
+      5).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nextk_page"), s"lost the bounded page aggregate:\n$plan")
+    assert(!plan.contains("RunningWindowFunction"),
+      s"reintroduced a per-query window sort:\n$plan")
+  }
+}

@@ -42,6 +42,13 @@ for name, sql in sorted(oracle.items()):
         if bad:
             print(f"FAIL {name}: {bad[:3]}"); fail += 1
         else:
+            # the driver's hash is TYPE-sensitive (round-10 HUGEINT slip):
+            # flag any column whose raw dtypes disagree before harmonization
+            tw = [(c, str(mine[c].dtype), str(want[c].dtype))
+                  for c in mine.columns
+                  if str(mine[c].dtype) != str(want[c].dtype)]
+            if tw:
+                print(f"TYPEWARN {name}: {tw}")
             ok += 1
     except Exception as e:
         print(f"FAIL {name}: EXC {e}"); fail += 1
