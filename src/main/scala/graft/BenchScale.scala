@@ -62,10 +62,13 @@ object BenchScale {
     "pipeline_split_counts", "pipeline_shuffle_shards",
     // budget/cap curation (histogram cut + bounded page aggregate)
     "pipeline_token_budget", "pipeline_source_cap", "pipeline_quality_tiers",
-    // perceptual image dedup (map-side hash + pigeonhole banding)
-    "multimodal_image_dedup",
+    // perceptual image/audio dedup (map-side hash + pigeonhole banding)
+    "multimodal_image_dedup", "multimodal_audio_dedup",
+    // BM25 search (map-side term filter + TakeOrderedAndProject)
+    "text_bm25_topk",
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf",
+    "similarity_pq",
     // product analytics (user-keyed min-aggregations / cohort cells)
     "events_funnel", "events_retention", "events_anomaly",
     "events_distinct_rollup",
@@ -317,6 +320,31 @@ object BenchScale {
           math.max(1L, factor * b.getLong(i) / 50)
       }
     }, "clean-corpus doc/token totals departed from linear")
+    check("audio_dedup_pairs_scale_exactly", {
+      // the copy offset is a multiple of 10, so doc_id % 10 == 9 planting
+      // replicates verbatim per copy and fingerprint codes stay distinct
+      // across copies (bijective mix of distinct shifted ids): the planted
+      // (d-1, d) pair count is exactly factor× the base, with NO
+      // cross-copy pairs
+      q(outDir, "multimodal_audio_dedup").count() ==
+        factor * q(srcDir, "multimodal_audio_dedup").count()
+    }, "audio planted pair count not factor x base")
+    check("bm25_matches_stay_in_copy0", {
+      // token salting confines the unsalted query terms to copy 0: the
+      // result set must be identical to the base run's doc_ids (N and idf
+      // grow with the corpus, but the matched docs and their tf/dl are
+      // copy-0-verbatim, and a salting leak would surface foreign ids)
+      val b = q(srcDir, "text_bm25_topk").collect().map(_.getLong(0)).toSet
+      val s = q(outDir, "text_bm25_topk").collect().map(_.getLong(0)).toSet
+      s == b && b.forall(_ < 100000000L)
+    }, "bm25 matched-doc set changed with scale (salting leak?)")
+    check("pq_topk_size_unchanged", {
+      // the query set (vec_id < 5) lives entirely in copy 0: |Q|·k rows at
+      // both scales (codebooks retrain on the bigger corpus, so NEIGHBOR
+      // ids may differ — the exactness contract belongs to the brute
+      // sibling; this pins the served shape)
+      q(outDir, "similarity_pq").count() == q(srcDir, "similarity_pq").count()
+    }, "pq top-k result size changed with scale")
     check("lm_score_rows_scale_exactly", {
       // the held-out split replicates per copy (vec/doc ids shift by a
       // multiple of 10), so scored-doc count and total bigram count are

@@ -103,7 +103,8 @@ class PlanGuardSpec extends SparkSpec {
       // rows), retention cohort cells (tens of rows), theta overlap
       // cells (type-pairs), and weekly KLL quantiles (weeks) collected
       // at both scales to assert the factor-x / invariance contracts
-      "BenchScale.scala"    -> 8)
+      // (+2: the bm25 matched-doc id sets, k rows each)
+      "BenchScale.scala"    -> 10)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
