@@ -74,6 +74,20 @@ object ExtensionQueries {
     dir
   }
 
+  /** Build-once memo for the persisted IVF-PQ index (same completion-
+    * barrier contract as [[ivfIndexDir]]): coarse buckets + PQ codes, the
+    * compressed+pruned serving artifact.
+    */
+  private def ivfPqIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = QueryDefs.ioDir(d, "ivfpq_index")
+    ivfIndexBuilt.computeIfAbsent(dir, _ => {
+      Pq.buildIvfPqIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        dir, nlist = embNlist(s, d))
+      java.lang.Boolean.TRUE
+    })
+    dir
+  }
+
   /** Build-once memo for the persisted MinHash-LSH index (text sibling of
     * [[ivfIndexDir]], same completion-barrier contract): indexes the 90%
     * reference split the ingest rows probe.
@@ -795,6 +809,18 @@ object ExtensionQueries {
       (s, d) => Similarity.ivfTopKFromIndex(
         t(s, d, "embeddings").filter(col("vec_id") < 5), "vec_id", "embedding",
         ivfIndexDir(s, d), 10, nprobe = 8)
+    },
+
+    // ---- IVF-PQ serve: partition-pruned scan of 32×-compressed codes -------
+    // The two scale levers composed: a probe reads nprobe/nlist of a
+    // corpus already 32× smaller than the vectors, which are never
+    // touched. Build is memoized once per process (the IVF/LSH index
+    // precedent); per-query probed-bucket restriction rides into the
+    // scoring kernel.
+    Q.noOracle("similarity_ivfpq_index") {
+      (s, d) => Pq.ivfPqTopKFromIndex(
+        t(s, d, "embeddings").filter(col("vec_id") < 5), "vec_id", "embedding",
+        ivfPqIndexDir(s, d), 10, nprobe = 8)
     },
 
     // ---- Product-quantization ANN (scale path #3: compressed serving) -----

@@ -149,8 +149,12 @@ object Pq {
     * compression step. Output: (id, code binary).
     */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
-             cb: Codebooks): DataFrame = {
-    val enc = udf { (v: Seq[Float]) =>
+             cb: Codebooks): DataFrame =
+    emb.select(col(idCol), encoderUdf(cb)(col(vecCol)).as("code"))
+
+  private def encoderUdf(cb: Codebooks)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
       if (v == null || v.length != cb.dim) null
       else {
         val code = new Array[Byte](cb.m)
@@ -173,8 +177,6 @@ object Pq {
         code
       }
     }
-    emb.select(col(idCol), enc(col(vecCol)).as("code"))
-  }
 
   /** ADC approximate cosine top-k over PQ codes: per query, approximate
     * `cos(q, x) ≈ Σ_s lut_s(code_s(x)) / (|q| · |x̃|)` where
@@ -195,67 +197,73 @@ object Pq {
     * `queries` is collected (sketch-sized by contract — the
     * ivfTopKFromIndex batch precedent, same loud cap).
     */
-  def adcTopK(codes: DataFrame, cb: Codebooks, queries: DataFrame,
-              k: Int, maxQueryBatch: Int = 100000): DataFrame = {
-    val spark = codes.sparkSession
-    graft.functions.VectorExprs.register(spark)
+  /** Collect + validate a sketch-sized query batch (the ivfTopKFromIndex
+    * precedent, same loud cap) as (q_id, dense double vector) pairs.
+    */
+  private def collectQueries(queries: DataFrame, dim: Int,
+                             maxQueryBatch: Int): Array[(Long, Array[Double])] = {
     val qRows = queries.limit(maxQueryBatch + 1).collect()
     require(qRows.length <= maxQueryBatch,
-      s"adcTopK query batch exceeds maxQueryBatch=$maxQueryBatch rows — " +
+      s"PQ query batch exceeds maxQueryBatch=$maxQueryBatch rows — " +
         "query batches are sketch-sized by contract; split the batch or raise the cap")
-    val qs: Array[(Long, Array[Double])] = qRows.map { r =>
+    val qs = qRows.map { r =>
       val v = r.getSeq[Float](1)
       (r.getLong(0), v.map(_.toDouble).toArray)
     }
-    require(qs.forall(_._2.length == cb.dim),
-      s"adcTopK: query dim != codebook dim ${cb.dim}")
-    val bc = spark.sparkContext.broadcast((cb, qs))
-    import spark.implicits._
-    val scored = codes
-      .select(col("*"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val (cbl, qsl) = bc.value
-        // per-query LUTs: dot(q_s, c_{s,j}) and the shared centroid norms
-        val cn2 = Array.tabulate(cbl.m, cbl.ksub) { (s, j) =>
-          if (j < cbl.centroids(s).length) {
-            val c = cbl.centroids(s)(j)
-            var t = 0.0; var i = 0
-            while (i < c.length) { t += c(i) * c(i); i += 1 }
-            t
-          } else 0.0
-        }
-        val luts = qsl.map { case (qid, q) =>
-          val lut = Array.tabulate(cbl.m, cbl.ksub) { (s, j) =>
-            if (j < cbl.centroids(s).length) {
-              val c = cbl.centroids(s)(j)
-              var t = 0.0; var i = 0
-              while (i < c.length) { t += q(s * cbl.dsub + i) * c(i); i += 1 }
-              t
-            } else 0.0
-          }
-          var qn = 0.0; var i = 0
-          while (i < q.length) { qn += q(i) * q(i); i += 1 }
-          (qid, lut, math.sqrt(qn))
-        }
-        it.flatMap { case (nid, code) =>
-          if (code == null) Iterator.empty
-          else luts.iterator.collect { case (qid, lut, qnorm) if qid != nid =>
-            var dot = 0.0
-            var rn2 = 0.0
-            var s = 0
-            while (s < cbl.m) {
-              val j = code(s) & 0xff
-              dot += lut(s)(j)
-              rn2 += cn2(s)(j)
-              s += 1
-            }
-            val denom = qnorm * math.sqrt(rn2)
-            (qid, nid, if (denom > 0) dot / denom else 0.0)
-          }
-        }
+    require(qs.forall(_._2.length == dim), s"PQ: query dim != codebook dim $dim")
+    qs
+  }
+
+  /** Shared per-partition LUT construction: the per-(subspace, code)
+    * centroid norms and, per query, the dot-product table plus |q|.
+    */
+  private def lutsFor(cbl: Codebooks, qsl: Array[(Long, Array[Double])])
+      : (Array[Array[Double]], Array[(Long, Array[Array[Double]], Double)]) = {
+    val cn2 = Array.tabulate(cbl.m, cbl.ksub) { (s, j) =>
+      if (j < cbl.centroids(s).length) {
+        val c = cbl.centroids(s)(j)
+        var t = 0.0; var i = 0
+        while (i < c.length) { t += c(i) * c(i); i += 1 }
+        t
+      } else 0.0
+    }
+    val luts = qsl.map { case (qid, q) =>
+      val lut = Array.tabulate(cbl.m, cbl.ksub) { (s, j) =>
+        if (j < cbl.centroids(s).length) {
+          val c = cbl.centroids(s)(j)
+          var t = 0.0; var i = 0
+          while (i < c.length) { t += q(s * cbl.dsub + i) * c(i); i += 1 }
+          t
+        } else 0.0
       }
-      .toDF("q_id", "n_id", "asim")
+      var qn = 0.0; var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      (qid, lut, math.sqrt(qn))
+    }
+    (cn2, luts)
+  }
+
+  /** 2m-lookup ADC cosine of one (query LUT, code) pair. */
+  private def adcSim(cbl: Codebooks, cn2: Array[Array[Double]],
+                     lut: Array[Array[Double]], qnorm: Double,
+                     code: Array[Byte]): Double = {
+    var dot = 0.0
+    var rn2 = 0.0
+    var s = 0
+    while (s < cbl.m) {
+      val j = code(s) & 0xff
+      dot += lut(s)(j)
+      rn2 += cn2(s)(j)
+      s += 1
+    }
+    val denom = qnorm * math.sqrt(rn2)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  /** Bounded per-query top-k over scored (q_id, n_id, asim) rows — the
+    * rerankTopK shape (page aggregate; partitions·|Q|·k rows shuffle).
+    */
+  private def pageTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(call_function("graft_nextk_page",
         struct(round(col("asim"), 6).as("asim"), col("n_id")),
@@ -264,6 +272,28 @@ object Pq {
       .select(col("q_id"), col("e.key.n_id").as("n_id"),
         col("e.key.asim").as("asim"), (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("q_id"), col("rk"))
+
+  def adcTopK(codes: DataFrame, cb: Codebooks, queries: DataFrame,
+              k: Int, maxQueryBatch: Int = 100000): DataFrame = {
+    val spark = codes.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val qs = collectQueries(queries, cb.dim, maxQueryBatch)
+    val bc = spark.sparkContext.broadcast((cb, qs))
+    import spark.implicits._
+    val scored = codes
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (cbl, qsl) = bc.value
+        val (cn2, luts) = lutsFor(cbl, qsl)
+        it.flatMap { case (nid, code) =>
+          if (code == null) Iterator.empty
+          else luts.iterator.collect { case (qid, lut, qnorm) if qid != nid =>
+            (qid, nid, adcSim(cbl, cn2, lut, qnorm, code))
+          }
+        }
+      }
+      .toDF("q_id", "n_id", "asim")
+    pageTopK(scored, k)
   }
 
   /** Fused train → encode → ADC search, with optional EXACT re-rank:
@@ -306,11 +336,8 @@ object Pq {
     * compressed corpus (n_id, code), the only corpus-sized artifact and
     * 32× smaller than the vectors it replaces.
     */
-  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
-                   indexDir: String, m: Int = 8, ksub: Int = 16,
-                   seed: Long = 42L): Codebooks = {
-    val cb = train(emb, idCol, vecCol, m, ksub, seed)
-    val spark = emb.sparkSession
+  private def writeCodebooks(spark: SparkSession, cb: Codebooks,
+                             indexDir: String): Unit = {
     val rows = for (s <- 0 until cb.m; j <- cb.centroids(s).indices)
       yield Row(s, j, cb.centroids(s)(j).toSeq)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -325,6 +352,13 @@ object Pq {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .repartition(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   indexDir: String, m: Int = 8, ksub: Int = 16,
+                   seed: Long = 42L): Codebooks = {
+    val cb = train(emb, idCol, vecCol, m, ksub, seed)
+    writeCodebooks(emb.sparkSession, cb, indexDir)
     encode(emb, idCol, vecCol, cb)
       .select(col(idCol).cast("long").as("n_id"), col("code"))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
@@ -357,5 +391,97 @@ object Pq {
     val cb = loadCodebooks(spark, indexDir)
     adcTopK(spark.read.parquet(s"$indexDir/codes"), cb,
       queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")), k)
+  }
+
+  // ---- IVF-PQ: coarse pruning ∘ compressed scoring (the FAISS IVFPQ
+  // deployment shape, non-residual variant) ---------------------------------
+
+  /** Build the composed index ONCE: [[Similarity.trainCentroids]] coarse
+    * quantizer (`indexDir/centroids`, nlist rows) + PQ codebooks
+    * (`indexDir/codebooks`, m·ksub rows) + the corpus as (n_id, code)
+    * Hive-partitioned by coarse bucket (`indexDir/codes`). The only
+    * corpus-sized artifact is the code table — bucket-partitioned AND 32×
+    * compressed, so a probe reads `nprobe/nlist` of an already-32×-smaller
+    * corpus: the two scale levers of the ANN family composed into one
+    * artifact. Codes are the GLOBAL PQ codebooks over raw vectors (the
+    * non-residual IVFPQ variant — one codebook set serves every bucket, so
+    * append-style maintenance never retrains per-bucket books; the
+    * residual refinement is a documented non-goal, `refine` re-ranking
+    * covers the accuracy gap).
+    */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String, nlist: Int = 16, m: Int = 8,
+                      ksub: Int = 16, seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    val cents = Similarity.trainCentroids(emb, idCol, vecCol, nlist, seed)
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val cb = train(emb, idCol, vecCol, m, ksub, seed)
+    writeCodebooks(spark, cb, indexDir)
+    val cs: Seq[Seq[Double]] = cents.toSeq.map(_.toSeq)
+    import graft.functions.VectorExprs.nearestCentroids
+    // one pass over the corpus: code and coarse bucket from the same scan
+    emb.select(col(idCol).cast("long").as("n_id"),
+        encoderUdf(cb)(col(vecCol)).as("code"),
+        element_at(nearestCentroids(col(vecCol), cs, 1), 1).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Serve ADC top-k from a persisted IVF-PQ index: each query probes its
+    * `nprobe` nearest coarse buckets (computed driver-side from the
+    * sketch-sized centroid table — the ivfTopKFromIndex static-pruning
+    * precedent, visible as PartitionFilters in the scan) and ADC-scores
+    * ONLY rows of its own probed buckets (the per-query restriction rides
+    * into the partition kernel, so a shared bucket loaded for query A is
+    * not scored for query B unless B probed it too — the IVF candidate
+    * contract, preserved under compression). Original vectors are never
+    * read.
+    */
+  def ivfPqTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+                         indexDir: String, k: Int, nprobe: Int = 4,
+                         maxQueryBatch: Int = 100000): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val cb = loadCodebooks(spark, indexDir)
+    val cs: Array[Array[Double]] = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("bucket")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray) // nlist rows — sketch-sized
+    val qs = collectQueries(
+      queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")),
+      cb.dim, maxQueryBatch)
+    require(nprobe >= 1 && nprobe <= cs.length,
+      s"nprobe must be in [1, ${cs.length}], got $nprobe")
+    // driver-side probe: ascending (distance, bucket) — the same order the
+    // NearestCentroids expression uses, so fused/served probes agree
+    val probeOf: Map[Long, Array[Int]] = qs.map { case (qid, q) =>
+      qid -> cs.indices
+        .map(b => (l2(q, cs(b)), b)).sorted.take(nprobe).map(_._2).toArray
+    }.toMap
+    val probed = probeOf.values.flatten.toSeq.distinct.sorted
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("bucket").isin(probed.map(Int.box): _*))
+    val bc = spark.sparkContext.broadcast((cb, qs, probeOf))
+    import spark.implicits._
+    val scored = codes
+      .select(col("n_id"), col("code"), col("bucket"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        val (cbl, qsl, probes) = bc.value
+        val (cn2, luts) = lutsFor(cbl, qsl)
+        it.flatMap { case (nid, code, bucket) =>
+          if (code == null) Iterator.empty
+          else luts.iterator.collect {
+            case (qid, lut, qnorm)
+                if qid != nid && probes(qid).contains(bucket) =>
+              (qid, nid, adcSim(cbl, cn2, lut, qnorm, code))
+          }
+        }
+      }
+      .toDF("q_id", "n_id", "asim")
+    pageTopK(scored, k)
   }
 }

@@ -95,10 +95,11 @@ class PlanGuardSpec extends SparkSpec {
       // bm25TopK: per-query-term document frequencies (≤ |query| rows)
       "TextOps.scala"       -> 1,
       // train: the deterministic codebook sample (sampleSize rows, the
-      // k-means|| candidate-cap precedent); adcTopK: the query batch
-      // (loud maxQueryBatch cap, the ivfTopKFromIndex precedent);
-      // loadCodebooks: m·ksub rows
-      "Pq.scala"            -> 3,
+      // k-means|| candidate-cap precedent); collectQueries: the query
+      // batch (loud maxQueryBatch cap, the ivfTopKFromIndex precedent);
+      // loadCodebooks: m·ksub rows; ivfPqTopKFromIndex: the nlist-row
+      // centroid table
+      "Pq.scala"            -> 4,
       // scale-invariant checks, not operators: funnel step counts (3
       // rows), retention cohort cells (tens of rows), theta overlap
       // cells (type-pairs), and weekly KLL quantiles (weeks) collected

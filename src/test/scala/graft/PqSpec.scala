@@ -93,6 +93,46 @@ class PqSpec extends SparkSpec {
     assert(served == fused)
   }
 
+  test("IVF-PQ at full probe equals plain ADC (pruning off = pure PQ)") {
+    // nprobe = nlist disables pruning, so the served composed path must
+    // reproduce the flat ADC ranking exactly (same codebooks, same seed)
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/pq_spec/ivfpq_full"
+    Pq.buildIvfPqIndex(emb, "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+    val composed = Pq.ivfPqTopKFromIndex(queries, "vec_id", "embedding", dir,
+      10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val flat = Pq.adcTopK(
+      Pq.encode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id").cast("long").as("n_id"), col("code")),
+      cb,
+      queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_vec")),
+      10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(composed == flat)
+  }
+
+  test("IVF-PQ partial probe: partition-pruned scan, recall floor on clusters") {
+    val data = planted()
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/pq_spec/ivfpq_part"
+    Pq.buildIvfPqIndex(data, "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    val queries = data.filter(col("vec_id") < 5)
+    val served = Pq.ivfPqTopKFromIndex(queries, "vec_id", "embedding", dir,
+      10, nprobe = 4)
+    val plan = served.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"))
+    assert(pruned.exists(_.contains("bucket")),
+      s"probe does not partition-prune the code scan:\n$plan")
+    val exact = Similarity.cosineTopK(data, "vec_id", "embedding",
+      col("vec_id") < 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = served.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall below floor")
+  }
+
   test("adcTopK ranks through the bounded page aggregate, not a window sort") {
     val cb = Pq.train(emb, "vec_id", "embedding")
     val plan = Pq.adcTopK(
