@@ -1187,9 +1187,9 @@ object ExtensionQueries {
         |       WHERE w IN ('spark', 'join') GROUP BY 1, 2),
         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         |sc AS (SELECT t.doc_id,
-        |         SUM(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |         CAST(SUM(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
         |             * (t.tf * (1.2 + 1)) /
-        |             (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / (st.sdl * 1.0 / st.n)))) AS score
+        |             (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / (st.sdl * 1.0 / st.n)))) AS DOUBLE) AS score
         |       FROM tf t JOIN dfq d USING (term) JOIN dl l ON t.doc_id = l.doc_id
         |       CROSS JOIN st GROUP BY 1)
         |SELECT doc_id, round(score, 6) AS score FROM sc

@@ -74,6 +74,7 @@ class ReplSpec extends SparkSpec {
       "contaminate filter-3 filter-4 3 10",
       "pack documents-1 64 16 512",
       "mix documents-1 source 2.0 200",
+      "search documents-1 5 spark join",
       "subdoc documents-1 10 1",
       "subdocclean documents-1 10 1",
       "lmscore filter-4 filter-3",
@@ -103,6 +104,14 @@ class ReplSpec extends SparkSpec {
     assert(packHeader >= 0, s"pack must render a source/bin table:\n$out")
     assert(out.linesIterator.drop(packHeader + 1).next().split("\t").length == 4,
       s"no packed bins rendered:\n$out")
+    // search: BM25 (doc_id, score) rows, scores non-increasing
+    val searchHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\tscore"))
+    assert(searchHeader >= 0, s"search must render a doc_id/score table:\n$out")
+    val searchScores = out.linesIterator.drop(searchHeader + 1)
+      .takeWhile(l => l.contains("\t") && l.split("\t")(0).forall(_.isDigit))
+      .map(_.split("\t")(1).toDouble).toSeq
+    assert(searchScores.nonEmpty && searchScores == searchScores.sorted.reverse,
+      s"search scores must render non-increasing:\n$out")
     // mix: per-source kept counts, each a (source, kept) pair
     val mixHeader = out.linesIterator.indexWhere(_.startsWith("source\tkept"))
     assert(mixHeader >= 0, s"mix must render a source/kept table:\n$out")
