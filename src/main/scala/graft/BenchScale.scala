@@ -330,14 +330,16 @@ object BenchScale {
         factor * q(srcDir, "multimodal_audio_dedup").count()
     }, "audio planted pair count not factor x base")
     check("bm25_matches_stay_in_copy0", {
-      // token salting confines the unsalted query terms to copy 0: the
-      // result set must be identical to the base run's doc_ids (N and idf
-      // grow with the corpus, but the matched docs and their tf/dl are
-      // copy-0-verbatim, and a salting leak would surface foreign ids)
-      val b = q(srcDir, "text_bm25_topk").collect().map(_.getLong(0)).toSet
-      val s = q(outDir, "text_bm25_topk").collect().map(_.getLong(0)).toSet
-      s == b && b.forall(_ < 100000000L)
-    }, "bm25 matched-doc set changed with scale (salting leak?)")
+      // token salting confines the unsalted query terms to copy 0, so
+      // every returned doc must be a copy-0 id and the page stays full
+      // (k rows at both scales). The top-k MEMBERSHIP may legitimately
+      // shift: idf = ln(1+(N-df+½)/(df+½)) grows with the corpus at a
+      // per-term rate, re-weighting multi-term scores — a ranking
+      // change, not a leak; a salting leak would surface foreign ids
+      val b = q(srcDir, "text_bm25_topk").collect().map(_.getLong(0))
+      val s = q(outDir, "text_bm25_topk").collect().map(_.getLong(0))
+      s.length == b.length && s.forall(_ < 100000000L)
+    }, "bm25 returned a foreign-copy doc or lost rows (salting leak?)")
     check("pq_topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: |Q|·k rows at
       // both scales (codebooks retrain on the bigger corpus, so NEIGHBOR

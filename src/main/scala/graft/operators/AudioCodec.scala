@@ -149,43 +149,90 @@ object AudioCodec {
     */
   def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null) return None
-    try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val fmt = ais.getFormat
-        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16) return None
-        val data = ais.readAllBytes()
-        val n = data.length / 2
-        val win = n / FP_WINDOWS
-        if (win == 0) return None
-        val energy = new Array[Long](FP_WINDOWS)
-        var w = 0
-        while (w < FP_WINDOWS) {
-          var e = 0L
-          var i = w * win
-          val end = i + win
-          while (i < end) {
-            val s =
-              if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
-              else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
-            e += s.toLong * s
-            i += 1
-          }
-          energy(w) = e
-          w += 1
+    // fast path: canonical RIFF/WAVE PCM16 little-endian (what every WAV
+    // this library writes is) — a direct chunk walk, no SPI discovery.
+    // The per-asset SPI stream was the fingerprint sweep's whole cost at
+    // the 10x scale check (~5 ms/asset); the chunk walk is branch-exact
+    // for the canonical layout and anything unusual (big-endian, float,
+    // compressed, exotic chunk order) falls back to the javax.sound path
+    riffPcm16Data(bytes) match {
+      case Some((data, off, len)) => fingerprintOf(data, off, len, bigEndian = false)
+      case None =>
+        try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) return None
+            val data = ais.readAllBytes()
+            fingerprintOf(data, 0, data.length, fmt.isBigEndian)
+          } finally ais.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => None
         }
-        var h = 0L
-        var b = 0
-        while (b < FP_WINDOWS - 1) {
-          if (energy(b + 1) > energy(b)) h |= 1L << b
-          b += 1
-        }
-        Some(h)
-      } finally ais.close()
-    } catch {
-      case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** Locate the PCM payload of a canonical RIFF/WAVE container with a
+    * plain 16-bit integer-PCM `fmt ` chunk: returns (buffer, offset,
+    * byte length) of the `data` chunk, or None for anything that is not
+    * exactly that (the caller then uses the full SPI decode).
+    */
+  private[graft] def riffPcm16Data(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = {
+    def le32(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def tag(i: Int, t: String): Boolean =
+      b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var fmtOk = false
+    while (pos + 8 <= b.length) {
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      if (tag(pos, "fmt ")) {
+        // wFormatTag 1 (integer PCM), 16 bits/sample — anything else is
+        // the SPI's job
+        if (size < 16 || le16(pos + 8) != 1 || le16(pos + 22) != 16) return None
+        fmtOk = true
+      } else if (tag(pos, "data")) {
+        return if (fmtOk) Some((b, pos + 8, size)) else None
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Windowed energy-delta hash over a 16-bit PCM byte slice. */
+  private[graft] def fingerprintOf(data: Array[Byte], off: Int, len: Int,
+                            bigEndian: Boolean): Option[Long] = {
+    val n = len / 2
+    val win = n / FP_WINDOWS
+    if (win == 0) return None
+    val energy = new Array[Long](FP_WINDOWS)
+    var w = 0
+    while (w < FP_WINDOWS) {
+      var e = 0L
+      var i = w * win
+      val end = i + win
+      while (i < end) {
+        val s =
+          if (bigEndian) (data(off + 2 * i).toInt << 8) | (data(off + 2 * i + 1) & 0xff)
+          else (data(off + 2 * i + 1).toInt << 8) | (data(off + 2 * i) & 0xff)
+        e += s.toLong * s
+        i += 1
+      }
+      energy(w) = e
+      w += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < FP_WINDOWS - 1) {
+      if (energy(b + 1) > energy(b)) h |= 1L << b
+      b += 1
+    }
+    Some(h)
   }
 
   /** Mono WAV whose [[audioFingerprint]] is exactly `code` — the audio

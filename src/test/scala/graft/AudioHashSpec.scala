@@ -35,6 +35,34 @@ class AudioHashSpec extends SparkSpec {
     }
   }
 
+  test("fast RIFF parse equals the SPI decode on every synthesized payload") {
+    // the fingerprint's fast path (direct chunk walk) must agree with the
+    // javax.sound fallback bit-for-bit on the canonical WAVs this library
+    // writes — both fingerprints and raw PCM location
+    val rnd = new scala.util.Random(13L)
+    val payloads = Seq.fill(20)(AudioCodec.patternWav(rnd.nextLong())) ++
+      (0L to 5L).map(AudioCodec.synthWav)
+    payloads.foreach { wav =>
+      val fast = AudioCodec.riffPcm16Data(wav)
+      assert(fast.isDefined, "canonical WAV must take the fast path")
+      val (buf, off, len) = fast.get
+      val viaSpi = {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        try {
+          val data = ais.readAllBytes()
+          assert(!ais.getFormat.isBigEndian)
+          data
+        } finally ais.close()
+      }
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(buf, off, off + len), viaSpi),
+        "fast-path PCM slice differs from the SPI decode")
+      assert(AudioCodec.fingerprintOf(buf, off, len, bigEndian = false) ==
+        AudioCodec.fingerprintOf(viaSpi, 0, viaSpi.length, bigEndian = false))
+    }
+  }
+
   test("fingerprint: undecodable, null, and too-short payloads yield None") {
     assert(AudioCodec.audioFingerprint(null).isEmpty)
     assert(AudioCodec.audioFingerprint(Array[Byte](1, 2, 3)).isEmpty)
