@@ -295,6 +295,60 @@ object EventQueries {
       }
     },
 
+    // ---- Per-user weekly frequency, EXACT (oracle twin of the CMS row
+    // below: same week buckets and probe keys, COUNT(*) instead of
+    // sketch estimates — pins the bucket/probe semantics; zero weeks
+    // materialize so the row set matches the sketch row's shape) --------
+    Q("events_user_freq_exact",
+      """WITH wk AS (
+        |  SELECT DISTINCT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week
+        |  FROM events),
+        |k AS (SELECT CAST(UNNEST([1, 2, 3, 4, 5]) AS BIGINT) AS user_id),
+        |c AS (
+        |  SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
+        |         CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n
+        |  FROM events WHERE user_id IN (1, 2, 3, 4, 5) GROUP BY 1, 2)
+        |SELECT wk.week, k.user_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM wk CROSS JOIN k
+        |LEFT JOIN c ON c.week = wk.week AND c.user_id = k.user_id
+        |ORDER BY 1, 2""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+        val keys = Seq(1L, 2L, 3L, 4L, 5L).toDF("user_id")
+        val counts = ev.filter(col("user_id").isin(1, 2, 3, 4, 5))
+          .groupBy(col("week"), col("user_id").cast("long").as("user_id"))
+          .agg(count(lit(1)).as("n"))
+        ev.select("week").distinct()
+          .crossJoin(broadcast(keys))
+          .join(counts, Seq("week", "user_id"), "left")
+          .select(col("week"), col("user_id"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("week"), col("user_id"))
+      }
+    },
+
+    // ---- Per-user weekly frequency via COUNT-MIN sketch table ----------
+    // The fourth sketch family as an artifact: per-(week, day) Count-Min
+    // sketches of user activity, rolled up to weeks by EXACT counter
+    // addition, probed for a fixed key list — frequency dashboards serve
+    // from the compact table, never rescanning events (no_oracle: CMS
+    // overcounts under collision; CmsSpec pins overestimate-only, the
+    // εN bound, and merge ≡ direct bit-for-bit).
+    Q.noOracle("events_user_freq_cms") {
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+        val daily = SketchTables.cmsTable(ev, Seq("week", "day"), "user_id")
+        sortSmall(
+          SketchTables.cmsEstimate(
+            SketchTables.cmsRollup(daily, Seq("week")), Seq(1L, 2L, 3L, 4L, 5L)),
+          col("week"), col("key"))
+      }
+    },
+
     // ---- Streamed HLL sketch table: the per-day build runs as ONE
     // streaming aggregation (sketches merge in the state store), the
     // weekly rollup serves from the compact table — no_oracle (HLL

@@ -354,6 +354,37 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Fuzzy (document-level) decontamination ----------------------------
+    // Same train/eval split (even/odd ids); a train doc is flagged when its
+    // WHOLE-document bigram Jaccard vs some eval doc reaches 0.5 — the
+    // near-dup complement of the shingle-count pass above. The oracle is
+    // the exact train x eval Jaccard cross join; the operator routes
+    // through broadcast LSH bands, so like dedup_minhash_lsh this row also
+    // pins fixture recall at 1.0 (planted pairs sit at j >= 0.97, far
+    // above the 8x4 banding knee).
+    Q("pipeline_decontaminate_fuzzy",
+      s"""WITH bg AS ($sqlBigrams),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM bg GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS tid, y.doc_id AS eid, COUNT(*) AS i
+         |  FROM bg x JOIN bg y ON x.sh = y.sh
+         |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+         |  GROUP BY 1, 2)
+         |SELECT tid AS doc_id, eid AS eval_id, round(j, 6) AS jacc FROM (
+         |  SELECT tid, eid, i*1.0/(sx.n_sh + sy.n_sh - i) AS j
+         |  FROM inter JOIN sz sx ON sx.doc_id = tid JOIN sz sy ON sy.doc_id = eid)
+         |WHERE j >= 0.5 ORDER BY doc_id, eval_id""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        sortSmall(
+          Dedup.contaminationFuzzy(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text")
+            .select(col("doc_id"), col("eval_id"), round(col("jacc"), 6).as("jacc")),
+          col("doc_id"), col("eval_id"))
+    },
+
     // ---- Sub-document (boilerplate) dedup ----------------------------------
     // 10-token spans counted across distinct docs; spans in >1 doc are
     // boilerplate. The planted near-dup/exact-dup docs share spans, so
@@ -744,6 +775,21 @@ object ExtensionQueries {
         Dedup.connectedComponents(emb, "vec_id", pairs)
           .select(col("id").as("vec_id"), col("rep_id"))
           .orderBy(col("vec_id"))
+    },
+
+    // ---- SemDeDup: cluster-then-prune semantic dedup -----------------------
+    // The Abbas et al. 2023 curation pass end-to-end: k-means clusters,
+    // within-cluster cosine pairs, one kept representative per duplicate
+    // group (the member LEAST similar to its centroid — the paper's
+    // diversity-preserving keep rule). no_oracle because k-means is not
+    // SQL-expressible; SemDedupSpec pins brute-force parity of the whole
+    // flow (clusters, groups, keep rule) and one-kept-per-group.
+    Q.noOracle("dedup_semantic") {
+      (s, d) => sortSmall(
+        Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+          .select(col("id").as("vec_id"), col("rep_id"), col("n_members"),
+            round(col("centroid_sim"), 6).as("centroid_sim")),
+        col("vec_id"))
     },
 
     // ---- IVF-bucketed embedding near-dup (approximate scale path) ----------

@@ -329,7 +329,10 @@ object VectorExprs {
     ("graft_theta_sketch", 2, exprs => ThetaSketchAgg(exprs.head, exprs(1))),
     ("graft_theta_union", 1, exprs => ThetaUnionAgg(exprs.head)),
     ("graft_kll_sketch", 2, exprs => KllSketchAgg(exprs.head, exprs(1))),
-    ("graft_kll_merge", 1, exprs => KllMergeAgg(exprs.head)))
+    ("graft_kll_merge", 1, exprs => KllMergeAgg(exprs.head)),
+    ("graft_cms_sketch", 4,
+      exprs => CmsSketchAgg(exprs.head, exprs(1), exprs(2), exprs(3))),
+    ("graft_cms_merge", 1, exprs => CmsMergeAgg(exprs.head)))
 
   /** Arity-checked builder for `name`. */
   def builderFor(name: String, arity: Int,

@@ -458,6 +458,57 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** DOCUMENT-level fuzzy decontamination: train docs whose whole-document
+    * n-gram Jaccard against ANY eval (benchmark) document reaches
+    * `threshold` — the near-duplicate complement of [[contamination]]'s
+    * shared-shingle count. Shingle-count decontamination catches verbatim
+    * leakage; this catches the paraphrased/reformatted copy whose
+    * individual n-grams are common but whose SET is eval-shaped (the
+    * "fuzzy dedup against eval" pass GPT-3 and PaLM's data cards
+    * describe).
+    *
+    * Output: one row per contaminated (train, eval) pair at exact Jaccard
+    * ≥ threshold — (idCol, eval_id, jacc). Downstream keeps
+    * `train.join(flagged, anti)`, mirroring the exact operator.
+    *
+    * Scale shape (the asymmetric twin of [[minHashLSH]]'s self-join): the
+    * eval side is benchmark-sized by contract, so its band buckets AND its
+    * verify arrays BROADCAST; the train side computes band signatures
+    * map-side from its own shingle arrays and candidates emerge from a
+    * broadcast hash join — the 100 TB corpus is never self-joined and
+    * never shuffles its shingle sets anywhere (the only wide exchange is
+    * the per-doc array fold, linear in the corpus). Exact Jaccard is then
+    * verified on the (small) candidate set only, with recall governed by
+    * the banding curve: 1-(1-s^r)^b, e.g. 8×4 bands at s=0.8 → 0.93,
+    * s=0.97 → ~1.0.
+    */
+  def contaminationFuzzy(train: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, n: Int = 2, bands: Int = 8,
+                         rowsPerBand: Int = 4, threshold: Double = 0.5,
+                         seed: Long = 42L): DataFrame = {
+    val edocs = shingleIdArrays(evalSet, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), col("ids").as("e_ids"))
+    val ebuckets = edocs
+      .select(col("eval_id"),
+        explode(bandSigs(col("e_ids"), bands, rowsPerBand, seed)).as("bk"))
+      .select(col("eval_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val tdocs = shingleIdArrays(train, idCol, textCol, n)
+    val tbuckets = tdocs
+      .select(col(idCol), explode(bandSigs(col("ids"), bands, rowsPerBand, seed)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val cand = tbuckets.join(broadcast(ebuckets), Seq("band", "bsig"))
+      .select(col(idCol), col("eval_id")).distinct()
+    cand
+      .join(tdocs, Seq(idCol))
+      .join(broadcast(edocs), Seq("eval_id"))
+      .select(col(idCol), col("eval_id"),
+        size(array_intersect(col("ids"), col("e_ids"))).as("i"),
+        size(col("ids")).as("n1"), size(col("e_ids")).as("n2"))
+      .select(col(idCol), col("eval_id"),
+        (col("i") * lit(1.0) / (col("n1") + col("n2") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   /** All-pairs exact n-gram Jaccard ≥ `threshold` — prefix-filtered
     * set-similarity join (same results as a naive shared-shingle join,
     * without its quadratic blowup on common shingles).

@@ -797,4 +797,71 @@ object Similarity {
     }
     spark.createDataFrame(paired).toDF("d1", "d2", "sim")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-then-prune — k-means the embeddings into
+    * `nlist` clusters, find within-cluster pairs with cosine ≥
+    * `threshold`, chain them into duplicate groups, and KEEP exactly one
+    * member per group: the one with the LOWEST cosine similarity to its
+    * cluster centroid (the paper's keep rule — prefer the least
+    * prototypical example, which preserves diversity where min-id would
+    * be arbitrary). Singleton groups (nothing similar in-cluster) are
+    * kept unchanged.
+    *
+    * Output: the kept rows — (id LONG, rep_id, n_members, centroid_sim),
+    * one per duplicate group, `n_members` counting the group it
+    * represents. `anti`-joining the drop set or `semi`-joining the keep
+    * set against the corpus is the caller's one-line step.
+    *
+    * Scale shape: this IS the paper's reason to exist — the quadratic
+    * pair scan runs per-cluster, so pair cost is Σ|cluster|²/2 ≈ N²/nlist
+    * at balanced sizes, and each cluster's scan is an independent
+    * bucket-local task ([[ivfDupPairs]]'s nprobe=1 kernel: candidates
+    * never shuffle, only surviving pairs do). Components come from the
+    * same `connectedComponents` loop as every other dedup family; the
+    * keep rule is one broadcast join (nlist centroid rows) plus one
+    * min_by aggregation — no window sort. At 100 TB, nlist scales as √N
+    * (`autoNlist`) so per-cluster scans stay worker-sized.
+    *
+    * Within-cluster-ONLY semantics are deliberate (and the paper's): a
+    * near-dup pair straddling a cluster boundary is missed — that is the
+    * documented recall trade the clustering buys. SemDedupSpec pins
+    * brute-force parity of the whole flow and the one-kept-per-group
+    * contract.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 16,
+               seed: Long = 42L): DataFrame = {
+    Dedup.requireIntegralId(emb, idCol, "semDedup")
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import graft.functions.VectorExprs.nearestCentroids
+    // a null vector belongs to no cluster — excluded by contract (same
+    // stance as the weight/score contracts in Sampling), from BOTH the
+    // centroid training pass and the dedup itself
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    val cs: Seq[Seq[Double]] =
+      trainCentroids(nonNull, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    val tagged = nonNull
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", nearestCentroids(col("vec"), cs, 1).getItem(0))
+    val pairs = bucketVerifiedPairs(tagged, threshold)
+    val comps = Dedup.connectedComponents(
+      tagged.select(col("id")), "id", pairs)
+    // centroid similarity per member: nlist rows broadcast, cosine as the
+    // same sequential-fold arithmetic the pair kernel uses
+    import spark.implicits._
+    val cdf = broadcast(cs.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("bucket", "cvec"))
+    val withSim = tagged.join(cdf, Seq("bucket"))
+      .select(col("id"), cosine(col("vec"), col("cvec")).as("centroid_sim"))
+    comps.join(withSim, Seq("id"))
+      .groupBy(col("rep_id"))
+      .agg(
+        min_by(struct(col("id"), col("centroid_sim")),
+          struct(col("centroid_sim"), col("id"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("k.id").as("id"), col("rep_id"),
+        col("n_members"), col("k.centroid_sim").as("centroid_sim"))
+  }
 }

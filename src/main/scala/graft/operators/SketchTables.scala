@@ -150,4 +150,52 @@ object SketchTables {
       acc.withColumn(s"p${(p * 100).round}", kllQuantileUdf(col("kll"), lit(p)))
     }.drop("kll")
   }
+
+  // ---- Count-Min sketch tables: per-key FREQUENCIES ----------------------
+  // The fourth family: point-frequency estimates. HLL/theta count the
+  // distinct SET, KLL summarizes the value DISTRIBUTION; Count-Min
+  // answers "how many times did key X occur" per group — overcounting
+  // only (never under), by ≤ εN with prob 1-δ (ε = 2/width, δ = 2^-depth).
+  // Merge is exact counter addition, so rolled-up tables equal
+  // directly-built ones BIT-FOR-BIT (CmsSpec pins it) — the strongest
+  // merge contract of the four families. Sketch format is Spark's own
+  // `org.apache.spark.util.sketch.CountMinSketch` (public, stable wire
+  // format).
+
+  /** Build the per-group Count-Min table over a LONG key column. */
+  def cmsTable(df: DataFrame, groupCols: Seq[String], keyCol: String,
+               depth: Int = 5, width: Int = 4096,
+               seed: Int = 42): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_cms_sketch", col(keyCol).cast("long"),
+        lit(depth), lit(width), lit(seed)).as("cms"))
+  }
+
+  /** Roll a Count-Min table up to coarser groups by exact counter sum. */
+  def cmsRollup(table: DataFrame, groupCols: Seq[String]): DataFrame = {
+    graft.functions.VectorExprs.register(table.sparkSession)
+    table.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_cms_merge", col("cms")).as("cms"))
+  }
+
+  private val cmsEstimateUdf = udf { (b: Array[Byte], key: Long) =>
+    if (b == null || b.isEmpty) 0L
+    else org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(key)
+  }
+
+  /** Materialize point estimates for a fixed probe-key list: one
+    * (group, key, n_est) row per table row × key. The probe list is a
+    * dashboard-sized literal by contract (the sketch table itself is
+    * groups-sized), so the explode is tiny and the UDF runs per
+    * (group, key), never per base-data row.
+    */
+  def cmsEstimate(table: DataFrame, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "cmsEstimate needs at least one probe key")
+    table
+      .withColumn("key", explode(typedlit(keys)))
+      .withColumn("n_est", cmsEstimateUdf(col("cms"), col("key")))
+      .drop("cms")
+  }
 }
