@@ -55,6 +55,28 @@ object EventQueries {
       |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // Moments from EXACT integer sums so both engines compute identical
+  // doubles (distributed aggregation order cannot perturb an integer
+  // sum); z rounded to 6 before the threshold compare. Shared by the
+  // batch and streamed anomaly rows.
+  private val anomalyOracle =
+    """WITH w AS (
+      |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |         event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(cnt) AS BIGINT) AS s1, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      |  FROM w GROUP BY 1)
+      |SELECT window_start, w.event_type, cnt,
+      |       round((cnt - s1 * 1.0 / n) /
+      |             sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1)), 6) AS z
+      |FROM w JOIN m ON w.event_type = m.event_type
+      |WHERE n > 1 AND s2 * n > s1 * s1
+      |  AND ABS(round((cnt - s1 * 1.0 / n) /
+      |            sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1)), 6)) > 2.0
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Tumbling window under Structured Streaming (same oracle as the
@@ -180,24 +202,18 @@ object EventQueries {
     // Moments from EXACT integer sums so both engines compute identical
     // doubles (distributed aggregation order cannot perturb an integer
     // sum); z rounded to 6 before the threshold compare.
-    Q("events_anomaly",
-      """WITH w AS (
-        |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |         event_type, COUNT(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
-        |  SELECT event_type, COUNT(*) AS n,
-        |         CAST(SUM(cnt) AS BIGINT) AS s1, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
-        |  FROM w GROUP BY 1)
-        |SELECT window_start, w.event_type, cnt,
-        |       round((cnt - s1 * 1.0 / n) /
-        |             sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1)), 6) AS z
-        |FROM w JOIN m ON w.event_type = m.event_type
-        |WHERE n > 1 AND s2 * n > s1 * s1
-        |  AND ABS(round((cnt - s1 * 1.0 / n) /
-        |            sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1)), 6)) > 2.0
-        |ORDER BY 1, 2""".stripMargin) {
+    Q("events_anomaly", anomalyOracle) {
       (s, d) => Funnels.countAnomalies(t(s, d, "events"), "event_type", "ts")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // ---- Streaming anomaly detection: hourly window counts maintained
+    // as streaming state (one watermarked tumbling aggregation), the
+    // z-score rollup answered from the compact state table. Same oracle
+    // as the batch row — the state carries identical window counts and
+    // the moments are exact integer sums, so stream ≡ batch bit-for-bit -
+    Q("events_stream_anomaly", anomalyOracle) {
+      (s, d) => graft.streaming.StreamFunnels.anomalies(s, d)
         .orderBy(col("window_start"), col("event_type"))
     },
 

@@ -89,6 +89,29 @@ object SourceQueries {
           .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // ---- small-file compaction: fragment -> compact -> scan ----------------
+    // The corpus is deliberately shattered into 64 tiny files (the
+    // streaming-ingest accretion shape), compacted map-only into
+    // ~1 MiB-target files, and the COMPACTED copy is aggregated — the
+    // oracle runs the same aggregate on the original table, so a hash
+    // match proves compaction moved file boundaries and nothing else.
+    // The file-count and no-shuffle contracts are pinned in LayoutSpec.
+    Q("layout_compact_roundtrip",
+      """SELECT COUNT(*) AS n_docs,
+        |CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |COUNT(DISTINCT source) AS n_sources
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        val frag = ioDir(d, "documents_frag")
+        val out = ioDir(d, "documents_compact")
+        t(s, d, "documents").repartition(64).write.mode("overwrite").parquet(frag)
+        Layout.compact(s, frag, out, targetBytes = 1L << 20)
+        Tables.parquet(s, out)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+    },
+
     // ---- text lines (log-file shape): write -> line scan round trip --------
     // The corpus is written as plain text (one doc per line — the fixture
     // has no embedded newlines) and re-ingested with the line source; the

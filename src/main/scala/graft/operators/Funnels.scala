@@ -64,11 +64,23 @@ object Funnels {
     */
   def countAnomalies(events: DataFrame, typeCol: String, tsCol: String,
                      width: String = "1 hour",
-                     zThreshold: Double = 2.0): DataFrame = {
-    val w = events
-      .groupBy(window(col(tsCol), width).as("w"), col(typeCol))
-      .agg(count(lit(1)).as("cnt"))
-      .select(Det.fmtTs(col("w.start")).as("window_start"), col(typeCol), col("cnt"))
+                     zThreshold: Double = 2.0): DataFrame =
+    anomaliesFromWindowCounts(
+      events
+        .groupBy(window(col(tsCol), width).as("w"), col(typeCol))
+        .agg(count(lit(1)).as("cnt"))
+        .select(Det.fmtTs(col("w.start")).as("window_start"), col(typeCol), col("cnt")),
+      typeCol, zThreshold)
+
+  /** The z-score rollup half of [[countAnomalies]], over an
+    * already-maintained `(window_start, type, cnt)` table — the
+    * state/rollup split ([[graft.streaming.StreamFunnels]] maintains the
+    * window counts as streaming state and answers anomalies from here
+    * without rescanning the log). Same exact-integer-moment determinism
+    * contract as the fused form.
+    */
+  def anomaliesFromWindowCounts(w: DataFrame, typeCol: String,
+                                zThreshold: Double = 2.0): DataFrame = {
     val mom = w.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
         sum(col("cnt") * col("cnt")).as("s2"))

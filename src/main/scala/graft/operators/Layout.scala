@@ -64,4 +64,54 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction: rewrite the parquet at `inDir` into
+    * `outDir` as ~`targetBytes`-sized files. The streaming-ingest tables
+    * this library appends to (LSH/IVF index buckets, JSONL shard
+    * exports, micro-batch sinks) accrete KB-sized files whose per-file
+    * open/footer cost eventually dominates scans — the nightly compact
+    * is the standard fix (Delta/Iceberg's OPTIMIZE bin-packing, here
+    * over plain parquet directories).
+    *
+    * Scale shape — MAP-ONLY on purpose: the output file count comes from
+    * FILE METADATA (`ceil(Σ file length / targetBytes)` — no data scan),
+    * and the rewrite is `coalesce(n)`, which unions whole input
+    * partitions into output tasks WITHOUT a shuffle: at 100 TB this is
+    * one read+write pass, no exchange, no sort (LayoutSpec plan-asserts
+    * the absence of a shuffle). Row content and schema are untouched —
+    * only file boundaries move (the catalog row's oracle reads the
+    * compacted copy against the source SQL).
+    *
+    * Count contract: coalesce merges read splits, it cannot divide them,
+    * so the achievable count is `min(n, scan partitions)` — exactly that
+    * many data files are written (pinned in LayoutSpec). In the
+    * compaction regime (`targetBytes` ≥ the session's
+    * `spark.sql.files.maxPartitionBytes`, i.e. merging small files into
+    * big ones — the operation's purpose) the scan has ≥ n splits and the
+    * count is exactly the metadata formula. Parquet compression makes
+    * output SIZES approximate; the count is what kills the open-cost
+    * problem. Ordering within files is not part of the contract — pair
+    * with [[writeZOrdered]] when layout should also cluster.
+    *
+    * Returns the output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      // only data files: planners write _SUCCESS markers and checksums
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    // partition planning only — no job; bounds the achievable count
+    val nOut = math.max(1, math.min(n, df.rdd.getNumPartitions))
+    df.coalesce(nOut).write.mode("overwrite").parquet(outDir)
+    nOut
+  }
 }

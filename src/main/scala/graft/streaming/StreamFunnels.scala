@@ -80,4 +80,30 @@ object StreamFunnels {
       st.select(col("user_id"), explode(col("days")).as("ts")),
       "user_id", "ts")
   }
+
+  /** Hourly per-type window counts maintained as streaming state — the
+    * anomaly detector's state layer (one watermarked tumbling
+    * aggregation; state size is windows × types, never event volume).
+    */
+  def windowCountState(spark: SparkSession, sfDir: String): DataFrame =
+    StreamWindows.runToResult(
+      StreamWindows.eventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(graft.operators.Det.fmtTs(col("w.start")).as("window_start"),
+          col("event_type"), col("cnt")),
+      "anomaly_state")
+
+  /** Streamed anomaly detection: z-scored window counts from the
+    * maintained state table, by the same exact-integer-moment rollup as
+    * the batch operator — counts are identical multisets, moments are
+    * integer sums, so stream ≡ batch holds bit-for-bit (pinned in
+    * StreamingSpec and by the catalog row sharing `events_anomaly`'s
+    * oracle).
+    */
+  def anomalies(spark: SparkSession, sfDir: String,
+                zThreshold: Double = 2.0): DataFrame =
+    Funnels.anomaliesFromWindowCounts(
+      windowCountState(spark, sfDir), "event_type", zThreshold)
 }

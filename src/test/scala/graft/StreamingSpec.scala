@@ -109,4 +109,21 @@ class StreamingSpec extends SparkSpec {
     val logDays = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     assert(canon(stateDays) == canon(logDays))
   }
+
+  test("streamed anomaly detection equals batch bit-for-bit") {
+    val batch = graft.operators.Funnels
+      .countAnomalies(events, "event_type", "ts")
+    val stream = graft.streaming.StreamFunnels.anomalies(spark, sf)
+    // counts are identical multisets and the moments are exact integer
+    // sums, so even the DOUBLE z-scores must agree exactly
+    assert(canon(stream) == canon(batch))
+    // the state layer is exactly the batch window-count table
+    val st = graft.streaming.StreamFunnels.windowCountState(spark, sf)
+    val batchCounts = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(graft.operators.Det.fmtTs(col("w.start")).as("window_start"),
+        col("event_type"), col("cnt"))
+    assert(canon(st) == canon(batchCounts))
+  }
 }

@@ -66,6 +66,51 @@ class LayoutSpec extends SparkSpec {
     val ha = box(spark.read.parquet(hDir)).agg(count(lit(1)), sum("x"), sum("y")).head()
     assert(za == ha)
   }
+
+  private def dataFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+
+  test("compact: exact file count from metadata sizing; content untouched") {
+    val frag = QueryDefsScratch.dir("compact_in")
+    val out = QueryDefsScratch.dir("compact_out")
+    val df = spark.range(1 << 14).select(col("id"),
+      (col("id") * 37 % 1000).as("v"))
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    val inFiles = dataFiles(frag)
+    assert(inFiles.size == 64)
+    val total = inFiles.map(_.length).sum
+    val target = total / 4 // expect ~4-5 output files
+    val n = Layout.compact(spark, frag, out, target)
+    val formula = ((total + target - 1) / target).toInt
+    val scanParts = spark.read.parquet(frag).rdd.getNumPartitions
+    assert(n == math.min(formula, scanParts),
+      s"returned $n, formula $formula, scan splits $scanParts")
+    assert(dataFiles(out).size == n, "output file count must equal the returned count")
+    assert(n < 64 && n >= 2)
+    // byte-identical content (as a multiset of rows)
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("compact is map-only: the rewrite plan has no shuffle exchange") {
+    val frag = QueryDefsScratch.dir("compact_plan")
+    spark.range(100).repartition(8).write.mode("overwrite").parquet(frag)
+    // the exact plan compact() executes: read + coalesce
+    val plan = spark.read.parquet(frag).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+  }
+
+  test("compact on an oversized target collapses to one file") {
+    val frag = QueryDefsScratch.dir("compact_one")
+    val out = QueryDefsScratch.dir("compact_one_out")
+    spark.range(1000).repartition(16).write.mode("overwrite").parquet(frag)
+    val n = Layout.compact(spark, frag, out, Long.MaxValue)
+    assert(n == 1 && dataFiles(out).size == 1)
+    assert(spark.read.parquet(out).count() == 1000)
+  }
 }
 
 /** Test scratch dirs under the suite's tmp space. */
