@@ -54,7 +54,14 @@ object BenchScale {
     "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
     "dedup_groups_lsh", "dedup_groups_star", "dedup_groups_incremental",
     "dedup_groups_incremental_fold",
-    "pipeline_decontaminate",
+    "pipeline_decontaminate", "pipeline_decontaminate_fuzzy",
+    // SemDeDup (autoNlist = ~sqrt N clusters: expected exponent ~1.5 by
+    // design — the within-cluster pair scan; see Similarity.semDedup)
+    "dedup_semantic",
+    // CMS sketch table (linear build, sketch-sized serve)
+    "events_user_freq_cms",
+    // map-only compaction rewrite
+    "layout_compact_roundtrip",
     // text pipeline
     "text_winnow", "text_token_count", "text_chunk", "pipeline_pack_stats",
     "text_lm_score",
@@ -347,6 +354,45 @@ object BenchScale {
       // sibling; this pins the served shape)
       q(outDir, "similarity_pq").count() == q(srcDir, "similarity_pq").count()
     }, "pq top-k result size changed with scale")
+    check("fuzzy_decontam_scales_linearly", {
+      // each copy's exact train x eval near-dup pairs replicate verbatim
+      // under token salting; LSH banding re-rolls per copy (salted
+      // shingles, fresh hashes), so like the minhash invariant allow ±5%
+      // around exactly factor× the base's found count
+      val b = q(srcDir, "pipeline_decontaminate_fuzzy").count()
+      val s = q(outDir, "pipeline_decontaminate_fuzzy").count()
+      s * 100 <= factor * b * 105 && s * 100 >= factor * b * 95
+    }, "fuzzy-decontamination pair count departed from linear")
+    check("semdedup_keeps_scale_linearly", {
+      // copies are cosine-independent (rotation + sign flips), so true
+      // duplicate groups stay within copies and the kept count should be
+      // ~factor× the base; clustering re-fits on the mixed corpus, so
+      // boundary effects get ±5%
+      val b = q(srcDir, "dedup_semantic").count()
+      val s = q(outDir, "dedup_semantic").count()
+      s * 100 <= factor * b * 105 && s * 100 >= factor * b * 95
+    }, "SemDeDup kept-set size departed from linear")
+    check("cms_estimates_bound_exact_counts", {
+      // probe users 1-5 live in copy 0 only (copy offsets are huge), so
+      // their TRUE per-week counts are unchanged at scale; CMS never
+      // under-counts, so every scaled estimate must be >= the base EXACT
+      // count, and the (week × probe) row grid is scale-invariant
+      val exact = q(srcDir, "events_user_freq_exact").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val s = q(outDir, "events_user_freq_cms").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      s.keySet == exact.keySet && exact.forall { case (k, n) => s(k) >= n }
+    }, "CMS grid changed or an estimate under-counted the true frequency")
+    check("compact_roundtrip_scales_exactly", {
+      // compaction moves file boundaries only: doc and token totals are
+      // exactly factor× the base (token salting preserves token counts),
+      // and the source set is unchanged per copy
+      val b = q(srcDir, "layout_compact_roundtrip").head
+      val s = q(outDir, "layout_compact_roundtrip").head
+      s.getLong(0) == factor * b.getLong(0) &&
+        s.getLong(1) == factor * b.getLong(1) &&
+        s.getLong(2) == b.getLong(2)
+    }, "compacted-corpus totals departed from the scale contract")
     check("lm_score_rows_scale_exactly", {
       // the held-out split replicates per copy (vec/doc ids shift by a
       // multiple of 10), so scored-doc count and total bigram count are

@@ -329,15 +329,15 @@ object EventQueries {
         |LEFT JOIN c ON c.week = wk.week AND c.user_id = k.user_id
         |ORDER BY 1, 2""".stripMargin) {
       (s, d) => {
-        import s.implicits._
         val ev = t(s, d, "events")
           .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
-        val keys = Seq(1L, 2L, 3L, 4L, 5L).toDF("user_id")
         val counts = ev.filter(col("user_id").isin(1, 2, 3, 4, 5))
           .groupBy(col("week"), col("user_id").cast("long").as("user_id"))
           .agg(count(lit(1)).as("n"))
+        // the (week × probe) grid via explode over the distinct weeks —
+        // no join needed to materialize zero cells
         ev.select("week").distinct()
-          .crossJoin(broadcast(keys))
+          .withColumn("user_id", explode(typedlit(Seq(1L, 2L, 3L, 4L, 5L))))
           .join(counts, Seq("week", "user_id"), "left")
           .select(col("week"), col("user_id"),
             coalesce(col("n"), lit(0L)).as("n"))

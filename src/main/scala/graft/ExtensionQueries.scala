@@ -785,11 +785,16 @@ object ExtensionQueries {
     // SQL-expressible; SemDedupSpec pins brute-force parity of the whole
     // flow (clusters, groups, keep rule) and one-kept-per-group.
     Q.noOracle("dedup_semantic") {
-      (s, d) => sortSmall(
-        Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
-          .select(col("id").as("vec_id"), col("rep_id"), col("n_members"),
-            round(col("centroid_sim"), 6).as("centroid_sim")),
-        col("vec_id"))
+      (s, d) =>
+        val emb = t(s, d, "embeddings")
+        // cluster count scales with the corpus (autoNlist = ~sqrt N, the
+        // IVF sizing): pair cost stays ~N^1.5, never the fixed-k N^2
+        sortSmall(
+          Similarity.semDedup(emb, "vec_id", "embedding", 0.45,
+            Similarity.autoNlist(emb.count()))
+            .select(col("id").as("vec_id"), col("rep_id"), col("n_members"),
+              round(col("centroid_sim"), 6).as("centroid_sim")),
+          col("vec_id"))
     },
 
     // ---- IVF-bucketed embedding near-dup (approximate scale path) ----------

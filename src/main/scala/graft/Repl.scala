@@ -64,6 +64,13 @@ object Repl {
       |  contaminate <trainView> <evalView> <n> <minHits>
       |                                         train docs sharing >= minHits n-gram
       |                                         shingles with the eval view
+      |  fuzzycontaminate <trainView> <evalView> <threshold>
+      |                                         train docs whose whole-doc Jaccard vs
+      |                                         some eval doc reaches threshold
+      |  semdedup <view> <threshold> [idCol vecCol]
+      |                                         SemDeDup kept set: k-means clusters,
+      |                                         in-cluster cosine groups, least-
+      |                                         prototypical member kept per group
       |  funnel <view> <type1> <type2> [...]    ordered conversion funnel over an
       |                                         events view: per-step user counts
       |  retention <view>                       weekly cohort retention over an
@@ -295,6 +302,19 @@ object Repl {
           .contamination(df(trainVid), df(evalVid), "doc_id", "text",
             n.toInt, minHits.toInt)
           .orderBy(col("doc_id")))
+      case "fuzzycontaminate" :: trainVid :: evalVid :: thr :: Nil =>
+        render(graft.operators.Dedup
+          .contaminationFuzzy(df(trainVid), df(evalVid), "doc_id", "text",
+            threshold = thr.toDouble)
+          .orderBy(col("doc_id"), col("eval_id")))
+      case "semdedup" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
+        val (i, c) = rest match {
+          case i :: c :: Nil => (i, c)
+          case _             => ("vec_id", "embedding")
+        }
+        render(graft.operators.Similarity
+          .semDedup(df(vid), i, c, thr.toDouble)
+          .orderBy(col("rep_id")))
       case "lmscore" :: lmVid :: vid :: Nil =>
         // per-doc scores are corpus-LINEAR — TakeOrdered render, like
         // chunk/contaminate

@@ -820,8 +820,11 @@ object Similarity {
     * never shuffle, only surviving pairs do). Components come from the
     * same `connectedComponents` loop as every other dedup family; the
     * keep rule is one broadcast join (nlist centroid rows) plus one
-    * min_by aggregation — no window sort. At 100 TB, nlist scales as √N
-    * (`autoNlist`) so per-cluster scans stay worker-sized.
+    * min_by aggregation — no window sort. Sizing regimes: nlist = √N
+    * (`autoNlist`, the catalog row's choice) keeps total pair cost
+    * ~N^1.5 with cluster sizes √N; a fixed cluster-size budget
+    * (nlist = N/B) makes the scan fully linear at ~N·B/2 dot products —
+    * the paper's own recipe of growing k with the corpus.
     *
     * Within-cluster-ONLY semantics are deliberate (and the paper's): a
     * near-dup pair straddling a cluster boundary is missed — that is the

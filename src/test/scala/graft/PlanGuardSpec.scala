@@ -104,8 +104,9 @@ class PlanGuardSpec extends SparkSpec {
       // rows), retention cohort cells (tens of rows), theta overlap
       // cells (type-pairs), and weekly KLL quantiles (weeks) collected
       // at both scales to assert the factor-x / invariance contracts
-      // (+2: the bm25 matched-doc id sets, k rows each)
-      "BenchScale.scala"    -> 10)
+      // (+2: the bm25 matched-doc id sets, k rows each; +2: the CMS
+      // week×probe grids vs the exact twin, tens of rows each)
+      "BenchScale.scala"    -> 12)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)

@@ -223,4 +223,25 @@ class ReplSpec extends SparkSpec {
     assert(out.linesIterator.exists(_.startsWith("cnt\t")),
       s"summary over the sampled child must render:\n$out")
   }
+
+  test("semdedup and fuzzycontaminate drive the semantic-curation paths") {
+    val out = script(
+      "open embeddings",
+      "semdedup embeddings-1 0.45",
+      "open documents",
+      "filter documents-2 doc_id % 2 = 0",
+      "filter documents-2 doc_id % 2 = 1",
+      "fuzzycontaminate filter-3 filter-4 0.5",
+      "quit")
+    // semdedup: kept rows render (id, rep_id, n_members, centroid_sim)
+    val semHeader = out.linesIterator.indexWhere(_.startsWith("id\trep_id"))
+    assert(semHeader >= 0, s"semdedup must render a kept-set table:\n$out")
+    assert(out.linesIterator.drop(semHeader + 1).next().split("\t").length == 4,
+      s"no semdedup rows rendered:\n$out")
+    // fuzzycontaminate: planted even-odd near-dups → flagged pairs
+    val fzHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\teval_id"))
+    assert(fzHeader >= 0, s"fuzzycontaminate must render doc_id/eval_id/jacc:\n$out")
+    assert(out.linesIterator.drop(fzHeader + 1).next().split("\t").length == 3,
+      s"no fuzzy-contamination rows rendered:\n$out")
+  }
 }
