@@ -43,6 +43,10 @@ object BenchScale {
     "filter_count", "join_q3lite", "window_rank", "events_time_window",
     // relational stress
     "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",
+    // keyless interval join (grid-bucketed cell equi join)
+    "join_range_bucketed",
+    // gap-filled resample (one data pass + calendar-sized grid)
+    "events_resample_counts",
     // dedup / decontamination / subdoc / clustering. dedup_groups stays
     // in the set DELIBERATELY even though its pair source is the
     // quadratic-by-contract dense walk: its super-linear exponent is the
@@ -354,6 +358,30 @@ object BenchScale {
       // sibling; this pins the served shape)
       q(outDir, "similarity_pq").count() == q(srcDir, "similarity_pq").count()
     }, "pq top-k result size changed with scale")
+    check("interval_join_scales_linearly", {
+      // both slices replicate per copy, but the copy offset is not a
+      // multiple of 60, so interval spans (o_orderkey % 60) re-roll
+      // uniformly per copy: expected match count per copy equals the
+      // base's expectation, not its exact value — allow ±10% around
+      // exactly factor× (both sides scale linearly, no cross-copy dates
+      // diverge: order/ship dates repeat verbatim)
+      val b = q(srcDir, "join_range_bucketed").head.getLong(0)
+      val s = q(outDir, "join_range_bucketed").head.getLong(0)
+      s * 100 <= factor * b * 110 && s * 100 >= factor * b * 90
+    }, "bucketed interval-join match count departed from linear")
+    check("resample_grid_stable_totals_scale", {
+      // ts values repeat verbatim per copy, so the hourly grid span is
+      // (almost) scale-invariant — the 1/7 user cohort re-rolls per copy
+      // (offset % 7 != 0), moving the first/last active hour slightly —
+      // while the total event count in the slice scales ~factor×
+      val b = q(srcDir, "events_resample_counts")
+      val s = q(outDir, "events_resample_counts")
+      val bn = b.count(); val sn = s.count()
+      val bSum = b.agg(sum("cnt")).head.getLong(0)
+      val sSum = s.agg(sum("cnt")).head.getLong(0)
+      math.abs(sn - bn) <= math.max(4L, bn / 20) &&
+        sSum * 100 <= factor * bSum * 110 && sSum * 100 >= factor * bSum * 90
+    }, "resampled grid span or totals departed from the scale contract")
     check("fuzzy_decontam_scales_linearly", {
       // each copy's exact train x eval near-dup pairs replicate verbatim
       // under token salting; LSH banding re-rolls per copy (salted

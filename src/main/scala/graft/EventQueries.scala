@@ -157,6 +157,27 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // ---- Gap-filled (resampled) hourly counts ------------------------------
+    // A sparse slice (purchases from a 1/7 user cohort) leaves empty
+    // hours; resampleCounts fills every hour between the series' bounds
+    // with an explicit zero row. The grid is one sequence explode over a
+    // single min/max row — the data is scanned once for the counts.
+    Q("events_resample_counts",
+      """WITH c AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, COUNT(*) AS cnt
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0 GROUP BY 1),
+        |b AS (SELECT MIN(ws) AS lo, MAX(ws) AS hi FROM c),
+        |g AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws FROM b)
+        |SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM g LEFT JOIN c ON c.ws = g.ws ORDER BY 1""".stripMargin) {
+      (s, d) => TimeWindows.resampleCounts(
+          t(s, d, "events")
+            .filter(col("event_type") === "purchase" && col("user_id") % 7 === 0),
+          "ts")
+        .orderBy(col("window_start"))
+    },
+
     // ---- Ordered conversion funnel (view -> click -> purchase) -------------
     // Each step anchors at the user's earliest qualifying event STRICTLY
     // after the previous step's time; output is per-step reached-user

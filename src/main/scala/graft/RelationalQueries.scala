@@ -287,6 +287,35 @@ object RelationalQueries {
           .agg(count(lit(1)).as("cnt"))
     },
 
+    // ---- Keyless point-in-interval join via grid bucketing ------------------
+    // Ship dates (a 1/50 slice) against order-derived activity windows
+    // (a 1/20 slice, span = o_orderkey % 60 days) with NO equi key — the
+    // shape that plans nested-loop; intervalBucketed routes it through an
+    // exploded-cell equi join (30-day grid) and stays exact. The oracle
+    // is the naive BETWEEN cross join; the no-cartesian plan shape and
+    // nested-loop parity are pinned in IntervalJoinSpec.
+    Q("join_range_bucketed",
+      """WITH p AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS pd
+        |  FROM lineitem WHERE l_partkey % 50 = 0),
+        |iv AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+        |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |           + o_orderkey % 60 AS hi
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(hi - pd) AS BIGINT) AS sum_slack
+        |FROM p JOIN iv ON pd BETWEEN lo AND hi""".stripMargin) {
+      (s, d) =>
+        val p = t(s, d, "lineitem").filter(col("l_partkey") % 50 === 0)
+          .select(datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("pd"))
+        val lo = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        val iv = t(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
+          .select(lo.as("lo"), (lo + col("o_orderkey") % 60).as("hi"))
+        Joins.intervalBucketed(p, iv, "pd", "lo", "hi", bucketWidth = 30L)
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("hi") - col("pd")).cast("long").as("sum_slack"))
+    },
+
     // ---- UNION ALL of different tables (schema-aligned by name) ------------
     Q("union_all_counts",
       """SELECT src, COUNT(*) AS cnt, COUNT(mktsegment) AS n_seg FROM (

@@ -45,6 +45,47 @@ object Joins {
     left.join(right, eq.map(_ && rangeCond).getOrElse(rangeCond))
   }
 
+  /** Point-in-interval join WITHOUT equi keys — the shape that otherwise
+    * plans as a nested-loop/cartesian — made shuffle-joinable by GRID
+    * BUCKETING (the standard interval-join technique in streaming/geo
+    * engines): every interval explodes to the grid cells it overlaps,
+    * every point maps to its one cell, the two sides meet in an ordinary
+    * equi join on the cell, and the exact containment predicate filters
+    * candidates. EXACT, with no dedup step needed: a matching (point,
+    * interval) pair meets in exactly one cell — the point's own — because
+    * floor-division is monotone, so `lo ≤ p ≤ hi` puts `cell(p)` inside
+    * `[cell(lo), cell(hi)]`.
+    *
+    * Scale shape: shuffle volume is |points| + Σ(span/width + 1) interval
+    * replicas — both linear for bounded spans — versus the nested-loop
+    * |points|·|intervals| probe. Pick `bucketWidth` near the TYPICAL
+    * interval span: much smaller multiplies interval replicas
+    * (span/width per row), much larger inflates candidate fan-in per
+    * cell (points join intervals they miss). Cells are computed with
+    * pmod-based floor division, so negative domains bucket correctly.
+    *
+    * Contract: `pointCol`/`loCol`/`hiCol` are integral (cast dates to
+    * epoch days, timestamps to epoch seconds); the two frames' column
+    * names must be disjoint. Empty intervals (lo > hi) match nothing.
+    * Parity with the nested-loop [[range]] and the no-cartesian plan
+    * shape are pinned in IntervalJoinSpec.
+    */
+  def intervalBucketed(points: DataFrame, intervals: DataFrame,
+                       pointCol: String, loCol: String, hiCol: String,
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
+    def cell(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    val p = points.withColumn("__cell", cell(col(pointCol)))
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__cell", explode(sequence(cell(col(loCol)), cell(col(hiCol)))))
+    p.join(iv, Seq("__cell"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__cell")
+  }
+
   /** Salted equi join for skewed fact keys: the fact side gets a
     * deterministic salt derived from a high-cardinality column, the
     * (small) right side is replicated across all `salts` buckets, and the

@@ -107,6 +107,29 @@ object SketchTables {
         col("__ops._2").as("n_union"))
   }
 
+  private val thetaDiffUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    val d = SetOperation.builder().buildANotB()
+      .aNotB(Sketches.wrapSketch(Memory.wrap(a)), Sketches.wrapSketch(Memory.wrap(b)))
+    math.round(d.getEstimate)
+  }
+
+  /** Directed set DIFFERENCE matrix from a theta table: for every ordered
+    * key pair (a ≠ b), the estimate of |A \ B| — "users who did A but
+    * never B", the churn/exclusivity question that completes the theta
+    * algebra (union and intersection live in [[thetaOverlap]]). Same
+    * groups-sized cross-join contract as the overlap matrix; exact in
+    * exact mode (pinned in SketchTablesSpec vs a COUNT(DISTINCT) twin).
+    */
+  def thetaDifference(table: DataFrame, keyCol: String): DataFrame = {
+    val a = table.select(col(keyCol).as("key_a"), col("theta").as("__ta"))
+    val b = table.select(col(keyCol).as("key_b"), col("theta").as("__tb"))
+    a.join(b, col("key_a") =!= col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        thetaDiffUdf(col("__ta"), col("__tb")).as("n_a_only"))
+  }
+
   // ---- KLL quantile sketch tables ----------------------------------------
   // Mergeable per-group QUANTILE summaries: build per-day sketches once,
   // answer "p95 by week/month" by merge — the dashboard-tile shape where

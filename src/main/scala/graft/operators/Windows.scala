@@ -85,4 +85,32 @@ object TimeWindows {
       .agg(aggs.head, aggs.tail: _*)
     g.withColumn("session_start", Det.fmtTs(col("w.start"))).drop("w")
   }
+
+  /** Gap-filled (resampled) tumbling counts: every `width` bucket between
+    * the data's first and last window gets a row, with `cnt` 0 where no
+    * events fell — the time-series shape dashboards and anomaly baselines
+    * need (a sparse series silently SKIPS quiet windows, which reads as
+    * "no data" instead of "zero events", and shifts window-count moments).
+    *
+    * Scale shape: the counts aggregation is the only pass over the data;
+    * the dense grid is CALENDAR-sized (span/width rows — one `sequence`
+    * explode over a single min/max aggregate row, broadcast into the
+    * left join), so filling costs nothing at any corpus size. Empty
+    * input yields an empty frame (no bounds to span).
+    */
+  def resampleCounts(df: DataFrame, tsCol: String,
+                     width: String = "1 hour"): DataFrame = {
+    val counts = df
+      .groupBy(window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("__ws"), col("cnt"))
+    val grid = counts
+      .agg(min(col("__ws")).as("lo"), max(col("__ws")).as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL $width"))).as("__ws"))
+    grid.join(counts, Seq("__ws"), "left")
+      .select(Det.fmtTs(col("__ws")).as("window_start"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 }

@@ -83,6 +83,24 @@ class FunnelsSpec extends SparkSpec {
       got.head._3 == 100L)
   }
 
+  test("resampleCounts fills planted gaps with zero rows and spans the bounds") {
+    import spark.implicits._
+    // events in hours 0, 1, and 4 — hours 2 and 3 are gaps
+    val ev = Seq(
+      ts("2024-01-01 00:10:00"), ts("2024-01-01 00:50:00"),
+      ts("2024-01-01 01:30:00"), ts("2024-01-01 04:05:00"))
+      .toDF("ts")
+    val got = graft.operators.TimeWindows.resampleCounts(ev, "ts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      "2024-01-01 00:00:00" -> 2L, "2024-01-01 01:00:00" -> 1L,
+      "2024-01-01 02:00:00" -> 0L, "2024-01-01 03:00:00" -> 0L,
+      "2024-01-01 04:00:00" -> 1L))
+    // empty input: no bounds, no grid — empty frame, not a crash
+    assert(graft.operators.TimeWindows
+      .resampleCounts(ev.filter(lit(false)), "ts").isEmpty)
+  }
+
   test("retention: every user appears exactly once at offset 0") {
     val ev = graft.sources.Tables.open(spark, sf, "events")
     val ret = Funnels.retention(ev, "user_id", "ts")

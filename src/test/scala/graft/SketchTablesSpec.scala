@@ -103,6 +103,24 @@ class SketchTablesSpec extends SparkSpec {
     assert(got(("B", "C")) == ((140L, 250L, 50L, 340L)))
   }
 
+  test("theta difference matrix equals exact set differences on planted cohorts") {
+    import spark.implicits._
+    val rows =
+      (0L until 100L).map(("A", _)) ++
+      (60L until 200L).map(("B", _)) ++
+      (150L until 400L).map(("C", _))
+    val got = SketchTables.thetaDifference(
+        SketchTables.thetaTable(rows.toDF("grp", "uid"), Seq("grp"), "uid"), "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // exact mode at these cardinalities: |A\B|=60, |B\A|=100, |A\C|=100,
+    // |C\A|=250, |B\C|=90, |C\B|=200 — directed, so all six cells exist
+    assert(got == Map(
+      ("A", "B") -> 60L, ("B", "A") -> 100L,
+      ("A", "C") -> 100L, ("C", "A") -> 250L,
+      ("B", "C") -> 90L, ("C", "B") -> 200L))
+  }
+
   test("kll quantile rollup lands within rank error of exact quantiles") {
     val probs = Seq(0.5, 0.95)
     val daily = SketchTables.kllTable(events, Seq("week", "day"), "value")

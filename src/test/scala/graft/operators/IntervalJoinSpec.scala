@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Keyless point-in-interval join via grid bucketing: exact parity with
+  * the nested-loop form (random fixtures incl. negative domains and
+  * cell-boundary values), the exactly-one-cell-meeting argument (no dup
+  * pairs), and the no-cartesian plan shape.
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(points: Seq[Long], ivs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+    for {
+      p <- points
+      (lo, hi) <- ivs
+      if p >= lo && p <= hi
+    } yield (p, lo, hi)
+
+  test("parity with the nested-loop range join across widths and domains") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val points = Seq.fill(300)(rnd.nextLong() % 1000L) // negatives included
+      val ivs = Seq.fill(80) {
+        val lo = rnd.nextLong() % 1000L
+        (lo, lo + rnd.nextInt(120))
+      } ++ Seq((5L, 3L)) // empty interval: matches nothing
+      val width = Seq(7L, 30L, 250L)(trial % 3)
+      val got = Joins.intervalBucketed(
+          points.toDF("p"), ivs.toDF("lo", "hi"), "p", "lo", "hi", width)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val want = naive(points, ivs.filter(i => i._1 <= i._2)).sorted
+      assert(got == want, s"trial $trial width $width: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("boundary cells: points exactly on lo/hi and on cell edges match once") {
+    val points = Seq(0L, 29L, 30L, 31L, 60L, -30L, -31L, -1L)
+    val ivs = Seq((0L, 30L), (30L, 30L), (-31L, -30L))
+    val got = Joins.intervalBucketed(
+        points.toDF("p"), ivs.toDF("lo", "hi"), "p", "lo", "hi", 30L)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == naive(points, ivs).sorted)
+    // no duplicates: each matched pair appears exactly once
+    assert(got.distinct.size == got.size)
+  }
+
+  test("the plan is an equi join on the grid cell, never a cartesian") {
+    val plan = Joins.intervalBucketed(
+        Seq(1L).toDF("p"), Seq((0L, 5L)).toDF("lo", "hi"), "p", "lo", "hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"interval join must route through the cell equi join:\n$plan")
+  }
+}
