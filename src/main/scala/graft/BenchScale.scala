@@ -88,6 +88,8 @@ object BenchScale {
     "events_user_overlap_theta", "events_value_quantile_rollup",
     // mixing + export + the flagship composition (CC ∘ LSH inside)
     "sample_temperature_tokens", "pipeline_export_jsonl",
+    // DSIR selection (two linear model passes + map-side scoring)
+    "pipeline_dsir_topk",
     "pipeline_clean_corpus")
 
   private def remapped(spark: SparkSession, srcDir: String, table: String,
@@ -382,6 +384,12 @@ object BenchScale {
       math.abs(sn - bn) <= math.max(4L, bn / 20) &&
         sSum * 100 <= factor * bSum * 110 && sSum * 100 >= factor * bSum * 90
     }, "resampled grid span or totals departed from the scale contract")
+    check("dsir_topk_size_unchanged", {
+      // k = 50 at both scales; weights legitimately move (the salted
+      // copies reshape both models), the page size must not
+      q(outDir, "pipeline_dsir_topk").count() ==
+        q(srcDir, "pipeline_dsir_topk").count()
+    }, "DSIR top-k page size changed with scale")
     check("fuzzy_decontam_scales_linearly", {
       // each copy's exact train x eval near-dup pairs replicate verbatim
       // under token salting; LSH banding re-rolls per copy (salted

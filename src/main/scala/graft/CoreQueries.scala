@@ -532,6 +532,23 @@ object CoreQueries {
       }
     },
 
+    // ---- DSIR importance selection toward a target domain ------------------
+    // Odd-id docs play the target corpus ("distributed like Wikipedia"),
+    // even-id docs the raw pool; the 50 most target-like raw docs by the
+    // hashed-bigram log-likelihood ratio. no_oracle (xxhash64 feature
+    // bucketing is engine-internal); DsirSpec pins driver brute-force
+    // parity of the exact decimal weights, partitioning invariance, and
+    // the planted-domain ordering contract.
+    Q.noOracle("pipeline_dsir_topk") {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Sampling.dsirTopK(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 50)
+      }
+    },
+
     // ---- Portable hash sampling (md5-keyed) --------------------------------
     // Oracle-EXACT siblings of the seeded sampling family: every inclusion
     // decision is a pure expression over md5(id:seed) (the splitByHash

@@ -397,6 +397,16 @@ object EventQueries {
         col("week"))
     },
 
+    // ---- Streamed CMS table: the frequency-sketch build live (no_oracle:
+    // CMS estimates; StreamingSpec pins the streamed table BYTE-equal to
+    // the batch build — exact counter addition survives the state store) -
+    Q.noOracle("events_stream_user_freq_cms") {
+      (s, d) => sortSmall(
+        graft.streaming.StreamSketches.weeklyUserFreqRollup(s, d,
+          Seq(1L, 2L, 3L, 4L, 5L)),
+        col("week"), col("key"))
+    },
+
     // ---- Mergeable HLL sketch table: weekly rollup WITHOUT rescanning ------
     // Build per-(week, day) user sketches once, answer the weekly
     // distinct-user rollup by sketch UNION — the reference's mergeable-

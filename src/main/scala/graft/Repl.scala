@@ -67,6 +67,8 @@ object Repl {
       |  fuzzycontaminate <trainView> <evalView> <threshold>
       |                                         train docs whose whole-doc Jaccard vs
       |                                         some eval doc reaches threshold
+      |  dsir <rawView> <targetView> <k>        the k raw docs most like the target
+      |                                         corpus (hashed-ngram DSIR weights)
       |  semdedup <view> <threshold> [idCol vecCol]
       |                                         SemDeDup kept set: k-means clusters,
       |                                         in-cluster cosine groups, least-
@@ -307,6 +309,9 @@ object Repl {
           .contaminationFuzzy(df(trainVid), df(evalVid), "doc_id", "text",
             threshold = thr.toDouble)
           .orderBy(col("doc_id"), col("eval_id")))
+      case "dsir" :: rawVid :: targetVid :: k :: Nil =>
+        render(graft.operators.Sampling
+          .dsirTopK(df(rawVid), df(targetVid), "doc_id", "text", k.toInt))
       case "semdedup" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
         val (i, c) = rest match {
           case i :: c :: Nil => (i, c)

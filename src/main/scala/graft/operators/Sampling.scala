@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Row sampling — `ref:P/sketches/RandomSamplingSketch.java` and the
@@ -395,6 +395,102 @@ object Sampling {
     joined.withColumn("tier", tier)
       .drop((0 until tiers - 1).map(i => s"__t$i"): _*)
   }
+
+  // ---- DSIR: importance resampling toward a target domain ----------------
+  // Xie et al. 2023 (arXiv:2302.03169, "Data Selection for Language
+  // Models via Importance Resampling"): score every raw-corpus document
+  // by the log-likelihood ratio of two hashed-n-gram unigram models —
+  // one fit on a (small) TARGET corpus, one on the raw corpus itself —
+  // then keep the top-k (or Gumbel-sample ∝ the softmax of the weights).
+  // The statistical data-selection pass that complements the rule-based
+  // quality filters: "give me raw documents distributed like Wikipedia".
+
+  /** (id, bucket) hashed-n-gram occurrences: shingles hash into
+    * `buckets` feature buckets (xxhash64 — per-row pure, engine-seeded).
+    */
+  private def hashedNgramBuckets(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int, buckets: Int): DataFrame =
+    TextOps.rawShingles(df, idCol, textCol, n)
+      .withColumn("__b", pmod(xxhash64(col("sh")), lit(buckets.toLong)).cast("int"))
+
+  /** Add-alpha-smoothed log bucket probabilities of one corpus — a
+    * buckets-sized aggregate collected to the driver by contract (the
+    * model IS sketch-sized; 8192 doubles ≪ any data partition).
+    */
+  private def bucketLogProbs(sh: DataFrame, buckets: Int,
+                             alpha: Double): Array[Double] = {
+    val counts = sh.groupBy(col("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    Array.tabulate(buckets)(b =>
+      math.log((counts.getOrElse(b, 0L) + alpha) / (total + alpha * buckets)))
+  }
+
+  /** Per-document DSIR log importance weights: Σ over the doc's shingle
+    * occurrences of `log p_target(bucket) − log p_raw(bucket)`. Returns
+    * (idCol, log_weight DECIMAL-summed double).
+    *
+    * Scale shape: two linear shingle passes build the two BUCKETS-sized
+    * models (one driver collect each — the model is the sketch); scoring
+    * is map-side (an `element_at` into the broadcast log-ratio literal)
+    * plus ONE doc-keyed aggregation. Nothing quadratic, nothing
+    * corpus-sized on the driver.
+    *
+    * Determinism: each term is the driver literal rounded to 6 decimals
+    * and the per-doc sum runs through `Det.dsum` (exact decimal
+    * accumulation), so the weights are BIT-IDENTICAL across runs,
+    * partitionings, and engines sharing the hash — pinned with the
+    * brute-force parity in DsirSpec. Docs with no shingles (empty text)
+    * simply produce no row — they carry no evidence either way; callers
+    * keep or drop them by join choice. `target` is typically
+    * benchmark-sized but may be any frame.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, n: Int = 2, buckets: Int = 8192,
+                        alpha: Double = 1e-2): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val rawSh = hashedNgramBuckets(raw, idCol, textCol, n, buckets)
+    val pT = bucketLogProbs(hashedNgramBuckets(target, idCol, textCol, n, buckets),
+      buckets, alpha)
+    val pR = bucketLogProbs(rawSh, buckets, alpha)
+    val lr: Seq[Double] = (0 until buckets).map(b => Det.round6(pT(b) - pR(b)))
+    rawSh
+      .select(col(idCol), element_at(typedlit(lr), col("__b") + 1).as("__lr"))
+      .groupBy(col(idCol))
+      .agg(Det.dsum(col("__lr")).as("log_weight"))
+  }
+
+  /** DSIR selection: the k raw documents most target-like. `gumbel=false`
+    * (default) is the deterministic top-k by (log_weight, id);
+    * `gumbel=true` is the paper's sampling-without-replacement ∝
+    * softmax(log_weight), via the Gumbel-top-k trick with PORTABLE
+    * md5-derived noise (the `splitByHash` convention — the same draw
+    * re-derives anywhere), so even the sampled variant is reproducible.
+    * Both plan as TakeOrderedAndProject — no global sort.
+    */
+  def dsirTopK(raw: DataFrame, target: DataFrame, idCol: String,
+               textCol: String, k: Int, n: Int = 2, buckets: Int = 8192,
+               alpha: Double = 1e-2, gumbel: Boolean = false,
+               seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = importanceWeights(raw, target, idCol, textCol, n, buckets, alpha)
+    val keyed =
+      if (!gumbel) w.withColumn("__key", col("log_weight"))
+      else {
+        // hashKey is uniform on [0, 2^52); the half-shift keeps
+        // u ∈ (0, 1) strictly, so g = -log(-log u) is always finite
+        val u = (hashKey(idCol, seed).cast("double") + lit(0.5)) /
+          lit(HashUnit.toDouble)
+        keyedNoise(w, u)
+      }
+    keyed.orderBy(col("__key").desc, col(idCol).asc).limit(k)
+      .select(col(idCol), col("log_weight"))
+  }
+
+  private def keyedNoise(w: DataFrame, u: Column): DataFrame =
+    w.withColumn("__key", col("log_weight") - log(-log(u)))
 
   /** Resolution-aware sampling rate (paper §4.1): a histogram rendered at
     * `pixelHeight` with `buckets` bars is statistically indistinguishable

@@ -39,4 +39,35 @@ object StreamSketches {
   def weeklyDistinctRollup(spark: SparkSession, sfDir: String): DataFrame =
     SketchTables.hllEstimate(
       SketchTables.hllRollup(dailyUserSketches(spark, sfDir), Seq("week")))
+
+  /** Per-(week, day) Count-Min frequency sketch table built as ONE
+    * streaming aggregation — CMS counters add in the state store exactly
+    * as in a batch shuffle (the same exact-addition monoid), so the
+    * streamed table is BIT-identical to the batch build (StreamingSpec
+    * pins byte equality — the CMS family's merge contract is exact, so
+    * the stream twin inherits it undiluted).
+    */
+  def dailyUserFreqSketches(spark: SparkSession, sfDir: String,
+                            depth: Int = 5, width: Int = 4096,
+                            seed: Int = 42): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    StreamWindows.runToResult(
+      StreamWindows.eventsStream(spark, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+        .groupBy(col("week"), col("day"))
+        .agg(call_function("graft_cms_sketch", col("user_id").cast("long"),
+          lit(depth), lit(width), lit(seed)).as("cms")),
+      "cms_table")
+  }
+
+  /** Weekly per-user frequency estimates answered from the STREAMED CMS
+    * table — the batch `events_user_freq_cms` shape with the build side
+    * live.
+    */
+  def weeklyUserFreqRollup(spark: SparkSession, sfDir: String,
+                           keys: Seq[Long]): DataFrame =
+    SketchTables.cmsEstimate(
+      SketchTables.cmsRollup(dailyUserFreqSketches(spark, sfDir), Seq("week")),
+      keys)
 }

@@ -90,8 +90,8 @@ class PlanGuardSpec extends SparkSpec {
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       // temperatureMix + temperatureMixTokens: one row per source each;
       // selectByBudget: the (group, bin) histogram, ≤ maxHistRows by the
-      // guarded contract
-      "Sampling.scala"      -> 3,
+      // guarded contract; bucketLogProbs (DSIR): one buckets-sized model
+      "Sampling.scala"      -> 4,
       // bm25TopK: per-query-term document frequencies (≤ |query| rows)
       "TextOps.scala"       -> 1,
       // train: the deterministic codebook sample (sampleSize rows, the

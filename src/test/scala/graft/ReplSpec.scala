@@ -232,6 +232,7 @@ class ReplSpec extends SparkSpec {
       "filter documents-2 doc_id % 2 = 0",
       "filter documents-2 doc_id % 2 = 1",
       "fuzzycontaminate filter-3 filter-4 0.5",
+      "dsir filter-3 filter-4 10",
       "quit")
     // semdedup: kept rows render (id, rep_id, n_members, centroid_sim)
     val semHeader = out.linesIterator.indexWhere(_.startsWith("id\trep_id"))
@@ -243,5 +244,10 @@ class ReplSpec extends SparkSpec {
     assert(fzHeader >= 0, s"fuzzycontaminate must render doc_id/eval_id/jacc:\n$out")
     assert(out.linesIterator.drop(fzHeader + 1).next().split("\t").length == 3,
       s"no fuzzy-contamination rows rendered:\n$out")
+    // dsir: a 10-row (doc_id, log_weight) page
+    val dsHeader = out.linesIterator.indexWhere(_.startsWith("doc_id\tlog_weight"))
+    assert(dsHeader >= 0, s"dsir must render doc_id/log_weight:\n$out")
+    val dsRows = out.linesIterator.drop(dsHeader + 1).takeWhile(_.contains("\t")).toSeq
+    assert(dsRows.size == 10, s"dsir page must hold k rows:\n$out")
   }
 }

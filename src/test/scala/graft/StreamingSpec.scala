@@ -110,6 +110,25 @@ class StreamingSpec extends SparkSpec {
     assert(canon(stateDays) == canon(logDays))
   }
 
+  test("streamed CMS table is byte-equal to the batch build") {
+    val streamed = graft.streaming.StreamSketches.dailyUserFreqSketches(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getAs[Array[Byte]]("cms"))
+      .toMap
+    val ev = events
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("week", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+    val batch = graft.operators.SketchTables.cmsTable(ev, Seq("week", "day"), "user_id")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getAs[Array[Byte]]("cms"))
+      .toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, batch(k)),
+        s"group $k: streamed CMS bytes differ from the batch build")
+    }
+  }
+
   test("streamed anomaly detection equals batch bit-for-bit") {
     val batch = graft.operators.Funnels
       .countAnomalies(events, "event_type", "ts")
