@@ -75,8 +75,13 @@ object Joins {
                        bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
+    // floor division via pmod (correct on negatives), with the exactly-
+    // divisible quotient taken in DECIMAL so cells stay exact over the
+    // full long range (double division would silently round past 2^53 —
+    // epoch NANOS would hit that)
     def cell(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+      ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)") / lit(bucketWidth))
+        .cast("long")
     val p = points.withColumn("__cell", cell(col(pointCol)))
     val iv = intervals
       .filter(col(loCol) <= col(hiCol))

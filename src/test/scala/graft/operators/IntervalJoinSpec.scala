@@ -46,6 +46,17 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.distinct.size == got.size)
   }
 
+  test("cells stay exact past the double-precision cliff (epoch-nano scale)") {
+    val base = (1L << 60)
+    val points = Seq(base, base + 1L, base + 29L, base + 30L, -base, -base - 1L)
+    val ivs = Seq((base, base + 29L), (-base - 30L, -base))
+    val got = Joins.intervalBucketed(
+        points.toDF("p"), ivs.toDF("lo", "hi"), "p", "lo", "hi", 30L)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == naive(points, ivs).sorted,
+      "cell math must be exact at magnitudes where doubles round")
+  }
+
   test("the plan is an equi join on the grid cell, never a cartesian") {
     val plan = Joins.intervalBucketed(
         Seq(1L).toDF("p"), Seq((0L, 5L)).toDF("lo", "hi"), "p", "lo", "hi", 10L)
