@@ -139,6 +139,30 @@ object CoreQueries {
       (s, d) => Histograms.cdf(t(s, d, "lineitem"), "l_extendedprice", 900.0, 105000.0, 40)
     },
 
+    // ---- Equi-DEPTH (quantile-binned) histogram ----------------------------
+    // 8 buckets of ~n/8 events each over the heavy-usable value column;
+    // boundaries are the discrete rank-ceil(i·n/8) order statistics
+    // (i/8 is exact in double on both engines), bucket = count of
+    // boundaries strictly below the value — the skew-robust sibling of
+    // the equal-width histogram.
+    Q("histogram_equidepth",
+      """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS n
+        |  FROM v),
+        |t AS (
+        |  SELECT r.x AS thr FROM r
+        |  JOIN (SELECT UNNEST([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q) k
+        |    ON r.rn = GREATEST(1, CAST(CEIL(k.q * r.n) AS BIGINT))),
+        |b AS (
+        |  SELECT x, (SELECT COUNT(*) FROM t WHERE t.thr < v.x) AS bucket FROM v)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS cnt,
+        |       MIN(x) AS lo, MAX(x) AS hi
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) => Histograms.equiDepth(t(s, d, "events"), "value", 8)
+    },
+
     // ---- String histogram --------------------------------------------------
     Q("histogram_string",
       """SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem

@@ -117,4 +117,43 @@ object Histograms {
         bucket(col(yCol), yLo, yHi, yN).as("by"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("split_val").asc_nulls_first, col("bx"), col("by"))
+
+  /** Equi-DEPTH histogram: `k` quantile-binned buckets — each holds
+    * ~n/k rows instead of an equal value span (the skew-robust sibling
+    * of [[histogram1d]]: a heavy-tailed column renders k informative
+    * bars where equal-width piles everything into one). Bucket
+    * boundaries are the DISCRETE rank-⌈i·n/k⌉ order statistics
+    * (`Quantiles.exactPerGroup` semantics), and a row's bucket is the
+    * count of boundaries strictly below its value — deterministic under
+    * ties (a tie-heavy value keeps all its rows in one bucket, so
+    * depths are approximate exactly when the data forces it).
+    * Returns (bucket, cnt, lo, hi) with observed per-bucket extremes;
+    * value-empty buckets (boundary collisions under heavy ties) are
+    * simply absent. Nulls are excluded (no rank); NaN sorts above every
+    * finite value in BOTH the ranking and the bucketing comparison
+    * (Spark comparison semantics), landing in the top bucket.
+    *
+    * Scale shape: thresholds come from the histogram-cut quantile path
+    * (linear bin-count pass + boundary-bin window — never a global
+    * sort), collected as k-1 doubles (the sketch); bucketing is a
+    * map-side when-chain and the final rollup is k-row. `k` must keep
+    * i/k exact in double for the oracle twin (powers of two are safe).
+    */
+  def equiDepth(df: DataFrame, column: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k must be in [2, 4096], got $k")
+    val probs = (1 until k).map(_.toDouble / k)
+    val thr: Array[Double] = Quantiles.exactPerGroup(
+        df.select(lit(1).as("__g"), col(column)), "__g", column, probs)
+      .select(col("q"), col("value"))
+      .collect() // k-1 boundary rows — the sketch itself
+      .sortBy(_.getDouble(0)).map(_.getDouble(1))
+    val v = col(column).cast("double")
+    val bucket = thr.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(v > lit(t), 1).otherwise(0)
+    }
+    df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(v).as("lo"), max(v).as("hi"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -157,6 +157,24 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth histogram: near-equal depths on distinct values, ties stay whole") {
+    import spark.implicits._
+    // 1000 distinct values: every bucket must hold exactly n/k rows
+    val distinctVals = (1 to 1000).map(_.toDouble).toDF("x")
+    val even = graft.operators.Histograms.equiDepth(distinctVals, "x", 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(even.keySet == (0 until 8).toSet)
+    assert(even.values.forall(_ == 125L), s"distinct values must split evenly: $even")
+    // a dominant tie value cannot straddle buckets — all its rows land in one
+    val tied = (Seq.fill(900)(5.0) ++ (1 to 100).map(_ + 10.0)).toDF("x")
+    val tiedHist = graft.operators.Histograms.equiDepth(tied, "x", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val five = tiedHist.filter(t => t._3 <= 5.0 && t._4 >= 5.0)
+    assert(five.length == 1 && five.head._2 == 900L,
+      s"the tie block must stay in one bucket: ${tiedHist.toSeq}")
+    assert(tiedHist.map(_._2).sum == 1000L)
+  }
+
   test("string-range histogram partitions all non-null rows") {
     val cust = sources.Tables.open(spark, sf, "customer")
     val h = Histograms.histogramStringRanges(cust, "c_name",

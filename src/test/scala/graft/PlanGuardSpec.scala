@@ -88,6 +88,7 @@ class PlanGuardSpec extends SparkSpec {
       // (group, bin) histogram, ≤ maxHistRows by the guarded contract
       "Quantiles.scala"     -> 3,
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
+      "Histograms.scala"    -> 1,  // equiDepth: k-1 boundary rows (the sketch)
       // temperatureMix + temperatureMixTokens: one row per source each;
       // selectByBudget: the (group, bin) histogram, ≤ maxHistRows by the
       // guarded contract; bucketLogProbs (DSIR): one buckets-sized model
