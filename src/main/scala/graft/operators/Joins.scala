@@ -69,12 +69,27 @@ object Joins {
     * names must be disjoint. Empty intervals (lo > hi) match nothing.
     * Parity with the nested-loop [[range]] and the no-cartesian plan
     * shape are pinned in IntervalJoinSpec.
+    *
+    * Poison-interval guard: one malformed interval (a sentinel hi of
+    * Long.MaxValue at epoch-seconds width, a corrupt lo) would explode
+    * toward Spark's 2³¹ `sequence` element cap and kill its task — a
+    * single bad ROW taking down a 100 TB ingest job. Any interval
+    * spanning more than `maxCellsPerInterval` grid cells therefore FAILS
+    * LOUDLY (`raise_error` naming the span — the `maxQueryBatch`
+    * precedent: a guard the caller must consciously raise, never a
+    * silent drop that changes the answer). The default (2²⁰ cells) is
+    * generous: a well-chosen `bucketWidth` puts typical spans near ONE
+    * cell, so 10⁶ replicas per row is already a mis-sized grid, not a
+    * workload.
     */
   def intervalBucketed(points: DataFrame, intervals: DataFrame,
                        pointCol: String, loCol: String, hiCol: String,
-                       bucketWidth: Long): DataFrame = {
+                       bucketWidth: Long,
+                       maxCellsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
+    require(maxCellsPerInterval > 0,
+      s"maxCellsPerInterval must be positive, got $maxCellsPerInterval")
+    import org.apache.spark.sql.functions.{explode, format_string, lit, pmod, raise_error, sequence, when}
     // floor division via pmod (correct on negatives), with the exactly-
     // divisible quotient taken in DECIMAL so cells stay exact over the
     // full long range (double division would silently round past 2^53 —
@@ -83,9 +98,24 @@ object Joins {
       ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)") / lit(bucketWidth))
         .cast("long")
     val p = points.withColumn("__cell", cell(col(pointCol)))
+    // guard BEFORE the explode: the cell span is checked per row and the
+    // sequence() is only ever built from spans that passed
+    val loCell = cell(col(loCol))
+    val hiCell = cell(col(hiCol))
+    // span in DECIMAL: a poison interval's hiCell - loCell overflows the
+    // long (precisely the rows being guarded) — wrapped arithmetic could
+    // sneak a negative span past the cap and resurrect the explode
+    val nCells = hiCell.cast("decimal(38,0)") - loCell.cast("decimal(38,0)") + lit(1)
+    val guardedHi = when(nCells > lit(maxCellsPerInterval),
+      raise_error(format_string(
+        s"intervalBucketed: interval [%s, %s] spans %s cells > " +
+          s"maxCellsPerInterval=$maxCellsPerInterval at bucketWidth=$bucketWidth " +
+          "— malformed interval, or widen bucketWidth/raise the cap",
+        col(loCol), col(hiCol), nCells)).cast("long"))
+      .otherwise(hiCell)
     val iv = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn("__cell", explode(sequence(cell(col(loCol)), cell(col(hiCol)))))
+      .withColumn("__cell", explode(sequence(loCell, guardedHi)))
     p.join(iv, Seq("__cell"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__cell")

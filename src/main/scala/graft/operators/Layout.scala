@@ -93,25 +93,73 @@ object Layout {
     * problem. Ordering within files is not part of the contract — pair
     * with [[writeZOrdered]] when layout should also cluster.
     *
-    * Returns the output file count.
+    * Hive-PARTITIONED input (`key=value` path segments — the IVF-PQ
+    * `codes/bucket=N` table, any `partitionBy` write) is detected from
+    * the file listing already in hand and compacted PER PARTITION: each
+    * leaf directory is sized by its own metadata and rewritten to the
+    * SAME `key=value` relative path under `outDir`, so the compacted
+    * table keeps the exact layout — partition-pruned reads
+    * (PartitionFilters) survive compaction (plan-asserted in
+    * LayoutSpec). A flat rewrite here would silently inline the
+    * partition columns into the data files and destroy pruned serving —
+    * the one scan-time optimization compaction exists to protect.
+    * Per-leaf rewrites are independent map-only jobs, submitted
+    * concurrently (bounded pool): the leaf count is metadata-sized, and
+    * each job touches only its own leaf's files.
+    *
+    * Returns the output DATA file count (Σ per-partition counts).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
               outDir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = path.toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(path, true)
-    var total = 0L
+    // per-partition-leaf byte totals, keyed by the `key=value/...` relative
+    // dir ("" = unpartitioned). Non-partition subdirs (no '=') never appear
+    // under a planner-written table; files inside them are grouped with the
+    // root so a stray nested layout still compacts (flat), not crashes.
+    val bytes = scala.collection.mutable.LinkedHashMap[String, Long]()
     while (it.hasNext) {
       val f = it.next()
       // only data files: planners write _SUCCESS markers and checksums
-      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.getParent.toUri.getPath.stripSuffix("/")
+          .stripPrefix(root).stripPrefix("/")
+        val part = if (rel.split("/").forall(s => s.isEmpty || s.contains("=")))
+          rel else ""
+        bytes(part) = bytes.getOrElse(part, 0L) + f.getLen
+      }
     }
-    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(inDir)
-    // partition planning only — no job; bounds the achievable count
-    val nOut = math.max(1, math.min(n, df.rdd.getNumPartitions))
-    df.coalesce(nOut).write.mode("overwrite").parquet(outDir)
-    nOut
+    def rewriteLeaf(rel: String, total: Long): Int = {
+      val in = if (rel.isEmpty) inDir else s"$inDir/$rel"
+      val out = if (rel.isEmpty) outDir else s"$outDir/$rel"
+      val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      // a leaf read has no `key=value` segments BELOW it, so no partition
+      // columns are inferred: the rewritten files carry exactly the
+      // original file columns and the relative path carries the partition
+      val df = spark.read.parquet(in)
+      // partition planning only — no job; bounds the achievable count
+      val nOut = math.max(1, math.min(n, df.rdd.getNumPartitions))
+      df.coalesce(nOut).write.mode("overwrite").parquet(out)
+      nOut
+    }
+    if (bytes.isEmpty) return rewriteLeaf("", 0L) // empty table: 1 empty file
+    if (bytes.size == 1) rewriteLeaf(bytes.head._1, bytes.head._2)
+    else {
+      // independent leaf jobs — submit concurrently so a many-partition
+      // table compacts at cluster width, not one leaf at a time
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, bytes.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(bytes.toSeq.map { case (rel, b) =>
+          Future(rewriteLeaf(rel, b))
+        }), Duration.Inf).sum
+      finally pool.shutdown()
+    }
   }
 }

@@ -57,6 +57,30 @@ class IntervalJoinSpec extends SparkSpec {
       "cell math must be exact at magnitudes where doubles round")
   }
 
+  test("poison interval (Long.MaxValue span) fails loudly, not a task bomb") {
+    // one malformed sentinel interval at epoch-seconds width: unguarded,
+    // sequence(cell(lo), cell(hi)) would try ~2^63/60 elements and kill
+    // the task; the guard must name the row before any explode runs
+    val points = Seq(1700000000L).toDF("p")
+    val ivs = Seq((0L, Long.MaxValue)).toDF("lo", "hi")
+    val e = intercept[Exception] {
+      Joins.intervalBucketed(points, ivs, "p", "lo", "hi", 60L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxCellsPerInterval")),
+      s"expected the loud guard, got: $e")
+  }
+
+  test("a raised cap admits wide-but-legitimate intervals unchanged") {
+    val points = Seq(5L, 500L).toDF("p")
+    val ivs = Seq((0L, 2000000L)).toDF("lo", "hi") // 2M cells at width 1
+    val got = Joins.intervalBucketed(points, ivs, "p", "lo", "hi", 1L,
+        maxCellsPerInterval = 1L << 22)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((5L, 0L, 2000000L), (500L, 0L, 2000000L)))
+  }
+
   test("the plan is an equi join on the grid cell, never a cartesian") {
     val plan = Joins.intervalBucketed(
         Seq(1L).toDF("p"), Seq((0L, 5L)).toDF("lo", "hi"), "p", "lo", "hi", 10L)

@@ -103,6 +103,42 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
   }
 
+  test("compact preserves a Hive-partitioned layout and its pruning") {
+    // bucket-partitioned fixture in the IVF-PQ codes/bucket=N shape
+    // (Pq.buildIvfPqIndex) — the table whose partition-pruned serve a
+    // flat rewrite would silently destroy
+    val frag = QueryDefsScratch.dir("compact_part_in")
+    val out = QueryDefsScratch.dir("compact_part_out")
+    val df = spark.range(1 << 14).select(col("id").as("n_id"),
+      (col("id") % 4).cast("int").as("bucket"),
+      (col("id") * 37 % 1000).as("v"))
+    df.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(frag)
+    def leafFiles(root: String, b: Int) = dataFiles(s"$root/bucket=$b")
+    (0 until 4).foreach(b => assert(leafFiles(frag, b).size == 8))
+    // per-leaf target of ~half a leaf's bytes → 2 files per leaf
+    val leafBytes = leafFiles(frag, 0).map(_.length).sum
+    val n = Layout.compact(spark, frag, out, (leafBytes + 1) / 2)
+    // layout preserved: same bucket=N dirs, each compacted independently
+    (0 until 4).foreach { b =>
+      val c = leafFiles(out, b).size
+      assert(c >= 1 && c <= 3, s"bucket=$b compacted to $c files")
+    }
+    assert(n == (0 until 4).map(leafFiles(out, _).size).sum,
+      "returned count must equal total data files written")
+    // answer preservation incl. the partition column
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // partition pruning survives compaction (the whole point)
+    val filtered = spark.read.parquet(out).filter(col("bucket") === 2)
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"))
+    assert(pruned.exists(_.contains("bucket")),
+      s"compacted table lost partition pruning:\n$plan")
+    assert(filtered.count() == a.filter(col("bucket") === 2).count())
+  }
+
   test("compact on an oversized target collapses to one file") {
     val frag = QueryDefsScratch.dir("compact_one")
     val out = QueryDefsScratch.dir("compact_one_out")
