@@ -559,11 +559,47 @@ object CoreQueries {
     // ---- DSIR importance selection toward a target domain ------------------
     // Odd-id docs play the target corpus ("distributed like Wikipedia"),
     // even-id docs the raw pool; the 50 most target-like raw docs by the
-    // hashed-bigram log-likelihood ratio. no_oracle (xxhash64 feature
-    // bucketing is engine-internal); DsirSpec pins driver brute-force
-    // parity of the exact decimal weights, partitioning invariance, and
-    // the planted-domain ordering contract.
-    Q.noOracle("pipeline_dsir_topk") {
+    // hashed-bigram log-likelihood ratio. Oracle-EXACT: the feature
+    // buckets are the portable md5 hex-prefix key (splitByHash
+    // convention), the per-bucket log ratio is rounded to 6 decimals on
+    // both sides, and the per-doc sum is the exact DECIMAL(30,6)
+    // accumulation (Det.dsum ≡ sqlDsum) — so DuckDB replays the entire
+    // two-model pipeline bit-identically. DsirSpec additionally pins
+    // driver brute-force parity, partitioning invariance, and the
+    // planted-domain ordering contract.
+    Q("pipeline_dsir_topk",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+        |    i -> list_extract(t, i) || ' ' || list_extract(t, i+1))) AS sh
+        |  FROM tk),
+        |bk AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(sh), 1, 13)) AS BIGINT) % 8192 AS b
+        |  FROM sh),
+        |rawb AS (SELECT doc_id, b FROM bk WHERE doc_id % 2 = 0),
+        |tgtb AS (SELECT doc_id, b FROM bk WHERE doc_id % 2 = 1),
+        |rawc AS (SELECT b, COUNT(*) AS c FROM rawb GROUP BY b),
+        |tgtc AS (SELECT b, COUNT(*) AS c FROM tgtb GROUP BY b),
+        |tot AS (SELECT CAST((SELECT SUM(c) FROM rawc) AS DOUBLE) AS rt,
+        |               CAST((SELECT SUM(c) FROM tgtc) AS DOUBLE) AS tt),
+        |lr AS (
+        |  SELECT g.b,
+        |    round(ln((COALESCE(tc.c, 0) + CAST(0.01 AS DOUBLE))
+        |             / (tot.tt + CAST(0.01 AS DOUBLE) * CAST(8192 AS DOUBLE)))
+        |        - ln((COALESCE(rc.c, 0) + CAST(0.01 AS DOUBLE))
+        |             / (tot.rt + CAST(0.01 AS DOUBLE) * CAST(8192 AS DOUBLE))), 6) AS lr
+        |  FROM (SELECT UNNEST(range(0, 8192)) AS b) g
+        |  CROSS JOIN tot
+        |  LEFT JOIN tgtc tc ON tc.b = g.b
+        |  LEFT JOIN rawc rc ON rc.b = g.b)
+        |SELECT rawb.doc_id,
+        |       CAST(SUM(CAST(lr.lr AS DECIMAL(30,6))) AS DOUBLE) AS log_weight
+        |FROM rawb JOIN lr ON rawb.b = lr.b
+        |GROUP BY rawb.doc_id
+        |ORDER BY log_weight DESC, rawb.doc_id
+        |LIMIT 50""".stripMargin) {
       (s, d) => {
         val docs = t(s, d, "documents")
         Sampling.dsirTopK(

@@ -406,12 +406,21 @@ object Sampling {
   // quality filters: "give me raw documents distributed like Wikipedia".
 
   /** (id, bucket) hashed-n-gram occurrences: shingles hash into
-    * `buckets` feature buckets (xxhash64 — per-row pure, engine-seeded).
+    * `buckets` feature buckets by the PORTABLE md5 hex-prefix key (the
+    * `splitByHash` convention — 13 hex chars read as a long, uniform on
+    * [0, 2^52), mod `buckets`), so the feature space — and therefore the
+    * whole DSIR weight computation — re-derives bit-identically in any
+    * engine with md5: `CAST(('0x' || substring(md5(sh), 1, 13)) AS
+    * BIGINT) % buckets` is the exact oracle form (hash ≥ 0, so `%` ≡
+    * pmod). This is what promotes `pipeline_dsir_topk` from rows-only to
+    * hash-checked against DuckDB.
     */
   private def hashedNgramBuckets(df: DataFrame, idCol: String, textCol: String,
                                  n: Int, buckets: Int): DataFrame =
     TextOps.rawShingles(df, idCol, textCol, n)
-      .withColumn("__b", pmod(xxhash64(col("sh")), lit(buckets.toLong)).cast("int"))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("sh")), 1, 13), 16, 10).cast("long"),
+          lit(buckets.toLong)).cast("int"))
 
   /** Add-alpha-smoothed log bucket probabilities of one corpus — a
     * buckets-sized aggregate collected to the driver by contract (the

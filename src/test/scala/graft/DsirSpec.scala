@@ -22,7 +22,8 @@ class DsirSpec extends SparkSpec {
   private def bucketPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
     TextOps.rawShingles(df, "doc_id", "text", 2)
       .select(col("doc_id"),
-        pmod(xxhash64(col("sh")), lit(buckets.toLong)).cast("int").as("b"))
+        pmod(conv(substring(md5(col("sh")), 1, 13), 16, 10).cast("long"),
+          lit(buckets.toLong)).cast("int").as("b"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
 
   private lazy val expected: Map[Long, BigDecimal] = {
