@@ -373,7 +373,13 @@ object Sampling {
     * comparison is false/null, so the when-chain falls through to the
     * else-branch, exactly as the SQL CASE in the oracle does. A null
     * group is dropped (inner threshold join), matching the oracle's
-    * equi-join semantics.
+    * equi-join semantics. A group whose scores are ALL null has no rank
+    * population at all, so exactPerGroup emits no threshold row for it
+    * and the inner join drops the ENTIRE group from the output — by
+    * contract: with zero scored documents there is no distribution to
+    * tier against, and silently assigning every row the top tier would
+    * let an unscored source bypass quality selection (pinned in
+    * CurationSpec's all-null-score group fixture).
     *
     * Scale shape: thresholds are groups·(tiers-1) rows — sketch-sized —
     * so the assignment itself is a map-side broadcast join; nothing

@@ -211,6 +211,30 @@ class CurationSpec extends SparkSpec {
       s"tier drift with planted null/NaN docs: $got")
   }
 
+  test("qualityTiers: an all-null-score group is dropped entirely") {
+    import spark.implicits._
+    // Pinned contract: a group with NO non-null score has no rank
+    // population, exactPerGroup emits no threshold row for it, and the
+    // inner threshold join drops the whole group — an unscored source
+    // must not ride into the output as all-top-tier (and the oracle's
+    // equi join on thresholds agrees by construction). Groups WITH
+    // scores are untouched by the dropped group's presence.
+    val scored = (1 to 6).map(i => (i.toLong, "scored", i / 10.0))
+    val rows = scored.toDF("doc_id", "source", "score")
+      .union(Seq((100L, "unscored"), (101L, "unscored")).toDF("doc_id", "source")
+        .withColumn("score", lit(null).cast("double")))
+    val got = Sampling.qualityTiers(rows, "source", "score", tiers = 3)
+      .select("doc_id", "source", "tier")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(!got.keySet.exists(_ >= 100L),
+      s"all-null-score group must be dropped, got $got")
+    // n=6 → cut ranks ceil(6/3)=2, ceil(12/3)=4 → t1=0.2, t2=0.4
+    val want = scored.map { case (id, _, s) =>
+      id -> ("scored", if (s <= 0.2) 0 else if (s <= 0.4) 1 else 2)
+    }.toMap
+    assert(got == want, s"scored group drifted: $got")
+  }
+
   test("topKPerGroup: groups smaller than k return whole group; payload survives") {
     import spark.implicits._
     val rows = Seq((1L, "a", 5L, 0.3), (2L, "a", 6L, 0.2), (3L, "b", 7L, 0.1))
