@@ -79,7 +79,9 @@ object BenchScale {
     "text_bm25_topk",
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf",
-    "similarity_pq",
+    "similarity_pq", "similarity_pq_refined", "similarity_ivfpq_index",
+    // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
+    "histogram_equidepth",
     // product analytics (user-keyed min-aggregations / cohort cells)
     "events_funnel", "events_retention", "events_anomaly",
     "events_distinct_rollup",
@@ -353,6 +355,54 @@ object BenchScale {
       val s = q(outDir, "text_bm25_topk").collect().map(_.getLong(0))
       s.length == b.length && s.forall(_ < 100000000L)
     }, "bm25 returned a foreign-copy doc or lost rows (salting leak?)")
+    check("pq_refined_topk_size_unchanged", {
+      // same copy-0 query set as similarity_pq; the refine re-rank touches
+      // refine*k full vectors per query but must not change the page shape
+      q(outDir, "similarity_pq_refined").count() ==
+        q(srcDir, "similarity_pq_refined").count()
+    }, "refined-pq top-k result size changed with scale")
+    check("ivfpq_serve_probes_a_fraction", {
+      // the composed index's scale lever made OBSERVABLE: the serve plan
+      // must carry a non-empty bucket PartitionFilter (partition-pruned
+      // probe) listing at most nprobe·|Q| buckets — the probe CONTRACT
+      // that makes the read a shrinking fraction as nlist grows ~√N while
+      // probes stay constant (both sides logged so the artifact records
+      // the fraction). Bucket values are parsed from the filter after
+      // stripping expr ids — robust to IN vs INSET rendering.
+      val plan = q(outDir, "similarity_ivfpq_index")
+        .queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(l =>
+        l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []") &&
+          l.contains("bucket"))
+      val nlist = spark.read
+        .parquet(QueryDefs.ioDir(outDir, "ivfpq_index") + "/centroids").count()
+      val probed = line.map { l =>
+        val f = l.substring(l.indexOf("PartitionFilters: ["))
+        "\\b\\d+\\b".r.findAllIn(f.replaceAll("#\\d+", "")).toSet.size
+      }.getOrElse(0)
+      System.err.println(
+        s"[bench-scale] ivfpq serve probe fraction: $probed of $nlist buckets")
+      probed > 0 && probed <= 5 * 8 // |Q|=5 fixture queries, nprobe=8
+    }, "ivfpq serve plan does not partition-prune to the probed buckets")
+    check("ivfpq_topk_size_unchanged", {
+      // copy-0 query set: |Q|·k rows at both scales (codebooks/centroids
+      // retrain on the bigger corpus, so neighbor IDs may differ)
+      q(outDir, "similarity_ivfpq_index").count() ==
+        q(srcDir, "similarity_ivfpq_index").count()
+    }, "ivfpq top-k result size changed with scale")
+    check("equidepth_histogram_scales_exactly", {
+      // events.value repeats VERBATIM per copy, so the rank-ceil(q·n)
+      // boundary of the base equals the rank-ceil(q·fn) boundary of the
+      // f-fold multiset (ceil(ceil(x·f)/f) = ceil(x)): thresholds and
+      // bucket lo/hi are bit-identical and every count is exactly factor×
+      val b = q(srcDir, "histogram_equidepth").collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val s = q(outDir, "histogram_equidepth").collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      s.keySet == b.keySet && b.forall { case (k, (n, lo, hi)) =>
+        s(k) == ((factor * n, lo, hi))
+      }
+    }, "equi-depth boundaries/counts departed from the exact scale contract")
     check("pq_topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: |Q|·k rows at
       // both scales (codebooks retrain on the bigger corpus, so NEIGHBOR

@@ -163,6 +163,32 @@ object CoreQueries {
       (s, d) => Histograms.equiDepth(t(s, d, "events"), "value", 8)
     },
 
+    // ---- Per-group equi-DEPTH histogram ------------------------------------
+    // The same rank-quantile binning computed independently per event
+    // type in ONE pass (thresholds broadcast back, map-side bucketing) —
+    // the "quartiles of the metric, per segment" product-analytics shape.
+    Q("histogram_equidepth_per_group",
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |         COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |t AS (
+        |  SELECT r.g, r.x AS thr FROM r
+        |  JOIN (SELECT UNNEST([0.25, 0.5, 0.75]) AS q) k
+        |    ON r.rn = GREATEST(1, CAST(CEIL(k.q * r.n) AS BIGINT))),
+        |b AS (
+        |  SELECT v.g, v.x,
+        |         (SELECT COUNT(*) FROM t WHERE t.g = v.g AND t.thr < v.x) AS bucket
+        |  FROM v)
+        |SELECT g AS event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS cnt,
+        |       MIN(x) AS lo, MAX(x) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) => Histograms.equiDepthPerGroup(t(s, d, "events"), "event_type", "value", 4)
+    },
+
     // ---- String histogram --------------------------------------------------
     Q("histogram_string",
       """SELECT l_returnflag AS value, COUNT(*) AS cnt FROM lineitem

@@ -69,6 +69,19 @@ object Repl {
       |                                         some eval doc reaches threshold
       |  dsir <rawView> <targetView> <k>        the k raw docs most like the target
       |                                         corpus (hashed-ngram DSIR weights)
+      |  pqindex <view> <dir>                   build a product-quantization index at
+      |                                         <dir>: m*ksub codebooks + the corpus as
+      |                                         32x-compressed one-byte codes
+      |  pqsearch <view> <id> <k> <dir>         ADC top-k cosine neighbours of row <id>
+      |                                         served from a pqindex — codes only, the
+      |                                         original vectors are never read
+      |  ivfpqindex <view> <dir> [nlist]        build the composed IVF-PQ index: coarse
+      |                                         centroids + codes Hive-partitioned by
+      |                                         bucket (default nlist 16)
+      |  ivfpqsearch <view> <id> <k> <dir> [nprobe]
+      |                                         partition-pruned ADC top-k from an
+      |                                         ivfpqindex: reads nprobe/nlist of the
+      |                                         32x-compressed corpus (default nprobe 4)
       |  semdedup <view> <threshold> [idCol vecCol]
       |                                         SemDeDup kept set: k-means clusters,
       |                                         in-cluster cosine groups, least-
@@ -312,6 +325,27 @@ object Repl {
       case "dsir" :: rawVid :: targetVid :: k :: Nil =>
         render(graft.operators.Sampling
           .dsirTopK(df(rawVid), df(targetVid), "doc_id", "text", k.toInt))
+      // ---- PQ / IVF-PQ build+serve: the ANN deployment cycle, interactive.
+      // Build verbs write the persisted artifacts (the only corpus-sized
+      // one is the 32x-compressed code table); search verbs serve straight
+      // from the artifacts — the plan never touches the original vectors,
+      // and ivfpqsearch's scan partition-prunes to the probed buckets.
+      case "pqindex" :: vid :: dir :: Nil =>
+        graft.operators.Pq.buildPqIndex(df(vid), "vec_id", "embedding", dir)
+        s"pq index (codebooks + codes) at $dir"
+      case "pqsearch" :: vid :: id :: k :: dir :: Nil =>
+        render(graft.operators.Pq.pqTopKFromIndex(
+          df(vid).filter(col("vec_id") === lit(id.toLong)),
+          "vec_id", "embedding", dir, k.toInt))
+      case "ivfpqindex" :: vid :: dir :: rest if rest.size <= 1 =>
+        graft.operators.Pq.buildIvfPqIndex(df(vid), "vec_id", "embedding", dir,
+          nlist = rest.headOption.map(_.toInt).getOrElse(16))
+        s"ivfpq index (centroids + codebooks + bucket-partitioned codes) at $dir"
+      case "ivfpqsearch" :: vid :: id :: k :: dir :: rest if rest.size <= 1 =>
+        render(graft.operators.Pq.ivfPqTopKFromIndex(
+          df(vid).filter(col("vec_id") === lit(id.toLong)),
+          "vec_id", "embedding", dir, k.toInt,
+          nprobe = rest.headOption.map(_.toInt).getOrElse(4)))
       case "semdedup" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
         val (i, c) = rest match {
           case i :: c :: Nil => (i, c)

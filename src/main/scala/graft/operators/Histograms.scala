@@ -156,4 +156,40 @@ object Histograms {
       .agg(count(lit(1)).as("cnt"), min(v).as("lo"), max(v).as("hi"))
       .orderBy(col("bucket"))
   }
+
+  /** Per-GROUP equi-depth histogram: [[equiDepth]] computed independently
+    * inside every `groupCol` value — "k quantile bins of the score, per
+    * source" in one pass, where k separate filtered calls would rescan
+    * the corpus k·groups times. Same boundary semantics (discrete
+    * rank-⌈i·n_g/k⌉ order statistics of the GROUP, bucket = boundaries
+    * strictly below the value, ties stay whole, NaN tops, null values
+    * excluded). Returns (groupCol, bucket, cnt, lo, hi).
+    *
+    * Scale shape (the qualityTiers plan): thresholds are
+    * groups·(k-1) rows from one `Quantiles.exactPerGroup` histogram-cut
+    * pass — sketch-sized, never collected — broadcast-joined back, so
+    * bucketing is map-side and the rollup is groups·k rows. Contract
+    * (shared with qualityTiers, pinned there): a null group key, or a
+    * group whose values are ALL null, has no rank population — the inner
+    * threshold join drops the group.
+    */
+  def equiDepthPerGroup(df: DataFrame, groupCol: String, column: String,
+                        k: Int): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k must be in [2, 4096], got $k")
+    val probs = (1 until k).map(_.toDouble / k)
+    val th = Quantiles.exactPerGroup(df, groupCol, column, probs)
+    val joined = probs.zipWithIndex.foldLeft(df) { case (acc, (_, i)) =>
+      val tk = th.filter(col("q") > (i + 0.5) / k && col("q") < (i + 1.5) / k)
+        .select(col(groupCol), col("value").as(s"__t$i"))
+      acc.join(broadcast(tk), Seq(groupCol))
+    }
+    val v = col(column).cast("double")
+    val bucket = (0 until k - 1).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(v > col(s"__t$i"), 1).otherwise(0)
+    }
+    joined.filter(v.isNotNull)
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(v).as("lo"), max(v).as("hi"))
+      .orderBy(col(groupCol), col("bucket"))
+  }
 }

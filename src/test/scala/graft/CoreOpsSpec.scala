@@ -175,6 +175,33 @@ class CoreOpsSpec extends SparkSpec {
     assert(tiedHist.map(_._2).sum == 1000L)
   }
 
+  test("per-group equi-depth: groups bin independently; null/all-null groups drop") {
+    import spark.implicits._
+    // group a: 100 distinct values -> 4 exact quartile buckets of 25;
+    // group b: a shifted copy — its boundaries must come from ITS values;
+    // group c: all-null values; plus a null group key — both dropped
+    val rows =
+      (1 to 100).map(i => (Some("a"), Some(i.toDouble))) ++
+      (1 to 100).map(i => (Some("b"), Some(i + 1000.0))) ++
+      Seq.fill(5)((Some("c"), Option.empty[Double])) ++
+      Seq((Option.empty[String], Some(7.0)))
+    val got = graft.operators.Histograms
+      .equiDepthPerGroup(rows.toDF("g", "x"), "g", "x", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == (for (g <- Seq("a", "b"); b <- 0 until 4) yield (g, b)).toSet,
+      s"null-keyed and all-null groups must drop: ${got.keySet}")
+    assert(got.values.forall(_._1 == 25L), s"distinct values split evenly: $got")
+    // group-local boundaries: b's buckets live in b's value range
+    assert(got(("b", 0))._2 == 1001.0 && got(("b", 3))._3 == 1100.0, s"$got")
+    // parity with the single-group operator applied to one group alone
+    val solo = graft.operators.Histograms
+      .equiDepth(rows.filter(_._1.contains("a")).toDF("g", "x"), "x", 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    (0 until 4).foreach { b =>
+      assert(solo(b) == got(("a", b)), s"bucket $b: ${solo(b)} vs ${got(("a", b))}")
+    }
+  }
+
   test("string-range histogram partitions all non-null rows") {
     val cust = sources.Tables.open(spark, sf, "customer")
     val h = Histograms.histogramStringRanges(cust, "c_name",

@@ -250,4 +250,39 @@ class ReplSpec extends SparkSpec {
     val dsRows = out.linesIterator.drop(dsHeader + 1).takeWhile(_.contains("\t")).toSeq
     assert(dsRows.size == 10, s"dsir page must hold k rows:\n$out")
   }
+
+  test("pqindex/pqsearch and ivfpqindex/ivfpqsearch drive the ANN deployment cycle") {
+    def tmp(leaf: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_repl_$leaf")
+      p.toFile.deleteOnExit(); p.toString
+    }
+    val pqDir = tmp("pq"); val ivfDir = tmp("ivfpq")
+    val out = script(
+      "open embeddings",
+      s"pqindex embeddings-1 $pqDir",
+      s"pqsearch embeddings-1 3 5 $pqDir",
+      s"ivfpqindex embeddings-1 $ivfDir 8",
+      s"ivfpqsearch embeddings-1 3 5 $ivfDir 4",
+      "quit")
+    assert(out.contains(s"pq index (codebooks + codes) at $pqDir"), out)
+    assert(new java.io.File(s"$pqDir/codebooks").exists() &&
+      new java.io.File(s"$pqDir/codes").exists(),
+      "pqindex must persist codebooks + codes")
+    // ivfpq codes are Hive-partitioned by coarse bucket — the layout the
+    // partition-pruned serve depends on
+    assert(new java.io.File(s"$ivfDir/codes").listFiles() != null &&
+      new java.io.File(s"$ivfDir/codes").listFiles()
+        .exists(_.getName.startsWith("bucket=")),
+      "ivfpqindex codes must be bucket-partitioned")
+    // both searches render a (q_id, n_id, asim, rk) page of k rows for q_id 3
+    val pages = out.linesIterator.zipWithIndex
+      .filter(_._1.startsWith("q_id\tn_id\tasim\trk")).map(_._2).toSeq
+    assert(pages.size == 2, s"two served pages expected:\n$out")
+    val lines = out.linesIterator.toSeq
+    pages.foreach { h =>
+      val rows = lines.drop(h + 1).takeWhile(_.contains("\t")).take(5)
+      assert(rows.size == 5 && rows.forall(_.startsWith("3\t")),
+        s"served page must hold k rows for q_id 3:\n$out")
+    }
+  }
 }
