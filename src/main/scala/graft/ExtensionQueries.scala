@@ -884,6 +884,17 @@ object ExtensionQueries {
         col("vec_id") < 5, 10, m = 8, ksub = 16)
     },
 
+    // ---- OPQ: learned-rotation PQ (Ge 2013, alternating Procrustes) --------
+    // The rotation decorrelates/balances dimensions before the subspace
+    // split, so the same 32x code budget quantizes tighter; argmin
+    // tracking guarantees sample MSE <= plain PQ's (PqSpec). Corpus
+    // rotates map-side in the encoder, queries driver-side; ADC kernel
+    // and shuffle shape identical to similarity_pq.
+    Q.noOracle("similarity_opq") {
+      (s, d) => Pq.pqTopKOpq(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, m = 8, ksub = 16)
+    },
+
     // ---- PQ with exact re-rank: shortlist by code, rescore refine·k ---------
     // The standard two-stage deployment: only refine·k full vectors per
     // query are ever touched; top-k approaches brute-force (PqSpec pins

@@ -56,16 +56,31 @@ object Pq {
             m: Int = 8, ksub: Int = 16, seed: Long = 42L,
             sampleSize: Int = 4096, maxIters: Int = 12): Codebooks = {
     require(m > 0 && ksub > 1 && ksub <= 256, s"bad m=$m / ksub=$ksub")
+    val sample = collectSample(emb, idCol, vecCol, seed, sampleSize)
+    trainOnSample(sample, m, ksub, seed, maxIters)
+  }
+
+  /** The deterministic bottom-k-by-hash training sample as driver-local
+    * double vectors (sketch-sized by contract).
+    */
+  private def collectSample(emb: DataFrame, idCol: String, vecCol: String,
+                            seed: Long, sampleSize: Int): Array[Array[Double]] = {
     val sample = emb
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(sampleSize)
       .collect() // sketch-sized by contract (sampleSize rows)
-      .map(_.getSeq[Float](1).toArray)
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "Pq.train: empty corpus")
     val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     require(sample.forall(_.length == dim), "Pq.train: ragged vector lengths")
+    sample
+  }
+
+  private def trainOnSample(sample: Array[Array[Double]], m: Int, ksub: Int,
+                            seed: Long, maxIters: Int): Codebooks = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val cents = Array.tabulate(m) { s =>
       val pts = sample.map { v =>
@@ -144,37 +159,265 @@ object Pq {
     cs
   }
 
+  // ---- OPQ: optimized product quantization (Ge/He/Ke/Sun, CVPR 2013,
+  // "Optimized Product Quantization for Approximate Nearest Neighbor
+  // Search" — the non-parametric alternating solution). Plain PQ
+  // quantizes the RAW coordinate split, so correlated/unbalanced
+  // dimensions waste codebook capacity; OPQ learns an orthogonal
+  // rotation R jointly with the codebooks by alternating (1) PQ training
+  // on X·R with (2) the orthogonal-Procrustes update R = U·Vᵀ from
+  // SVD(Xᵀ·Y), Y the reconstructions — each step is non-increasing in
+  // ‖X·R − Y‖², so starting from R = I the final sample quantization
+  // error never exceeds plain PQ's (pinned in PqSpec). Everything runs
+  // on the SAME sketch-sized driver sample PQ training already collects;
+  // at serve time the corpus rotates inside the encoder UDF (map-side)
+  // and the query batch rotates driver-side — the ADC kernel, page
+  // aggregate, and shuffle shape are untouched. ---------------------------
+
+  /** One-sided (Hestenes) Jacobi SVD of a square matrix, driver-side:
+    * returns (U, σ, V) with M = U·diag(σ)·Vᵀ, U/V stored COLUMN-major
+    * (u(j) is column j). dim² is tiny (embedding dims) — cost is
+    * irrelevant; what matters is determinism and no external linalg
+    * dependency.
+    */
+  private def svdSquare(m0: Array[Array[Double]], sweeps: Int = 60)
+      : (Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = Array.tabulate(d)(j => Array.tabulate(d)(i => m0(i)(j))) // columns
+    val v = Array.tabulate(d)(j => Array.tabulate(d)(i => if (i == j) 1.0 else 0.0))
+    var sweep = 0
+    var converged = false
+    while (sweep < sweeps && !converged) {
+      converged = true
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var i = 0
+          while (i < d) {
+            app += a(p)(i) * a(p)(i); aqq += a(q)(i) * a(q)(i)
+            apq += a(p)(i) * a(q)(i); i += 1
+          }
+          if (math.abs(apq) > 1e-14 * math.sqrt(app * aqq) + 1e-300) {
+            converged = false
+            val tau = (aqq - app) / (2.0 * apq)
+            // τ = 0 (equal column norms) still needs the 45° rotation —
+            // signum(0)/… would stall the sweep on that pair forever
+            val t =
+              if (tau == 0.0) 1.0
+              else math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            i = 0
+            while (i < d) {
+              val tp = a(p)(i); val tq = a(q)(i)
+              a(p)(i) = c * tp - s * tq; a(q)(i) = s * tp + c * tq
+              val vp = v(p)(i); val vq = v(q)(i)
+              v(p)(i) = c * vp - s * vq; v(q)(i) = s * vp + c * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val sig = a.map(c => math.sqrt(c.map(x => x * x).sum))
+    val u = Array.tabulate(d) { j =>
+      if (sig(j) > 1e-12) a(j).map(_ / sig(j)) else a(j) // degenerate col: unused
+    }
+    (u, sig, v)
+  }
+
+  /** Train the OPQ (rotation, codebooks) pair by alternating minimization
+    * on the deterministic driver sample. Returns (codebooks over the
+    * ROTATED space, R with v' = v·R), taken from the iteration with the
+    * LOWEST sample reconstruction error — iteration 0 is R = I, i.e.
+    * exactly plain [[train]], so the returned pair NEVER quantizes the
+    * sample worse than plain PQ (the alternation itself is only
+    * heuristically monotone because Lloyd retrains from a fresh seeded
+    * init each round; tracking the argmin makes non-degradation a
+    * guarantee, pinned in PqSpec). A rank-deficient Procrustes system
+    * (σ_min ≈ 0 — constant/degenerate sample) keeps the previous R for
+    * that iteration, so R is always exactly a product of Jacobi
+    * rotations: orthogonal by construction.
+    */
+  def trainOpq(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+               sampleSize: Int = 4096, maxIters: Int = 12,
+               opqIters: Int = 8): (Codebooks, Array[Array[Double]]) = {
+    require(m > 0 && ksub > 1 && ksub <= 256, s"bad m=$m / ksub=$ksub")
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val x = collectSample(emb, idCol, vecCol, seed, sampleSize)
+    val d = x.head.length
+    var r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var best: (Codebooks, Array[Array[Double]], Double) = null
+    var it = 0
+    while (it < opqIters) {
+      val xr = x.map(rotateVec(_, r))
+      val cb = trainOnSample(xr, m, ksub, seed, maxIters)
+      // reconstructions of the rotated sample under the fresh codebooks
+      val y = xr.map { v =>
+        val code = encodeVec(cb, v)
+        val rec = new Array[Double](d)
+        var s = 0
+        while (s < cb.m) {
+          val c = cb.centroids(s)(code(s) & 0xff)
+          var i = 0
+          while (i < cb.dsub) { rec(s * cb.dsub + i) = c(i); i += 1 }
+          s += 1
+        }
+        rec
+      }
+      var err = 0.0
+      var n = 0
+      while (n < x.length) { err += l2(xr(n), y(n)); n += 1 }
+      if (best == null || err < best._3) best = (cb, r, err)
+      if (it < opqIters - 1) {
+        // Procrustes: R = U·Vᵀ from SVD(Xᵀ·Y) maximizes tr(Rᵀ·Xᵀ·Y),
+        // i.e. minimizes ‖X·R − Y‖² over orthogonal R
+        val mMat = Array.tabulate(d, d) { (i, j) =>
+          var t = 0.0
+          var n2 = 0
+          while (n2 < x.length) { t += x(n2)(i) * y(n2)(j); n2 += 1 }
+          t
+        }
+        val (u, sig, v) = svdSquare(mMat)
+        if (sig.min > 1e-10 * math.max(sig.max, 1e-300))
+          r = Array.tabulate(d, d)((i, j) => {
+            var t = 0.0
+            var k2 = 0
+            while (k2 < d) { t += u(k2)(i) * v(k2)(j); k2 += 1 }
+            t
+          })
+      }
+      it += 1
+    }
+    (best._1, best._2)
+  }
+
+  /** Fused OPQ train → rotate+encode → ADC search, with optional exact
+    * re-rank — [[pqTopK]]'s deployment shape with the learned rotation in
+    * front: corpus rows rotate inside the (map-side) encoder, the query
+    * batch rotates driver-side, and because R is an isometry the ADC
+    * score still estimates the ORIGINAL cosine (the refine re-rank uses
+    * the untouched original vectors either way).
+    */
+  def pqTopKOpq(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, m: Int = 8, ksub: Int = 16,
+                seed: Long = 42L, refine: Int = 1,
+                opqIters: Int = 8): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(Seq("bigint", "int", "smallint").contains(
+      emb.schema(idCol).dataType.simpleString),
+      s"pqTopKOpq needs an integral id column, got ${emb.schema(idCol).dataType}")
+    val (cb, r) = trainOpq(emb, idCol, vecCol, m, ksub, seed, opqIters = opqIters)
+    val codes = encode(emb, idCol, vecCol, cb, rotation = Some(r))
+      .select(col(idCol).cast("long").as("n_id"), col("code"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    if (refine <= 1) adcTopK(codes, cb, queries, k, rotation = Some(r))
+    else {
+      val shortlist = adcTopK(codes, cb, queries, k * refine, rotation = Some(r))
+      val cv = emb.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      Similarity.rerankTopK(
+        shortlist.select(col("q_id"), col("n_id"))
+          .join(queries, Seq("q_id")).join(cv, Seq("n_id"))
+          .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")), k)
+    }
+  }
+
+  /** Sample mean squared reconstruction error of (codebooks, rotation) —
+    * the OPQ objective ‖X·R − Y‖²/n, exposed so tests can pin the
+    * alternation's non-degradation vs plain PQ.
+    */
+  private[graft] def sampleMse(emb: DataFrame, idCol: String, vecCol: String,
+                               cb: Codebooks,
+                               rotation: Option[Array[Array[Double]]],
+                               seed: Long = 42L,
+                               sampleSize: Int = 4096): Double = {
+    val x = collectSample(emb, idCol, vecCol, seed, sampleSize)
+    val errs = x.map { v0 =>
+      val v = rotation.map(rotateVec(v0, _)).getOrElse(v0)
+      val code = encodeVec(cb, v)
+      var e = 0.0
+      var s = 0
+      while (s < cb.m) {
+        val c = cb.centroids(s)(code(s) & 0xff)
+        var i = 0
+        while (i < cb.dsub) {
+          val t = v(s * cb.dsub + i) - c(i); e += t * t; i += 1
+        }
+        s += 1
+      }
+      e
+    }
+    errs.sum / errs.length
+  }
+
   /** Encode every vector to its `m`-byte PQ code (nearest centroid per
     * subspace, ties to the lowest code) — one map-side pass, the 32×
-    * compression step. Output: (id, code binary).
+    * compression step. Output: (id, code binary). An OPQ `rotation`
+    * (row-vector convention: v' = v·R) is applied before encoding.
     */
-  def encode(emb: DataFrame, idCol: String, vecCol: String,
-             cb: Codebooks): DataFrame =
-    emb.select(col(idCol), encoderUdf(cb)(col(vecCol)).as("code"))
+  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebooks,
+             rotation: Option[Array[Array[Double]]] = None): DataFrame =
+    emb.select(col(idCol), encoderUdf(cb, rotation)(col(vecCol)).as("code"))
 
-  private def encoderUdf(cb: Codebooks)
+  /** Nearest-centroid-per-subspace code of one (already-rotated) vector —
+    * shared by the encoder UDF and the driver-side OPQ trainer.
+    */
+  private def encodeVec(cb: Codebooks, v: Array[Double]): Array[Byte] = {
+    val code = new Array[Byte](cb.m)
+    val sub = new Array[Double](cb.dsub)
+    var s = 0
+    while (s < cb.m) {
+      var i = 0
+      while (i < cb.dsub) { sub(i) = v(s * cb.dsub + i); i += 1 }
+      var best = 0
+      var bd = l2(sub, cb.centroids(s)(0))
+      var j = 1
+      while (j < cb.centroids(s).length) {
+        val d = l2(sub, cb.centroids(s)(j))
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      code(s) = best.toByte
+      s += 1
+    }
+    code
+  }
+
+  /** v·R for row-vector v (R orthogonal ⇒ an isometry: dots and norms
+    * are preserved, which is why ADC over the rotated space approximates
+    * the ORIGINAL cosine).
+    */
+  private def rotateVec(v: Array[Double], r: Array[Array[Double]]): Array[Double] = {
+    val d = v.length
+    val out = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      var t = 0.0
+      var i = 0
+      while (i < d) { t += v(i) * r(i)(j); i += 1 }
+      out(j) = t
+      j += 1
+    }
+    out
+  }
+
+  private def encoderUdf(cb: Codebooks,
+                         rotation: Option[Array[Array[Double]]] = None)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Seq[Float]) =>
       if (v == null || v.length != cb.dim) null
       else {
-        val code = new Array[Byte](cb.m)
-        var s = 0
-        while (s < cb.m) {
-          val sub = new Array[Double](cb.dsub)
-          var i = 0
-          while (i < cb.dsub) { sub(i) = v(s * cb.dsub + i); i += 1 }
-          var best = 0
-          var bd = l2(sub, cb.centroids(s)(0))
-          var j = 1
-          while (j < cb.centroids(s).length) {
-            val d = l2(sub, cb.centroids(s)(j))
-            if (d < bd) { bd = d; best = j }
-            j += 1
-          }
-          code(s) = best.toByte
-          s += 1
-        }
-        code
+        val dv = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { dv(i) = v(i); i += 1 }
+        encodeVec(cb, rotation.map(rotateVec(dv, _)).getOrElse(dv))
       }
     }
 
@@ -274,10 +517,15 @@ object Pq {
       .orderBy(col("q_id"), col("rk"))
 
   def adcTopK(codes: DataFrame, cb: Codebooks, queries: DataFrame,
-              k: Int, maxQueryBatch: Int = 100000): DataFrame = {
+              k: Int, maxQueryBatch: Int = 100000,
+              rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = codes.sparkSession
     graft.functions.VectorExprs.register(spark)
+    // OPQ: queries rotate into the codebook space driver-side (the batch
+    // is already collected); R is orthogonal so the ADC estimate still
+    // approximates the ORIGINAL cosine
     val qs = collectQueries(queries, cb.dim, maxQueryBatch)
+      .map { case (qid, q) => (qid, rotation.map(rotateVec(q, _)).getOrElse(q)) }
     val bc = spark.sparkContext.broadcast((cb, qs))
     import spark.implicits._
     val scored = codes

@@ -106,8 +106,9 @@ class PlanGuardSpec extends SparkSpec {
       // cells (type-pairs), and weekly KLL quantiles (weeks) collected
       // at both scales to assert the factor-x / invariance contracts
       // (+2: the bm25 matched-doc id sets, k rows each; +2: the CMS
-      // week×probe grids vs the exact twin, tens of rows each)
-      "BenchScale.scala"    -> 12)
+      // week×probe grids vs the exact twin, tens of rows each; +2: the
+      // per-bucket equi-depth histograms at both scales, k rows each)
+      "BenchScale.scala"    -> 14)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)

@@ -64,6 +64,51 @@ class PqSpec extends SparkSpec {
     assert(rRecall >= 0.9, s"refined recall $rRecall below floor")
   }
 
+  test("OPQ rotation is orthogonal and never quantizes worse than plain PQ") {
+    val (cbOpq, r) = Pq.trainOpq(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    // R^T R = I (R is a product of Jacobi rotations / Procrustes factors)
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"R^T R deviates at ($i,$j): $dot")
+    }
+    // argmin tracking guarantees sample MSE <= plain PQ's (iteration 0 IS
+    // plain PQ at R = I)
+    val cbPq = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val msePq = Pq.sampleMse(emb, "vec_id", "embedding", cbPq, None)
+    val mseOpq = Pq.sampleMse(emb, "vec_id", "embedding", cbOpq, Some(r))
+    assert(mseOpq <= msePq * (1 + 1e-12),
+      s"OPQ sample MSE $mseOpq worse than plain PQ $msePq")
+  }
+
+  test("OPQ ADC holds the recall floor and is deterministic") {
+    val data = planted()
+    val pred = col("vec_id") < 5
+    val exact = Similarity.cosineTopK(data, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = Pq.pqTopKOpq(data, "vec_id", "embedding", pred, 10, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"OPQ ADC recall $recall below floor")
+    val b = Pq.pqTopKOpq(data, "vec_id", "embedding", pred, 10, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "OPQ search must be deterministic for a fixed seed")
+  }
+
+  test("full-refine OPQ EQUALS brute force exactly (rotation is an isometry)") {
+    // refine·k ≥ N: the rotated-ADC shortlist covers the corpus and the
+    // exact re-rank runs on ORIGINAL vectors — any rotation bug upstream
+    // cannot hide, any rotation correctness shows as exact equality
+    val pred = col("vec_id") < 5
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val full = Pq.pqTopKOpq(emb, "vec_id", "embedding", pred, 10,
+      m = 8, ksub = 16, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(full == exact)
+  }
+
   test("full-refine PQ EQUALS brute force exactly (shortlist covers the corpus)") {
     // refine·k ≥ N makes the ADC shortlist the whole corpus, so the exact
     // re-rank IS cosineTopK — pins the re-rank path end to end
