@@ -88,6 +88,19 @@ object ExtensionQueries {
     dir
   }
 
+  /** The residual-coded sibling of [[ivfPqIndexDir]] (FAISS IVFADC
+    * shape): same memo contract, own directory.
+    */
+  private def ivfPqResIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = QueryDefs.ioDir(d, "ivfpq_res_index")
+    ivfIndexBuilt.computeIfAbsent(dir, _ => {
+      Pq.buildIvfPqIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        dir, nlist = embNlist(s, d), residual = true)
+      java.lang.Boolean.TRUE
+    })
+    dir
+  }
+
   /** Build-once memo for the persisted MinHash-LSH index (text sibling of
     * [[ivfIndexDir]], same completion-barrier contract): indexes the 90%
     * reference split the ingest rows probe.
@@ -872,6 +885,18 @@ object ExtensionQueries {
       (s, d) => Pq.ivfPqTopKFromIndex(
         t(s, d, "embeddings").filter(col("vec_id") < 5), "vec_id", "embedding",
         ivfPqIndexDir(s, d), 10, nprobe = 8)
+    },
+
+    // ---- Residual IVF-PQ serve: codes quantize v − c_bucket (IVFADC) -------
+    // The FAISS-default refinement: the same probe/compression levers,
+    // but the byte budget spans a cluster radius instead of the corpus
+    // diameter (tighter reconstruction pinned in PqSpec); the serve
+    // recombines x_hat = c_b + y_hat from sketch-sized tables, vectors
+    // still never read.
+    Q.noOracle("similarity_ivfpq_residual") {
+      (s, d) => Pq.ivfPqTopKFromIndex(
+        t(s, d, "embeddings").filter(col("vec_id") < 5), "vec_id", "embedding",
+        ivfPqResIndexDir(s, d), 10, nprobe = 8)
     },
 
     // ---- Product-quantization ANN (scale path #3: compressed serving) -----

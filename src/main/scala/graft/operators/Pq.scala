@@ -651,15 +651,26 @@ object Pq {
     * corpus-sized artifact is the code table — bucket-partitioned AND 32×
     * compressed, so a probe reads `nprobe/nlist` of an already-32×-smaller
     * corpus: the two scale levers of the ANN family composed into one
-    * artifact. Codes are the GLOBAL PQ codebooks over raw vectors (the
-    * non-residual IVFPQ variant — one codebook set serves every bucket, so
-    * append-style maintenance never retrains per-bucket books; the
-    * residual refinement is a documented non-goal, `refine` re-ranking
-    * covers the accuracy gap).
+    * artifact.
+    *
+    * `residual = false` (default): codes are the GLOBAL PQ codebooks over
+    * raw vectors — one codebook set serves every bucket, so append-style
+    * maintenance never retrains per-bucket books.
+    *
+    * `residual = true`: the FAISS-default refinement — codebooks train on
+    * `v − c_bucket(v)` and codes quantize the RESIDUAL, whose spread is a
+    * cluster radius instead of the corpus diameter, so the same byte
+    * budget reconstructs tighter (MSE-vs-non-residual pinned in PqSpec on
+    * a clustered corpus). Still ONE global codebook set (residuals pool
+    * across buckets — the standard IVFADC trade), so appends stay
+    * retrain-free; the serve side recombines `x̂ = c_b + ŷ` entirely from
+    * sketch-sized tables (marker file `_RESIDUAL` makes the index
+    * self-describing).
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                       indexDir: String, nlist: Int = 16, m: Int = 8,
-                      ksub: Int = 16, seed: Long = 42L): Unit = {
+                      ksub: Int = 16, seed: Long = 42L,
+                      residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     graft.functions.VectorExprs.register(spark)
     import spark.implicits._
@@ -667,16 +678,56 @@ object Pq {
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val cb = train(emb, idCol, vecCol, m, ksub, seed)
+    val csArr: Array[Array[Double]] = cents.map(_.toArray)
+    val cb =
+      if (!residual) train(emb, idCol, vecCol, m, ksub, seed)
+      else {
+        // residual codebooks: assign the SAME deterministic sample to its
+        // nearest coarse centroid, train per-subspace books on v − c_b
+        val sample = collectSample(emb, idCol, vecCol, seed, 4096)
+        trainOnSample(sample.map { v =>
+          val c = csArr(nearestBucket(v, csArr))
+          Array.tabulate(v.length)(i => v(i) - c(i))
+        }, m, ksub, seed, maxIters = 12)
+      }
     writeCodebooks(spark, cb, indexDir)
     val cs: Seq[Seq[Double]] = cents.toSeq.map(_.toSeq)
     import graft.functions.VectorExprs.nearestCentroids
+    val bucketCol = element_at(nearestCentroids(col(vecCol), cs, 1), 1).as("bucket")
     // one pass over the corpus: code and coarse bucket from the same scan
-    emb.select(col(idCol).cast("long").as("n_id"),
-        encoderUdf(cb)(col(vecCol)).as("code"),
-        element_at(nearestCentroids(col(vecCol), cs, 1), 1).as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/codes")
+    val codes =
+      if (!residual)
+        emb.select(col(idCol).cast("long").as("n_id"),
+          encoderUdf(cb)(col(vecCol)).as("code"), bucketCol)
+      else {
+        val bcCs = csArr // broadcast via closure — nlist·dim doubles
+        val resEncoder = udf { (v: Seq[Float], b: Int) =>
+          if (v == null || v.length != cb.dim) null
+          else {
+            val c = bcCs(b)
+            encodeVec(cb, Array.tabulate(v.length)(i => v(i) - c(i)))
+          }
+        }
+        emb.select(col(idCol).cast("long").as("n_id"), col(vecCol), bucketCol)
+          .select(col("n_id"), resEncoder(col(vecCol), col("bucket")).as("code"),
+            col("bucket"))
+      }
+    codes.write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/codes")
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_RESIDUAL")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (residual) fs.create(marker, true).close() else fs.delete(marker, false)
+  }
+
+  private def nearestBucket(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = l2(v, cs(0))
+    var b = 1
+    while (b < cs.length) {
+      val d = l2(v, cs(b))
+      if (d < bd) { bd = d; best = b }
+      b += 1
+    }
+    best
   }
 
   /** Serve ADC top-k from a persisted IVF-PQ index: each query probes its
@@ -698,6 +749,9 @@ object Pq {
     val cs: Array[Array[Double]] = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("bucket")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray) // nlist rows — sketch-sized
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_RESIDUAL")
+    val residual = markerPath.getFileSystem(
+      spark.sessionState.newHadoopConf()).exists(markerPath)
     val qs = collectQueries(
       queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")),
       cb.dim, maxQueryBatch)
@@ -712,20 +766,64 @@ object Pq {
     val probed = probeOf.values.flatten.toSeq.distinct.sorted
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("bucket").isin(probed.map(Int.box): _*))
-    val bc = spark.sparkContext.broadcast((cb, qs, probeOf))
+    // residual recombination tables, all sketch-sized (x̂ = c_b + ŷ):
+    // |c_b|² per bucket, the (bucket, subspace, code) cross dots
+    // 2·c_b·ŷ_s needs, and per-query dot(q, c_b) offsets — so the kernel
+    // scores x̂ with the same 2m lookups plus 2 adds and one table sum
+    val resTables =
+      if (!residual) None
+      else {
+        val cb2 = cs.map { c =>
+          var t = 0.0; var i = 0
+          while (i < c.length) { t += c(i) * c(i); i += 1 }
+          t
+        }
+        val cross = Array.tabulate(cs.length, cb.m, cb.ksub) { (b, s, j) =>
+          if (j < cb.centroids(s).length) {
+            val rc = cb.centroids(s)(j)
+            var t = 0.0; var i = 0
+            while (i < rc.length) { t += cs(b)(s * cb.dsub + i) * rc(i); i += 1 }
+            t
+          } else 0.0
+        }
+        val qc: Map[Long, Array[Double]] = qs.map { case (qid, q) =>
+          qid -> cs.map { c =>
+            var t = 0.0; var i = 0
+            while (i < q.length) { t += q(i) * c(i); i += 1 }
+            t
+          }
+        }.toMap
+        Some((cb2, cross, qc))
+      }
+    val bc = spark.sparkContext.broadcast((cb, qs, probeOf, resTables))
     import spark.implicits._
     val scored = codes
       .select(col("n_id"), col("code"), col("bucket"))
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { it =>
-        val (cbl, qsl, probes) = bc.value
+        val (cbl, qsl, probes, res) = bc.value
         val (cn2, luts) = lutsFor(cbl, qsl)
         it.flatMap { case (nid, code, bucket) =>
           if (code == null) Iterator.empty
           else luts.iterator.collect {
             case (qid, lut, qnorm)
                 if qid != nid && probes(qid).contains(bucket) =>
-              (qid, nid, adcSim(cbl, cn2, lut, qnorm, code))
+              val sim = res match {
+                case None => adcSim(cbl, cn2, lut, qnorm, code)
+                case Some((cb2, cross, qc)) =>
+                  var dot = qc(qid)(bucket)
+                  var rn2 = cb2(bucket)
+                  var s = 0
+                  while (s < cbl.m) {
+                    val j = code(s) & 0xff
+                    dot += lut(s)(j)
+                    rn2 += 2.0 * cross(bucket)(s)(j) + cn2(s)(j)
+                    s += 1
+                  }
+                  val denom = qnorm * math.sqrt(math.max(rn2, 0.0))
+                  if (denom > 0) dot / denom else 0.0
+              }
+              (qid, nid, sim)
           }
         }
       }

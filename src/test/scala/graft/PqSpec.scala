@@ -109,6 +109,57 @@ class PqSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("residual IVF-PQ reconstructs tighter and serves with recall; deterministic") {
+    val data = planted()
+    val root = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/pq_spec"
+    val dirN = s"$root/ivfpq_plain"; val dirR = s"$root/ivfpq_residual"
+    Pq.buildIvfPqIndex(data, "vec_id", "embedding", dirN, nlist = 8, m = 8, ksub = 16)
+    Pq.buildIvfPqIndex(data, "vec_id", "embedding", dirR, nlist = 8, m = 8,
+      ksub = 16, residual = true)
+    // reconstruction MSE straight from the persisted artifacts: residual
+    // codes quantize a cluster radius, plain codes the corpus diameter —
+    // on a clustered corpus the residual reconstruction must be tighter
+    val orig = data.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def mse(dir: String, residual: Boolean): Double = {
+      val cb = Pq.loadCodebooks(spark, dir)
+      val cs = spark.read.parquet(s"$dir/centroids").orderBy(col("bucket"))
+        .select(col("centroid")).collect().map(_.getSeq[Double](0).toArray)
+      val rows = spark.read.parquet(s"$dir/codes").collect()
+      val errs = rows.map { r =>
+        val v = orig(r.getLong(0))
+        val code = r.getAs[Array[Byte]]("code")
+        val b = r.getInt(2)
+        var e = 0.0
+        for (s <- 0 until cb.m; i <- 0 until cb.dsub) {
+          val d = s * cb.dsub + i
+          val xhat = (if (residual) cs(b)(d) else 0.0) +
+            cb.centroids(s)(code(s) & 0xff)(i)
+          val t = v(d) - xhat; e += t * t
+        }
+        e
+      }
+      errs.sum / errs.length
+    }
+    val mseN = mse(dirN, residual = false)
+    val mseR = mse(dirR, residual = true)
+    assert(mseR < 0.9 * mseN,
+      s"residual coding must reconstruct tighter: residual $mseR vs plain $mseN")
+    // serve: full probe (pruning off) with exact-side recall + determinism
+    val pred = col("vec_id") < 5
+    val exact = Similarity.cosineTopK(data, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = Pq.ivfPqTopKFromIndex(data.filter(pred), "vec_id", "embedding",
+        dirR, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"residual IVF-PQ recall $recall below floor")
+    val b = Pq.ivfPqTopKFromIndex(data.filter(pred), "vec_id", "embedding",
+        dirR, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "residual serve must be deterministic")
+  }
+
   test("full-refine PQ EQUALS brute force exactly (shortlist covers the corpus)") {
     // refine·k ≥ N makes the ADC shortlist the whole corpus, so the exact
     // re-rank IS cosineTopK — pins the re-rank path end to end
