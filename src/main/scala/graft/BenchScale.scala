@@ -80,6 +80,7 @@ object BenchScale {
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf",
     "similarity_pq", "similarity_pq_refined", "similarity_ivfpq_index",
+    "similarity_sq", "similarity_bq",
     // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
     "histogram_equidepth",
     // product analytics (user-keyed min-aggregations / cohort cells)
@@ -403,6 +404,16 @@ object BenchScale {
         s(k) == ((factor * n, lo, hi))
       }
     }, "equi-depth boundaries/counts departed from the exact scale contract")
+    check("sq_topk_size_unchanged", {
+      // copy-0 query set, same shape contract as the PQ rows; the SQ8
+      // grid retrains its per-dim min/max on the bigger corpus
+      q(outDir, "similarity_sq").count() == q(srcDir, "similarity_sq").count()
+    }, "sq top-k result size changed with scale")
+    check("bq_topk_size_unchanged", {
+      // copy-0 query set; the bit scan shortlists refine·k then re-ranks
+      // exactly — page shape must survive the 32×-compressed scan
+      q(outDir, "similarity_bq").count() == q(srcDir, "similarity_bq").count()
+    }, "bq top-k result size changed with scale")
     check("pq_topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: |Q|·k rows at
       // both scales (codebooks retrain on the bigger corpus, so NEIGHBOR

@@ -899,6 +899,30 @@ object ExtensionQueries {
         ivfPqResIndexDir(s, d), 10, nprobe = 8)
     },
 
+    // ---- Scalar quantization (SQ8): 4× compressed serving ------------------
+    // The middle rung of the compression ladder: one byte per DIMENSION
+    // on a per-dim uniform grid (brute 4 B/dim → SQ 1 B/dim → PQ 1 B per
+    // 8 dims), near-lossless ranking (per-dim error ≤ Δ/2). Train/encode
+    // are SQ-specific; the serve path IS the PQ ADC kernel (an SQ grid is
+    // a product quantizer with m = dim, dsub = 1). Reconstruction-bound /
+    // recall / determinism / full-refine-exactness pinned in SqSpec.
+    Q.noOracle("similarity_sq") {
+      (s, d) => Sq.sqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10)
+    },
+
+    // ---- Binary quantization: 1-bit signs, Hamming shortlist + refine ------
+    // The cheapest full-corpus scan in the family: 32× compression spent
+    // on full-dimensional SIGN structure (xor+popcount per row, no
+    // multiplies); the bit scan shortlists refine·k candidates and the
+    // exact cosine finishes the ranking — only refine·k vectors per
+    // query are ever read. Recall / determinism / full-refine-exactness /
+    // compression pinned in BqSpec.
+    Q.noOracle("similarity_bq") {
+      (s, d) => Bq.bqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, refine = 8)
+    },
+
     // ---- Product-quantization ANN (scale path #3: compressed serving) -----
     // 64-dim float vectors compress to 8 one-byte codes (32×); ADC scores
     // each row with 2m table lookups, query side exact. Recall /

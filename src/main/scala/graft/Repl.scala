@@ -82,6 +82,18 @@ object Repl {
       |                                         partition-pruned ADC top-k from an
       |                                         ivfpqindex: reads nprobe/nlist of the
       |                                         32x-compressed corpus (default nprobe 4)
+      |  sqindex <view> <dir>                   build a scalar-quantization (SQ8) index:
+      |                                         per-dim uniform grid + the corpus as
+      |                                         4x-compressed one-byte-per-dim codes
+      |  sqsearch <view> <id> <k> <dir>         ADC top-k from an sqindex — near-exact
+      |                                         ranking off the 4x-compressed codes
+      |  bqindex <view> <dir>                   build a binary-quantization index: per-
+      |                                         dim sign thresholds + 32x-compressed
+      |                                         packed sign signatures
+      |  bqsearch <view> <id> <k> <dir> [refine]
+      |                                         Hamming-shortlist top-k from a bqindex,
+      |                                         exact re-rank of refine*k candidates
+      |                                         (default refine 8)
       |  semdedup <view> <threshold> [idCol vecCol]
       |                                         SemDeDup kept set: k-means clusters,
       |                                         in-cluster cosine groups, least-
@@ -346,6 +358,21 @@ object Repl {
           df(vid).filter(col("vec_id") === lit(id.toLong)),
           "vec_id", "embedding", dir, k.toInt,
           nprobe = rest.headOption.map(_.toInt).getOrElse(4)))
+      case "sqindex" :: vid :: dir :: Nil =>
+        graft.operators.Sq.buildSqIndex(df(vid), "vec_id", "embedding", dir)
+        s"sq index (uniform grid + 4x-compressed codes) at $dir"
+      case "sqsearch" :: vid :: id :: k :: dir :: Nil =>
+        render(graft.operators.Sq.sqTopKFromIndex(
+          df(vid).filter(col("vec_id") === lit(id.toLong)),
+          "vec_id", "embedding", dir, k.toInt))
+      case "bqindex" :: vid :: dir :: Nil =>
+        graft.operators.Bq.buildBqIndex(df(vid), "vec_id", "embedding", dir)
+        s"bq index (sign thresholds + 32x-compressed signatures) at $dir"
+      case "bqsearch" :: vid :: id :: k :: dir :: rest if rest.size <= 1 =>
+        render(graft.operators.Bq.bqTopKFromIndex(
+          df(vid).filter(col("vec_id") === lit(id.toLong)), df(vid),
+          "vec_id", "embedding", dir, k.toInt,
+          refine = rest.headOption.map(_.toInt).getOrElse(8)))
       case "semdedup" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
         val (i, c) = rest match {
           case i :: c :: Nil => (i, c)

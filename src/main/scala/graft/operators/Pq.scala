@@ -63,8 +63,8 @@ object Pq {
   /** The deterministic bottom-k-by-hash training sample as driver-local
     * double vectors (sketch-sized by contract).
     */
-  private def collectSample(emb: DataFrame, idCol: String, vecCol: String,
-                            seed: Long, sampleSize: Int): Array[Array[Double]] = {
+  private[operators] def collectSample(emb: DataFrame, idCol: String, vecCol: String,
+                                       seed: Long, sampleSize: Int): Array[Array[Double]] = {
     val sample = emb
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
@@ -443,8 +443,8 @@ object Pq {
   /** Collect + validate a sketch-sized query batch (the ivfTopKFromIndex
     * precedent, same loud cap) as (q_id, dense double vector) pairs.
     */
-  private def collectQueries(queries: DataFrame, dim: Int,
-                             maxQueryBatch: Int): Array[(Long, Array[Double])] = {
+  private[operators] def collectQueries(queries: DataFrame, dim: Int,
+                                        maxQueryBatch: Int): Array[(Long, Array[Double])] = {
     val qRows = queries.limit(maxQueryBatch + 1).collect()
     require(qRows.length <= maxQueryBatch,
       s"PQ query batch exceeds maxQueryBatch=$maxQueryBatch rows — " +
@@ -506,7 +506,7 @@ object Pq {
   /** Bounded per-query top-k over scored (q_id, n_id, asim) rows — the
     * rerankTopK shape (page aggregate; partitions·|Q|·k rows shuffle).
     */
-  private def pageTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def pageTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(call_function("graft_nextk_page",
         struct(round(col("asim"), 6).as("asim"), col("n_id")),
@@ -584,8 +584,8 @@ object Pq {
     * compressed corpus (n_id, code), the only corpus-sized artifact and
     * 32× smaller than the vectors it replaces.
     */
-  private def writeCodebooks(spark: SparkSession, cb: Codebooks,
-                             indexDir: String): Unit = {
+  private[operators] def writeCodebooks(spark: SparkSession, cb: Codebooks,
+                                        indexDir: String): Unit = {
     val rows = for (s <- 0 until cb.m; j <- cb.centroids(s).indices)
       yield Row(s, j, cb.centroids(s)(j).toSeq)
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -101,6 +101,9 @@ class PlanGuardSpec extends SparkSpec {
       // loadCodebooks: m·ksub rows; ivfPqTopKFromIndex: the nlist-row
       // centroid table
       "Pq.scala"            -> 4,
+      // loadThresholds: the dim-row sign-threshold table (BQ serves off
+      // Pq's collectQueries/pageTopK otherwise — no other driver reads)
+      "Bq.scala"            -> 1,
       // scale-invariant checks, not operators: funnel step counts (3
       // rows), retention cohort cells (tens of rows), theta overlap
       // cells (type-pairs), and weekly KLL quantiles (weeks) collected

@@ -285,4 +285,41 @@ class ReplSpec extends SparkSpec {
         s"served page must hold k rows for q_id 3:\n$out")
     }
   }
+
+  test("sqindex/sqsearch and bqindex/bqsearch serve the compressed-scan variants") {
+    def tmp(leaf: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_repl_$leaf")
+      p.toFile.deleteOnExit(); p.toString
+    }
+    val sqDir = tmp("sq"); val bqDir = tmp("bq")
+    val out = script(
+      "open embeddings",
+      s"sqindex embeddings-1 $sqDir",
+      s"sqsearch embeddings-1 3 5 $sqDir",
+      s"bqindex embeddings-1 $bqDir",
+      s"bqsearch embeddings-1 3 5 $bqDir 8",
+      "quit")
+    assert(out.contains(s"sq index (uniform grid + 4x-compressed codes) at $sqDir"), out)
+    assert(new java.io.File(s"$sqDir/codebooks").exists() &&
+      new java.io.File(s"$sqDir/codes").exists(),
+      "sqindex must persist the PQ-layout codebooks + codes")
+    assert(out.contains(
+      s"bq index (sign thresholds + 32x-compressed signatures) at $bqDir"), out)
+    assert(new java.io.File(s"$bqDir/thresholds").exists() &&
+      new java.io.File(s"$bqDir/codes").exists(),
+      "bqindex must persist thresholds + signature codes")
+    // sqsearch pages (q_id, n_id, asim, rk); bqsearch re-ranks so (… sim …)
+    val lines = out.linesIterator.toSeq
+    val sqPages = lines.zipWithIndex
+      .filter(_._1.startsWith("q_id\tn_id\tasim\trk")).map(_._2)
+    val bqPages = lines.zipWithIndex
+      .filter(_._1.startsWith("q_id\tn_id\tsim\trk")).map(_._2)
+    assert(sqPages.size == 1 && bqPages.size == 1,
+      s"one sq page and one bq page expected:\n$out")
+    (sqPages ++ bqPages).foreach { h =>
+      val rows = lines.drop(h + 1).takeWhile(_.contains("\t")).take(5)
+      assert(rows.size == 5 && rows.forall(_.startsWith("3\t")),
+        s"served page must hold k rows for q_id 3:\n$out")
+    }
+  }
 }
