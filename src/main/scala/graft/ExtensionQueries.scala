@@ -233,6 +233,40 @@ object ExtensionQueries {
        |SELECT d.doc_id, s.n_members FROM documents d
        |JOIN sizes s ON s.rep = d.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared DuckDB CTEs for the sliding-window exact-substring pass
+    * (width 8): tokenize → window occurrences → keep-first marking →
+    * merged per-doc spans. The one copy serving `dedup_ngram_spans`
+    * and `dedup_ngram_spans_clean`.
+    */
+  private val sqlSpanCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |tn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      |grams AS (
+      |  SELECT doc_id, CAST(g.p AS INTEGER) AS pos,
+      |         md5(array_to_string(list_slice(t, g.p + 1, g.p + 8), ' ')) AS gram_hash
+      |  FROM tn CROSS JOIN UNNEST(range(0, n_tokens - 7)) AS g(p)
+      |  WHERE n_tokens >= 8),
+      |marked AS (
+      |  SELECT doc_id, pos,
+      |         row_number() OVER (PARTITION BY gram_hash ORDER BY doc_id, pos) AS rk,
+      |         count(*) OVER (PARTITION BY gram_hash) AS cnt
+      |  FROM grams),
+      |dups AS (SELECT doc_id, pos, pos + 8 AS e FROM marked WHERE cnt > 1 AND rk > 1),
+      |isl AS (
+      |  SELECT doc_id, pos, e,
+      |         CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |              THEN 1 ELSE 0 END AS ni
+      |  FROM dups),
+      |isl2 AS (
+      |  SELECT doc_id, pos, e,
+      |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY 1, 2)""".stripMargin
+
   /** Shared DuckDB chunking CTEs (size 64 / overlap 16 / step 48), the
     * one copy serving `text_chunk` and `pipeline_pack_stats`;
     * `extraCols` (e.g. ", source") ride along every CTE.
@@ -713,6 +747,55 @@ object ExtensionQueries {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin) {
       (s, d) => Dedup.subdocDedupClean(t(s, d, "documents"), "doc_id", "text",
           spanTokens = 10, maxDocs = 1)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Exact-substring dedup (sliding n-gram spans, Lee et al. 2021) -----
+    // Sub-document dedup at WINDOW granularity: every 8-token sliding
+    // window that recurs corpus-wide marks its positions (first
+    // occurrence by (doc_id, pos) keeps), overlapping marks merge into
+    // maximal spans. The oracle replays tokenize → window md5 →
+    // keep-first ranking → gaps-and-islands span merge verbatim.
+    Q("dedup_ngram_spans",
+      s"""WITH $sqlSpanCtes,
+        |gstats AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         count(CASE WHEN cnt > 1 AND rk > 1 THEN 1 END) AS n_dup_grams
+        |  FROM marked GROUP BY 1),
+        |sstats AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans,
+        |         CAST(sum(e - s) AS BIGINT) AS n_dup_tokens
+        |  FROM sp GROUP BY 1)
+        |SELECT tn.doc_id, n_tokens,
+        |       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |       CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |       CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |       n_tokens - CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_kept_tokens
+        |FROM tn LEFT JOIN gstats USING (doc_id) LEFT JOIN sstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => NgramSpans.stats(t(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Exact-substring dedup, transform form ------------------------------
+    // The span-cut documents: tokens under merged duplicated spans are
+    // removed, the rest re-join in position order. Fully-duplicated
+    // documents (every token covered) drop out on BOTH engines; first
+    // occurrences keep their text, so one copy of every span survives.
+    Q("dedup_ngram_spans_clean",
+      s"""WITH $sqlSpanCtes,
+        |tp AS (
+        |  SELECT doc_id, CAST(g.p AS INTEGER) AS pos, t[g.p + 1] AS tok
+        |  FROM tn CROSS JOIN UNNEST(range(0, n_tokens)) AS g(p)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id
+        |                    AND tp.pos >= sp.s AND tp.pos < sp.e))
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |       count(*) AS n_kept_tokens
+        |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) => NgramSpans.clean(t(s, d, "documents"), "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
     },
 

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring dedup over SLIDING n-gram windows — the Lee et al.
+  * 2021 ("Deduplicating Training Data Makes Language Models Better",
+  * ExactSubstr) pass of a training-data pipeline. Where
+  * [[Dedup.subdocDedup]] hashes DISJOINT fixed chunks (boilerplate
+  * lines), this marks EVERY token position whose n-token window recurs
+  * anywhere in the corpus, keeps the globally-first occurrence, and
+  * merges the remaining (overlapping) duplicated windows into maximal
+  * per-document spans — the unit a pipeline actually cuts.
+  *
+  * Semantics (deterministic, engine-portable):
+  *  - tokens = whitespace split of trimmed text; a document shorter
+  *    than `n` tokens contributes no windows (and is never cut);
+  *  - a window occurrence is DUPLICATED iff its n-token md5 appears
+  *    more than once corpus-wide AND the occurrence is not the first
+  *    by (id, position) — the keep-one-copy rule;
+  *  - duplicated occurrences covering tokens [pos, pos+n) merge per
+  *    document when they overlap or touch (gaps-and-islands), giving
+  *    maximal spans.
+  *
+  * Scale shape (the reference implementation builds a corpus-wide
+  * suffix array — a single-machine construction; this is the
+  * shuffle-native equivalent at window granularity):
+  *  - windows explode map-side to (id, pos, md5) — O(total tokens)
+  *    rows, never text;
+  *  - first-occurrence marking is ONE hash-partitioned window over the
+  *    gram hash (count + row_number share the partition; n-gram
+  *    collisions are corpus-rare by construction, so no skew);
+  *  - span merging is ONE id-partitioned window + one id-keyed rollup —
+  *    both linear, both co-partitioned after a single exchange.
+  */
+object NgramSpans {
+
+  /** Per-document duplication stats at window width `n`:
+    * (id, n_tokens, n_grams, n_dup_grams, n_dup_spans, n_dup_tokens,
+    * n_kept_tokens). Every non-null-text document appears; documents
+    * with nothing duplicated report zeros. `n_dup_tokens` counts tokens
+    * under merged spans (not the sum of window widths), so
+    * `n_kept_tokens = n_tokens - n_dup_tokens` is the document's
+    * post-cut token count.
+    */
+  def stats(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val toks = tokenized(df, idCol, textCol)
+    val occ = markedOccurrences(toks, idCol, n)
+    val gramStats = occ.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__dup"), 1)).as("n_dup_grams"))
+    val spanStats = spans(occ, idCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s")).cast("long").as("n_dup_tokens"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(gramStats, Seq(idCol), "left")
+      .join(spanStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (col("n_tokens") - coalesce(col("n_dup_tokens"), lit(0L))).as("n_kept_tokens"))
+  }
+
+  /** The TRANSFORM sibling: each document with its duplicated spans CUT
+    * (kept tokens re-joined in original order) — (id, clean_text,
+    * n_kept_tokens). A document whose every token sits under a
+    * duplicated span disappears (the [[Dedup.subdocDedupClean]]
+    * contract); first occurrences keep their text, so at least one copy
+    * of every span survives corpus-wide.
+    *
+    * Scale shape: the span list re-joins token positions per id (equi
+    * key + range predicate, span rows ≪ token rows) and the rebuild is
+    * one id-keyed rollup whose payload is the document itself — the
+    * floor for any corpus rewrite.
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val toks = tokenized(df, idCol, textCol)
+    val sp = spans(markedOccurrences(toks, idCol, n), idCol, n)
+      .withColumnRenamed(idCol, "__sid")
+    val pos = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    pos.join(sp,
+        pos(idCol) === sp("__sid") &&
+          col("__pos") >= col("__s") && col("__pos") < col("__e"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            x => x.getField("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"))
+  }
+
+  /** (id, n_tokens, __toks) for non-null texts — the split materialized
+    * once (the [[TextOps.shingleSet]] HOF rule).
+    */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+
+  /** Window occurrences (id, __pos, __dup): every n-token window start,
+    * marked duplicated unless it is the (id, pos)-first holder of its
+    * hash. One exchange on the gram hash serves both the corpus count
+    * and the first-occurrence rank.
+    */
+  private def markedOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 2, "window width must be >= 2 tokens")
+    val grams = toks.filter(col("n_tokens") >= n)
+      .select(col(idCol),
+        explode(sequence(lit(0), col("n_tokens").cast("int") - lit(n))).as("__pos"),
+        col("__toks"))
+      .select(col(idCol), col("__pos"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__pos") + lit(1), lit(n))))
+          .as("__gram"))
+    val byGram = Window.partitionBy(col("__gram"))
+    grams
+      .withColumn("__rk", row_number().over(byGram.orderBy(col(idCol), col("__pos"))))
+      .withColumn("__cnt", count(lit(1)).over(byGram))
+      .select(col(idCol), col("__pos"),
+        (col("__cnt") > 1 && col("__rk") > 1).as("__dup"))
+  }
+
+  /** Maximal per-document spans (id, __s, __e) — duplicated occurrences
+    * [pos, pos+n) merged when overlapping or touching, via running-max
+    * gaps-and-islands on the id partition.
+    */
+  private def spans(occ: DataFrame, idCol: String, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    occ.filter(col("__dup"))
+      .select(col(idCol), col("__pos"), (col("__pos") + lit(n)).as("__end"))
+      .withColumn("__pmax",
+        max(col("__end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ni",
+        when(col("__pmax").isNull || col("__pos") > col("__pmax"), 1).otherwise(0))
+      .withColumn("__isl",
+        sum(col("__ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).as("__s"), max(col("__end")).as("__e"))
+      .select(col(idCol), col("__s"), col("__e"))
+  }
+}

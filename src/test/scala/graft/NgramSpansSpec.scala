@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NgramSpans
+
+/** Exact-substring (sliding n-gram span) dedup: brute-force parity on a
+  * planted corpus, keep-first semantics, span merging, stats ≡ clean
+  * consistency, and the short-document contract.
+  */
+class NgramSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 1 is the first holder of the shared phrase; 2 repeats
+  // it verbatim mid-document; 3 is an exact duplicate of 1 (fully covered
+  // once windows chain); 4 repeats the phrase TWICE internally (overlap
+  // merge); 5 is unique; 6 is shorter than any window.
+  private val phrase = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
+  private val corpus = Seq(
+    (1L, s"one two $phrase three four"),
+    (2L, s"aa bb cc $phrase dd ee"),
+    (3L, s"one two $phrase three four"),
+    (4L, s"xx $phrase yy $phrase zz"),
+    (5L, "entirely unrelated words that never recur anywhere at all okay"),
+    (6L, "tiny doc"))
+  private lazy val df = corpus.toDF("doc_id", "text")
+
+  /** Naive single-process reference of the whole pass at width n. */
+  private def brute(rows: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, Long, Long, Long)] = {
+    val toks = rows.map { case (id, t) => id -> t.trim.split("\\s+").toIndexedSeq }
+    val occ = for {
+      (id, ts) <- toks if ts.length >= n
+      p <- 0 to (ts.length - n)
+    } yield (id, p, ts.slice(p, p + n).mkString(" "))
+    val byGram = occ.groupBy(_._3)
+    val dup = occ.filter { case (id, p, g) =>
+      val all = byGram(g)
+      all.length > 1 && (all.minBy(o => (o._1, o._2)) != ((id, p, g)))
+    }
+    toks.map { case (id, ts) =>
+      val mine = dup.filter(_._1 == id).map(_._2).sorted
+      // merge [p, p+n) intervals
+      val spans = mine.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head._2 =>
+          (acc.head._1, math.max(acc.head._2, p + n)) :: acc.tail
+        case (acc, p) => (p, p + n) :: acc
+      }.reverse
+      val nDupToks = spans.map { case (s, e) => e - s }.sum
+      id -> ((occ.count(_._1 == id).toLong, dup.count(_._1 == id).toLong,
+        spans.length.toLong, nDupToks.toLong, (ts.length - nDupToks).toLong))
+    }.toMap
+  }
+
+  test("stats matches the brute-force reference on the planted corpus") {
+    val got = NgramSpans.stats(df, "doc_id", "text", n = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got == brute(corpus, 8))
+  }
+
+  test("keep-first: the globally first occurrence is never cut") {
+    val got = NgramSpans.stats(df, "doc_id", "text", n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got(1L) == 0L, "doc 1 holds every first occurrence")
+    assert(got(3L) > 0L, "doc 3 (exact duplicate of 1) must be cut")
+    assert(got(5L) == 0L && got(6L) == 0L)
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    // doc 2's phrase occupies 8 tokens; its 1 duplicated window would
+    // count 8 dup tokens; if doc 4's TWO phrase copies each produced
+    // independent spans of window-chains, unmerged accounting would
+    // double-count the chained windows
+    val r = NgramSpans.stats(df, "doc_id", "text", n = 8)
+      .filter(col("doc_id") === 2L).head()
+    assert(r.getLong(4) == 1L, "one merged span")
+    assert(r.getLong(5) == 8L, "span covers exactly the phrase")
+  }
+
+  test("clean is consistent with stats and drops fully-covered docs") {
+    val st = NgramSpans.stats(df, "doc_id", "text", n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val cl = NgramSpans.clean(df, "doc_id", "text", n = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clMap = cl.map(t => t._1 -> t._3).toMap
+    // every cleaned doc's kept-token count equals the stats form's
+    for ((id, k) <- clMap) assert(st(id) == k, s"doc $id")
+    // docs absent from clean are exactly those with zero kept tokens
+    assert(st.keySet.diff(clMap.keySet) == st.filter(_._2 == 0L).keySet)
+    // a doc without duplication round-trips verbatim (token-normalized)
+    val five = cl.find(_._1 == 5L).get._2
+    assert(five == corpus.find(_._1 == 5L).get._2)
+  }
+
+  test("at least one copy of every duplicated window survives the clean") {
+    val cleaned = NgramSpans.clean(df, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val before = NgramSpans.stats(df, "doc_id", "text", n = 8)
+      .agg(sum("n_grams")).head().getLong(0)
+    // re-running stats on the cleaned corpus finds NO duplicated windows
+    // here: only non-first occurrences were cut, and no residual doc is
+    // long enough for a cut boundary to mint a new duplicated window
+    // (boundary-minted windows make idempotency corpus-dependent in
+    // general — this pins the planted fixture, not a theorem)
+    val after = NgramSpans.stats(cleaned, "doc_id", "text", n = 8)
+      .agg(sum("n_dup_grams")).head().getLong(0)
+    assert(before > 0 && after == 0L, s"residual dup windows: $after")
+  }
+
+  test("documents shorter than the window report zeros and survive clean") {
+    val st = NgramSpans.stats(df, "doc_id", "text", n = 8)
+      .filter(col("doc_id") === 6L).head()
+    assert(st.getLong(1) == 2L && st.getLong(2) == 0L && st.getLong(6) == 2L)
+    val cl = NgramSpans.clean(df, "doc_id", "text", n = 8)
+      .filter(col("doc_id") === 6L).head()
+    assert(cl.getString(1) == "tiny doc")
+  }
+
+  test("result is partitioning-invariant") {
+    val a = NgramSpans.stats(df, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = NgramSpans.stats(df.repartition(7), "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
