@@ -233,6 +233,19 @@ object ExtensionQueries {
        |SELECT d.doc_id, s.n_members FROM documents d
        |JOIN sizes s ON s.rep = d.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Rounded-cosine SQL fragment between two embedding rows aliased `a`
+    * and `b` — the one expression the whole similarity family's oracles
+    * share (DuckDB `list_sum` sums left-to-right in doubles, matching
+    * the Spark fold/native kernels bit-for-bit; see Similarity scaladoc).
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, 65),
+       |            i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |            i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, 65),
+       |            i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))), 6)""".stripMargin
+
   /** Shared DuckDB CTEs for the sliding-window exact-substring pass
     * (width 8): tokenize → window occurrences → keep-first marking →
     * merged per-doc spans. The one copy serving `dedup_ngram_spans`
@@ -928,6 +941,55 @@ object ExtensionQueries {
         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
       (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10)
+    },
+
+    // ---- MMR diversified top-k (greedy re-rank over brute candidates) ------
+    // The oracle replays the greedy trace exactly: top-20 candidates by
+    // rounded cosine, then a recursive CTE carrying the picked list,
+    // each step LATERAL-argmaxing λ·rel − (1−λ)·maxSimToPicked with
+    // ties on ascending id. Scores run in DECIMAL on both engines (the
+    // 6-dp inputs make every score exact; double scoring would sit ON
+    // half-boundaries — 0.7 × 0.371485 = 0.2600395 — where the engines'
+    // round() disagree), and DuckDB DECIMAL round is HALF_UP like
+    // java.math — hence hash-green.
+    Q("similarity_mmr",
+      s"""WITH RECURSIVE
+        |cand AS (
+        |  SELECT q_id, n_id, CAST(sim AS DECIMAL(18, 6)) AS sim FROM (
+        |    SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${sqlCos("a", "b")} AS sim,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |             ORDER BY ${sqlCos("a", "b")} DESC, b.vec_id) AS rk
+        |    FROM embeddings a, embeddings b
+        |    WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+        |  WHERE rk <= 20),
+        |psim AS (
+        |  SELECT c1.q_id, c1.n_id AS a_id, c2.n_id AS b_id,
+        |         CAST(${sqlCos("a", "b")} AS DECIMAL(18, 6)) AS s
+        |  FROM cand c1 JOIN cand c2 USING (q_id), embeddings a, embeddings b
+        |  WHERE c1.n_id <> c2.n_id AND a.vec_id = c1.n_id AND b.vec_id = c2.n_id),
+        |sel AS (
+        |  SELECT q_id, CAST(1 AS BIGINT) AS rk, [n_id] AS picked, n_id,
+        |         sim AS relevance, CAST(0.7 * sim AS DECIMAL(24, 8)) AS mmr
+        |  FROM (SELECT q_id, n_id, sim,
+        |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
+        |        FROM cand) WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.q_id, s.rk + 1, list_append(s.picked, p.n_id), p.n_id, p.sim,
+        |         CAST(p.score AS DECIMAL(24, 8))
+        |  FROM sel s JOIN LATERAL (
+        |    SELECT c.n_id, c.sim,
+        |           0.7 * c.sim - 0.3 * (SELECT max(ps.s) FROM psim ps
+        |                                WHERE ps.q_id = s.q_id AND ps.a_id = c.n_id
+        |                                  AND list_contains(s.picked, ps.b_id)) AS score
+        |    FROM cand c
+        |    WHERE c.q_id = s.q_id AND NOT list_contains(s.picked, c.n_id)
+        |    ORDER BY score DESC, c.n_id LIMIT 1) p ON true
+        |  WHERE s.rk < 5)
+        |SELECT q_id, n_id, rk, CAST(relevance AS DOUBLE) AS relevance,
+        |       CAST(round(mmr, 6) AS DOUBLE) AS mmr_score
+        |FROM sel ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => Similarity.mmrTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, k = 5, lambdaRel = 0.7, candidates = 20)
     },
 
     // ---- LSH-bucketed ANN (scale path; recall vs brute force in tests) -----

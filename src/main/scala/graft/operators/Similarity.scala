@@ -153,6 +153,133 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedy selection maximizing
+    * `λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)` — the
+    * de-duplicating re-rank a retrieval pipeline runs when the raw top-k
+    * is dominated by near-identical hits. `λ = 1` degenerates to the
+    * plain relevance ranking (pinned in MmrSpec).
+    *
+    * Candidates are the distributed brute-force top-`candidates` per
+    * query (default 4k); the greedy tail runs per query over that
+    * candidates-sized set. For an ANN candidate stage, compose
+    * [[mmrRerank]] over any (q_id, n_id, sim, n_vec) frame instead.
+    *
+    * Determinism/portability: relevance and candidate-pair similarities
+    * are rounded to 6 decimals BEFORE any comparison and ties break on
+    * ascending id, so the greedy trace replays bit-identically across
+    * partitionings and engines — the catalog query is hash-checked
+    * against a DuckDB recursive-CTE replay of the same selection.
+    */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, lambdaRel: Double = 0.7,
+              candidates: Int = 0): DataFrame = {
+    val c = if (candidates > 0) candidates else 4 * k
+    require(c >= k, s"candidates ($c) must be >= k ($k)")
+    val top = cosineTopK(emb, idCol, vecCol, queryPred, c)
+    val cv = emb.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+    mmrRerank(top.select(col("q_id").cast("long").as("q_id"), col("n_id"),
+      col("sim")).join(cv, Seq("n_id")), k, lambdaRel)
+  }
+
+  /** The greedy MMR tail over a prepared candidate frame
+    * (q_id long, n_id long, sim double — rounded 6, n_vec array<float>).
+    * Output: (q_id, n_id, rk, relevance, mmr_score), `mmr_score` =
+    * `λ·rel − (1−λ)·maxSimToSelected` rounded 6 (first pick: `λ·rel`).
+    *
+    * Scale shape: ONE shuffle groups each query's candidates; the
+    * per-query task is O(c²·dim) on primitive doubles — c is an operator
+    * parameter (10s), never the corpus. Queries parallelize across
+    * tasks; nothing reaches the driver. Non-finite pair similarities
+    * (zero-norm vectors) contribute no penalty — the caller owns vector
+    * hygiene, as in [[cosineDupPairs]].
+    */
+  def mmrRerank(cand: DataFrame, k: Int, lambdaRel: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaRel >= 0.0 && lambdaRel <= 1.0, "lambda must be in [0, 1]")
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val out = cand.select(col("q_id"), col("n_id"), col("sim"), col("n_vec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        import java.math.{BigDecimal => JBD}
+        // EXACT decimal score arithmetic: rel and pair sims are 6-dp
+        // quantities and λ is a decimal literal, so λ·rel − (1−λ)·max is
+        // an exact decimal — double arithmetic here would sit exactly ON
+        // rounding boundaries (0.7 × 0.371485 = 0.2600395) where binary
+        // representation decides the 6th digit differently per engine.
+        // The oracle runs the same steps in DECIMAL; DuckDB and
+        // java.math both round HALF_UP.
+        val lamBd = JBD.valueOf(lambdaRel)
+        val oneMinusBd = JBD.ONE.subtract(lamBd)
+        // relevance DESC, id ASC — the page order of the candidate stage
+        val cs = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = cs.length
+        val kk = math.min(k, n)
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; var i = 0; val m = a.length
+          while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        val norms = cs.map(t => math.sqrt(dot(t._4, t._4)))
+        val relBd = cs.map(t => JBD.valueOf(t._3))
+        // rounded BEFORE max/compare — the engine-portability contract;
+        // non-finite (zero-norm) pair sims contribute no penalty — the
+        // caller owns vector hygiene, as in cosineDupPairs
+        def pairSim(i: Int, j: Int): Option[JBD] = {
+          val raw = dot(cs(i)._4, cs(j)._4) / (norms(i) * norms(j))
+          if (java.lang.Double.isFinite(raw)) Some(JBD.valueOf(Det.round6(raw)))
+          else None
+        }
+        val isPicked = new Array[Boolean](n)
+        val maxSimTo = new Array[JBD](n) // null = no finite sim to selected
+        def scoreOf(i: Int): JBD = {
+          val base = lamBd.multiply(relBd(i))
+          if (maxSimTo(i) == null) base
+          else base.subtract(oneMinusBd.multiply(maxSimTo(i)))
+        }
+        val rows = Vector.newBuilder[(Long, Long, Long, Double, Double)]
+        var last = 0 // cs(0) maximizes λ·rel over the empty-selection step
+        var step = 0
+        while (step < kk) {
+          if (step > 0) {
+            var best = -1
+            var bestScore: JBD = null
+            var i = 0
+            while (i < n) {
+              if (!isPicked(i)) {
+                val score = scoreOf(i)
+                val cmp = if (best < 0) 1 else score.compareTo(bestScore)
+                if (cmp > 0 || (cmp == 0 && cs(i)._2 < cs(best)._2)) {
+                  best = i; bestScore = score
+                }
+              }
+              i += 1
+            }
+            last = best
+          }
+          isPicked(last) = true
+          rows += ((q, cs(last)._2, (step + 1).toLong, cs(last)._3,
+            scoreOf(last).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+          var i = 0
+          while (i < n) {
+            if (!isPicked(i)) {
+              pairSim(i, last).foreach { s =>
+                if (maxSimTo(i) == null || s.compareTo(maxSimTo(i)) > 0)
+                  maxSimTo(i) = s
+              }
+            }
+            i += 1
+          }
+          step += 1
+        }
+        rows.result()
+      }
+    out.toDF("q_id", "n_id", "rk", "relevance", "mmr_score")
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path: corpus vectors are assigned to their nearest of `nlist`
     * centroids (seeded deterministic init + one Lloyd refinement pass,
