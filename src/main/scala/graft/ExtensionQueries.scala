@@ -1250,6 +1250,33 @@ object ExtensionQueries {
       }
     },
 
+    // ---- Trained quality classifier (fastText/CCNet-shape filter) ----------
+    // Logistic regression on hashed-bigram tf features separating the
+    // English slice (reference corpus surrogate) from the rest, then a
+    // map-side scoring pass over the full corpus — the discriminative
+    // sibling of pipeline_dsir_topk. no_oracle: 30 gradient-descent
+    // iterations are not SQL-expressible (and exp() is not bit-portable
+    // across libms); ClassifierSpec pins bit-determinism across
+    // partitionings, monotone loss, planted-separation accuracy, and
+    // model sizing. Output: the 20 highest-scoring docs.
+    Q.noOracle("pipeline_quality_classifier") {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // the deployment shape: train on a portable md5 sample (the model
+        // is what scales), score the FULL corpus map-side
+        val train = Sampling.uniformByHash(docs, "doc_id", 0.5)
+        val model = Classifier.trainLogistic(
+          train.filter(col("lang") === "en"), train.filter(col("lang") =!= "en"),
+          "doc_id", "text", n = 2, buckets = 512, iters = 6)
+        sortSmall(
+          Classifier.scoreLogistic(docs, "doc_id", "text", model, n = 2)
+            .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .orderBy(col("score").desc, col("doc_id")).limit(20)
+            .select(col("doc_id"), col("lang"), col("score")),
+          col("score").desc, col("doc_id"))
+      }
+    },
+
     // ---- Per-source cap: k best docs per source ----------------------------
     // Deterministic top-k per group by quality — over-represented-domain
     // control. Bounded page aggregate (partitions·sources·k rows shuffle),

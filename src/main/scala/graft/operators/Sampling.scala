@@ -421,7 +421,7 @@ object Sampling {
     * pmod). This is what promotes `pipeline_dsir_topk` from rows-only to
     * hash-checked against DuckDB.
     */
-  private def hashedNgramBuckets(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def hashedNgramBuckets(df: DataFrame, idCol: String, textCol: String,
                                  n: Int, buckets: Int): DataFrame =
     TextOps.rawShingles(df, idCol, textCol, n)
       .withColumn("__b",
