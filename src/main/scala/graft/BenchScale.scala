@@ -93,6 +93,16 @@ object BenchScale {
     "sample_temperature_tokens", "pipeline_export_jsonl",
     // DSIR selection (two linear model passes + map-side scoring)
     "pipeline_dsir_topk",
+    // exact-substring dedup (window explode + 2 hash-keyed linear shuffles)
+    "dedup_ngram_spans", "dedup_ngram_spans_clean",
+    // span-level decontamination (broadcast eval window set, map-side flag)
+    "pipeline_decontaminate_spans",
+    // MMR diversified top-k (copy-0 query set; candidate stage is the
+    // brute kernel, greedy tail is per-query constant work)
+    "similarity_mmr",
+    // trained quality filter (iters × two linear shuffles on the md5
+    // training sample + one map-side scoring pass)
+    "pipeline_quality_classifier",
     "pipeline_clean_corpus")
 
   private def remapped(spark: SparkSession, srcDir: String, table: String,
@@ -414,6 +424,47 @@ object BenchScale {
       // exactly — page shape must survive the 32×-compressed scan
       q(outDir, "similarity_bq").count() == q(srcDir, "similarity_bq").count()
     }, "bq top-k result size changed with scale")
+    check("ngram_spans_copy0_exact", {
+      // copy 0 is verbatim and shares no shingles with the salted copies,
+      // so copy-0 stats rows must be byte-identical to the base corpus's
+      val bdf = q(srcDir, "dedup_ngram_spans")
+      val n = bdf.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val b = bdf.collect().map(_.toSeq).toSet
+      val s = q(outDir, "dedup_ngram_spans")
+        .filter(col("doc_id") < n).collect().map(_.toSeq).toSet
+      b == s
+    }, "copy-0 span stats departed from the base corpus under duplication")
+    check("ngram_spans_clean_total", {
+      // token-salting preserves each copy's INTERNAL dup structure
+      // verbatim and creates no cross-copy shingles, so every copy cleans
+      // exactly like the base: kept-token total scales by the factor
+      val baseKept = q(srcDir, "dedup_ngram_spans_clean")
+        .agg(sum("n_kept_tokens")).head().getLong(0)
+      val scaledKept = q(outDir, "dedup_ngram_spans_clean")
+        .agg(sum("n_kept_tokens")).head().getLong(0)
+      scaledKept == factor * baseKept
+    }, "scaled clean kept-token total broke the per-copy duplication contract")
+    check("decontam_spans_copy0_exact", {
+      // eval windows (odd ids) only match train windows (even ids) of the
+      // SAME copy (salting), so copy-0 span-decontam stats are verbatim
+      // the base corpus's
+      val bdf = q(srcDir, "pipeline_decontaminate_spans")
+      val n = bdf.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val b = bdf.collect().map(_.toSeq).toSet
+      val s = q(outDir, "pipeline_decontaminate_spans")
+        .filter(col("doc_id") < n).collect().map(_.toSeq).toSet
+      b == s
+    }, "copy-0 span-decontamination stats departed from the base corpus")
+    check("mmr_topk_shape_unchanged", {
+      // copy-0 query set: 5 queries x k rows at both scales; candidates
+      // re-rank over the bigger corpus but the page shape is the contract
+      q(outDir, "similarity_mmr").count() == q(srcDir, "similarity_mmr").count()
+    }, "mmr page shape changed with scale")
+    check("quality_classifier_page", {
+      // the trained filter re-fits on the scaled sample; the contract is
+      // the serving page shape (top-20), not the weights
+      q(outDir, "pipeline_quality_classifier").count() == 20L
+    }, "classifier top-k page size changed with scale")
     check("pq_topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: |Q|·k rows at
       // both scales (codebooks retrain on the bigger corpus, so NEIGHBOR

@@ -280,6 +280,40 @@ object ExtensionQueries {
       |  FROM isl),
       |sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY 1, 2)""".stripMargin
 
+  /** Shared DuckDB CTEs for SPAN-LEVEL decontamination (width 8, train =
+    * even ids, eval = odd ids): train window occurrences flagged against
+    * the eval window-hash set, merged to maximal spans. Serves
+    * `pipeline_decontaminate_spans` and `_spans_clean`.
+    */
+  private val sqlDecontamSpanCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |tn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+      |grams AS (
+      |  SELECT doc_id, CAST(g.p AS INTEGER) AS pos,
+      |         md5(array_to_string(list_slice(t, g.p + 1, g.p + 8), ' ')) AS gram_hash
+      |  FROM tn CROSS JOIN UNNEST(range(0, n_tokens - 7)) AS g(p)
+      |  WHERE n_tokens >= 8),
+      |ev AS (SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 2 = 1),
+      |tr AS (
+      |  SELECT doc_id, pos,
+      |         gram_hash IN (SELECT gram_hash FROM ev) AS hit
+      |  FROM grams WHERE doc_id % 2 = 0),
+      |dups AS (SELECT doc_id, pos, pos + 8 AS e FROM tr WHERE hit),
+      |isl AS (
+      |  SELECT doc_id, pos, e,
+      |         CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |              THEN 1 ELSE 0 END AS ni
+      |  FROM dups),
+      |isl2 AS (
+      |  SELECT doc_id, pos, e,
+      |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |sp AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY 1, 2)""".stripMargin
+
   /** Shared DuckDB chunking CTEs (size 64 / overlap 16 / step 48), the
     * one copy serving `text_chunk` and `pipeline_pack_stats`;
     * `extraCols` (e.g. ", source") ride along every CTE.
@@ -810,6 +844,63 @@ object ExtensionQueries {
         |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin) {
       (s, d) => NgramSpans.clean(t(s, d, "documents"), "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Span-level (surgical) decontamination ------------------------------
+    // pipeline_decontaminate's document gate drops a whole train doc over
+    // one shared benchmark n-gram; this cuts ONLY the matching spans:
+    // train windows flagged against the broadcast eval window-hash set
+    // (no keep-first — a match IS contamination), flags merged to maximal
+    // spans. Train = even ids, eval = odd (the decontamination fixture).
+    Q("pipeline_decontaminate_spans",
+      s"""WITH $sqlDecontamSpanCtes,
+        |gstats AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         count(CASE WHEN hit THEN 1 END) AS n_hit_grams
+        |  FROM tr GROUP BY 1),
+        |sstats AS (
+        |  SELECT doc_id, count(*) AS n_hit_spans,
+        |         CAST(sum(e - s) AS BIGINT) AS n_cut_tokens
+        |  FROM sp GROUP BY 1)
+        |SELECT tn.doc_id, n_tokens,
+        |       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |       CAST(COALESCE(n_hit_spans, 0) AS BIGINT) AS n_hit_spans,
+        |       CAST(COALESCE(n_cut_tokens, 0) AS BIGINT) AS n_cut_tokens,
+        |       n_tokens - CAST(COALESCE(n_cut_tokens, 0) AS BIGINT) AS n_kept_tokens
+        |FROM tn LEFT JOIN gstats USING (doc_id) LEFT JOIN sstats USING (doc_id)
+        |WHERE tn.doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        NgramSpans.decontamStats(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // ---- Span-level decontamination, transform form -------------------------
+    Q("pipeline_decontaminate_spans_clean",
+      s"""WITH $sqlDecontamSpanCtes,
+        |tp AS (
+        |  SELECT doc_id, CAST(g.p AS INTEGER) AS pos, t[g.p + 1] AS tok
+        |  FROM tn CROSS JOIN UNNEST(range(0, n_tokens)) AS g(p)
+        |  WHERE doc_id % 2 = 0),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id
+        |                    AND tp.pos >= sp.s AND tp.pos < sp.e))
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |       count(*) AS n_kept_tokens
+        |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        NgramSpans.decontamClean(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      }
     },
 
     // ---- SimHash near-dup (Hamming ≤ 3, the Manku et al. web-dedup radius) --

@@ -61,6 +61,22 @@ object Repl {
       |  subdocclean <view> <spanTokens> <maxDocs>
       |                                         the cleaned documents themselves:
       |                                         kept spans re-joined in order
+      |  spans <view> <n>                       exact-substring dedup stats: sliding
+      |                                         n-token windows recurring corpus-wide,
+      |                                         keep-first, merged per-doc spans
+      |  spansclean <view> <n>                  the span-cut documents themselves
+      |  spansdecontam <trainView> <evalView> <n>
+      |                                         span-level decontamination stats:
+      |                                         train windows matching ANY eval
+      |                                         window, merged to maximal spans
+      |  spansdecontamclean <trainView> <evalView> <n>
+      |                                         the surgically-cleaned train docs
+      |  mmr <view> <id> <k> <lambda>           diversified top-k for a query vector:
+      |                                         greedy MMR over brute candidates
+      |  trainfilter <posView> <negView> <view> <k> [iters]
+      |                                         train a hashed-ngram logistic quality
+      |                                         filter on pos-vs-neg, score <view>,
+      |                                         show its k best docs
       |  contaminate <trainView> <evalView> <n> <minHits>
       |                                         train docs sharing >= minHits n-gram
       |                                         shingles with the eval view
@@ -324,6 +340,33 @@ object Repl {
         render(graft.operators.Dedup
           .subdocDedupClean(df(vid), "doc_id", "text", spanTokens.toInt, maxDocs.toInt)
           .orderBy(col("doc_id")))
+      case "spansdecontam" :: trainVid :: evalVid :: n :: Nil =>
+        render(graft.operators.NgramSpans
+          .decontamStats(df(trainVid), df(evalVid), "doc_id", "text", n.toInt)
+          .orderBy(col("doc_id")))
+      case "spansdecontamclean" :: trainVid :: evalVid :: n :: Nil =>
+        render(graft.operators.NgramSpans
+          .decontamClean(df(trainVid), df(evalVid), "doc_id", "text", n.toInt)
+          .orderBy(col("doc_id")))
+      case "spans" :: vid :: n :: Nil =>
+        render(graft.operators.NgramSpans
+          .stats(df(vid), "doc_id", "text", n.toInt)
+          .orderBy(col("doc_id")))
+      case "spansclean" :: vid :: n :: Nil =>
+        render(graft.operators.NgramSpans
+          .clean(df(vid), "doc_id", "text", n.toInt)
+          .orderBy(col("doc_id")))
+      case "mmr" :: vid :: id :: k :: lambda :: Nil =>
+        render(graft.operators.Similarity
+          .mmrTopK(df(vid), "vec_id", "embedding",
+            col("vec_id") === id.toLong, k.toInt, lambda.toDouble))
+      case "trainfilter" :: posVid :: negVid :: vid :: k :: rest if rest.size <= 1 =>
+        val iters = rest.headOption.map(_.toInt).getOrElse(10)
+        val model = graft.operators.Classifier
+          .trainLogistic(df(posVid), df(negVid), "doc_id", "text", iters = iters)
+        render(graft.operators.Classifier
+          .scoreLogistic(df(vid), "doc_id", "text", model)
+          .orderBy(col("score").desc, col("doc_id")).limit(k.toInt))
       case "contaminate" :: trainVid :: evalVid :: n :: minHits :: Nil =>
         render(graft.operators.Dedup
           .contamination(df(trainVid), df(evalVid), "doc_id", "text",

@@ -79,12 +79,77 @@ object NgramSpans {
     */
   def clean(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
     val toks = tokenized(df, idCol, textCol)
-    val sp = spans(markedOccurrences(toks, idCol, n), idCol, n)
-      .withColumnRenamed(idCol, "__sid")
+    cutSpans(toks, spans(markedOccurrences(toks, idCol, n), idCol, n), idCol)
+  }
+
+  /** Span-level (surgical) decontamination stats: instead of dropping a
+    * train document that shares n-grams with an eval benchmark
+    * ([[Dedup.contamination]]'s document-level gate), mark every train
+    * window that appears ANYWHERE in `eval` (no keep-first — a match IS
+    * contamination) and merge the marks into maximal spans. Returns
+    * (id, n_tokens, n_grams, n_hit_grams, n_hit_spans, n_cut_tokens,
+    * n_kept_tokens) for every non-null-text train document.
+    *
+    * Scale shape: the eval window-hash set is benchmark-sized and
+    * BROADCASTS — train windows mark map-side (one explode, a broadcast
+    * left-semi-shaped flag join, no train-side shuffle before the
+    * id-keyed span merge). The train corpus never self-joins.
+    */
+  def decontamStats(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val toks = tokenized(train, idCol, textCol)
+    val occ = evalMarked(toks, eval, idCol, textCol, n)
+    val gramStats = occ.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__dup"), 1)).as("n_hit_grams"))
+    val spanStats = spans(occ, idCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_spans"),
+        sum(col("__e") - col("__s")).cast("long").as("n_cut_tokens"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(gramStats, Seq(idCol), "left")
+      .join(spanStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_hit_spans"), lit(0L)).as("n_hit_spans"),
+        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"),
+        (col("n_tokens") - coalesce(col("n_cut_tokens"), lit(0L))).as("n_kept_tokens"))
+  }
+
+  /** The TRANSFORM sibling of [[decontamStats]]: train documents with
+    * their eval-matching spans cut — (id, clean_text, n_kept_tokens);
+    * fully-contaminated documents drop.
+    */
+  def decontamClean(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val toks = tokenized(train, idCol, textCol)
+    cutSpans(toks, spans(evalMarked(toks, eval, idCol, textCol, n), idCol, n), idCol)
+  }
+
+  /** Occurrences of `toks` windows flagged against the eval window-hash
+    * set (broadcast; distinct eval hashes only — positions don't matter
+    * on the eval side).
+    */
+  private def evalMarked(toks: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val evalGrams = tokenized(eval, idCol, textCol)
+      .filter(col("n_tokens") >= n)
+      .select(explode(windowHashes(n)).as("__gram")).distinct()
+      .withColumn("__hit", lit(true))
+    windowOccurrences(toks, idCol, n)
+      .join(broadcast(evalGrams), Seq("__gram"), "left")
+      .select(col(idCol), col("__pos"),
+        coalesce(col("__hit"), lit(false)).as("__dup"))
+  }
+
+  /** Cut `sp` spans out of `toks` and re-join kept tokens in order. */
+  private def cutSpans(toks: DataFrame, sp: DataFrame, idCol: String): DataFrame = {
+    val spR = sp.withColumnRenamed(idCol, "__sid")
     val pos = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("__pos", "__tok")))
-    pos.join(sp,
-        pos(idCol) === sp("__sid") &&
+    pos.join(spR,
+        pos(idCol) === spR("__sid") &&
           col("__pos") >= col("__s") && col("__pos") < col("__e"),
         "left_anti")
       .groupBy(col(idCol))
@@ -103,22 +168,35 @@ object NgramSpans {
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
 
-  /** Window occurrences (id, __pos, __dup): every n-token window start,
-    * marked duplicated unless it is the (id, pos)-first holder of its
-    * hash. One exchange on the gram hash serves both the corpus count
-    * and the first-occurrence rank.
+  /** Array of the row's n-token window md5s (index = start position),
+    * over the materialized `__toks` column.
     */
-  private def markedOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame = {
+  private def windowHashes(n: Int): Column =
+    transform(sequence(lit(0), col("n_tokens").cast("int") - lit(n)),
+      p => md5(concat_ws(" ", slice(col("__toks"), p + lit(1), lit(n)))))
+
+  /** Exploded window occurrences (id, __pos, __gram) for rows with at
+    * least one window.
+    */
+  private def windowOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n >= 2, "window width must be >= 2 tokens")
-    val grams = toks.filter(col("n_tokens") >= n)
+    toks.filter(col("n_tokens") >= n)
       .select(col(idCol),
         explode(sequence(lit(0), col("n_tokens").cast("int") - lit(n))).as("__pos"),
         col("__toks"))
       .select(col(idCol), col("__pos"),
         md5(concat_ws(" ", slice(col("__toks"), col("__pos") + lit(1), lit(n))))
           .as("__gram"))
+  }
+
+  /** Window occurrences (id, __pos, __dup): every n-token window start,
+    * marked duplicated unless it is the (id, pos)-first holder of its
+    * hash. One exchange on the gram hash serves both the corpus count
+    * and the first-occurrence rank.
+    */
+  private def markedOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame = {
     val byGram = Window.partitionBy(col("__gram"))
-    grams
+    windowOccurrences(toks, idCol, n)
       .withColumn("__rk", row_number().over(byGram.orderBy(col(idCol), col("__pos"))))
       .withColumn("__cnt", count(lit(1)).over(byGram))
       .select(col(idCol), col("__pos"),

@@ -117,6 +117,33 @@ class NgramSpansSpec extends SparkSpec {
     assert(cl.getString(1) == "tiny doc")
   }
 
+  test("decontamination cuts EVERY matching span, including first occurrences") {
+    val eval = Seq((100L, s"benchmark question $phrase answer")).toDF("doc_id", "text")
+    val st = NgramSpans.decontamStats(df, eval, "doc_id", "text", n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // doc 1 holds the corpus-FIRST occurrence — dedup keeps it, but
+    // decontamination cuts it all the same (no keep-first)
+    assert(st(1L) == ((1L, 8L)), s"doc 1: ${st(1L)}")
+    assert(st(2L) == ((1L, 8L)) && st(3L) == ((1L, 8L)))
+    assert(st(4L) == ((2L, 16L)), "both internal copies cut")
+    assert(st(5L) == ((0L, 0L)) && st(6L) == ((0L, 0L)), "clean docs untouched")
+  }
+
+  test("decontamination clean cuts exactly the flagged tokens") {
+    val eval = Seq((100L, s"benchmark question $phrase answer")).toDF("doc_id", "text")
+    val cl = NgramSpans.decontamClean(df, eval, "doc_id", "text", n = 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cl(1L) == "one two three four")
+    assert(cl(4L) == "xx yy zz")
+    assert(cl(5L) == corpus.find(_._1 == 5L).get._2)
+    // the cleaned train corpus shares no window with the eval set
+    val cleaned = NgramSpans.decontamClean(df, eval, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val residual = NgramSpans.decontamStats(cleaned, eval, "doc_id", "text", n = 8)
+      .agg(sum("n_hit_grams")).head().getLong(0)
+    assert(residual == 0L, s"residual contaminated windows: $residual")
+  }
+
   test("result is partitioning-invariant") {
     val a = NgramSpans.stats(df, "doc_id", "text", n = 8)
       .orderBy("doc_id").collect().toSeq

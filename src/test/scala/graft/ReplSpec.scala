@@ -322,4 +322,33 @@ class ReplSpec extends SparkSpec {
         s"served page must hold k rows for q_id 3:\n$out")
     }
   }
+
+  test("spans, mmr, and trainfilter drive the round-13 curation verbs") {
+    val out = script(
+      "open documents",
+      "spans documents-1 8",
+      "spansclean documents-1 8",
+      "open embeddings",
+      "mmr embeddings-2 3 5 0.7",
+      "filter documents-1 lang = 'en'",
+      "filter documents-1 lang <> 'en'",
+      "trainfilter filter-3 filter-4 documents-1 5 5",
+      "quit")
+    val lines = out.linesIterator.toSeq
+    // spans: stats header + a data row
+    val spansHeader = lines.indexWhere(_.startsWith("doc_id\tn_tokens\tn_grams"))
+    assert(spansHeader >= 0, s"spans must render the stats table:\n$out")
+    assert(lines(spansHeader + 1).split("\t").length == 7, out)
+    // spansclean: (doc_id, clean_text, n_kept_tokens)
+    assert(lines.exists(_.startsWith("doc_id\tclean_text\tn_kept_tokens")), out)
+    // mmr: a 5-row page for query 3 with mmr_score column
+    val mmrHeader = lines.indexWhere(_.startsWith("q_id\tn_id\trk\trelevance\tmmr_score"))
+    assert(mmrHeader >= 0, s"mmr must render its page:\n$out")
+    val mmrRows = lines.drop(mmrHeader + 1).takeWhile(_.contains("\t")).take(5)
+    assert(mmrRows.size == 5 && mmrRows.forall(_.startsWith("3\t")), out)
+    // trainfilter: (doc_id, score) page of 5
+    val tfHeader = lines.indexWhere(_.startsWith("doc_id\tscore"))
+    assert(tfHeader >= 0, s"trainfilter must render scores:\n$out")
+    assert(lines.drop(tfHeader + 1).takeWhile(_.contains("\t")).size == 5, out)
+  }
 }
