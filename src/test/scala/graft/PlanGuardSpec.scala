@@ -19,7 +19,13 @@ class PlanGuardSpec extends SparkSpec {
     * handful of audience rows by the sketch-table contract), never base
     * data, so the nested-loop is over a groups² grid of sketch pairs.
     */
-  private val allPairsBaselines = Set("similarity_topk", "events_user_overlap_theta")
+  /** similarity_mmr: the candidate stage IS cosineTopK's documented brute
+    * baseline (|Q| = 5 queries by the catalog predicate); the greedy MMR
+    * tail adds no join — compose mmrRerank over an ANN candidate frame
+    * for the sub-quadratic path.
+    */
+  private val allPairsBaselines =
+    Set("similarity_topk", "similarity_mmr", "events_user_overlap_theta")
   private val scalarBroadcasts = Set("heavy_hitters_relative", "set_ops_counts")
 
   test("no catalog query plans a cartesian or nested-loop join (beyond the documented baselines)") {
@@ -104,14 +110,19 @@ class PlanGuardSpec extends SparkSpec {
       // loadThresholds: the dim-row sign-threshold table (BQ serves off
       // Pq's collectQueries/pageTopK otherwise — no other driver reads)
       "Bq.scala"            -> 1,
+      // trainLogistic: one buckets-sized gradient per iteration (the
+      // model IS the sketch — the bucketLogProbs/DSIR precedent)
+      "Classifier.scala"    -> 1,
       // scale-invariant checks, not operators: funnel step counts (3
       // rows), retention cohort cells (tens of rows), theta overlap
       // cells (type-pairs), and weekly KLL quantiles (weeks) collected
       // at both scales to assert the factor-x / invariance contracts
       // (+2: the bm25 matched-doc id sets, k rows each; +2: the CMS
       // week×probe grids vs the exact twin, tens of rows each; +2: the
-      // per-bucket equi-depth histograms at both scales, k rows each)
-      "BenchScale.scala"    -> 14)
+      // per-bucket equi-depth histograms at both scales, k rows each;
+      // +4: the copy-0 ngram-span and span-decontam stats row sets at
+      // both scales, one row per base doc each — fixture-sized)
+      "BenchScale.scala"    -> 18)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
