@@ -664,6 +664,44 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Streaming decontamination gate (window-hash stream-static join) ----
+    // Incoming docs (doc_id % 10 = 0, replayed as a stream) flagged at
+    // exact-substring window granularity against the static benchmark
+    // side (% 10 != 0): map-side window hashes, broadcast eval set, one
+    // streaming aggregation. The DuckDB oracle replays the whole gram
+    // accounting batch-wise — stream ≡ batch is ALSO pinned in
+    // StreamDedupSpec against NgramSpans.decontamStats semantics.
+    Q("pipeline_stream_decontam",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        |grams AS (
+        |  SELECT doc_id, CAST(g.p AS INTEGER) AS pos,
+        |         md5(array_to_string(list_slice(t, g.p + 1, g.p + 8), ' ')) AS gram_hash
+        |  FROM tn CROSS JOIN UNNEST(range(0, n_tokens - 7)) AS g(p)
+        |  WHERE n_tokens >= 8),
+        |ev AS (SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 10 <> 0),
+        |inc AS (
+        |  SELECT doc_id, pos,
+        |         gram_hash IN (SELECT gram_hash FROM ev) AS hit
+        |  FROM grams WHERE doc_id % 10 = 0),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         count(CASE WHEN hit THEN 1 END) AS n_hit_grams
+        |  FROM inc GROUP BY 1)
+        |SELECT tn.doc_id,
+        |       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |       COALESCE(n_hit_grams, 0) > 0 AS is_contaminated
+        |FROM tn LEFT JOIN stats USING (doc_id)
+        |WHERE tn.doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.StreamDedup.ingestDecontam(s, d)
+          .orderBy(col("doc_id"))
+    },
+
     // Index-served twin: same split, same EXACT oracle, but the corpus
     // side is the persisted buildLshIndex artifact — the configuration a
     // production ingest gate runs (batch builds, micro-batches probe).

@@ -169,11 +169,27 @@ object NgramSpans {
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
 
   /** Array of the row's n-token window md5s (index = start position),
-    * over the materialized `__toks` column.
+    * over the materialized `__toks` column. Callers must guard
+    * `n_tokens >= n` (an unguarded negative upper bound would make
+    * `sequence` DESCEND) — [[windowHashArray]] is the guarded form.
     */
   private def windowHashes(n: Int): Column =
     transform(sequence(lit(0), col("n_tokens").cast("int") - lit(n)),
       p => md5(concat_ws(" ", slice(col("__toks"), p + lit(1), lit(n)))))
+
+  /** (id, __grams): each non-null-text row's window-hash array (empty for
+    * docs shorter than `n`) — the MAP-SIDE form (pure per-row
+    * expressions, no shuffle, no window functions), usable on STREAMING
+    * frames; the streaming decontamination gate builds on it.
+    */
+  private[graft] def windowHashArray(df: DataFrame, idCol: String, textCol: String,
+                                     n: Int): DataFrame = {
+    require(n >= 2, "window width must be >= 2 tokens")
+    tokenized(df, idCol, textCol)
+      .select(col(idCol),
+        when(col("n_tokens") >= n, windowHashes(n))
+          .otherwise(array().cast("array<string>")).as("__grams"))
+  }
 
   /** Exploded window occurrences (id, __pos, __gram) for rows with at
     * least one window.

@@ -304,4 +304,53 @@ object StreamDedup {
       .filter(pmod(col("doc_id"), lit(10)) === 0)
     runKeyed(dedupAgainstLshIndex(spark, incoming, "doc_id", "text", indexDir))
   }
+
+  /** Streaming DECONTAMINATION gate: incoming documents flagged against a
+    * STATIC eval/benchmark window-hash set at exact-substring (sliding
+    * n-token window) granularity — the ingest-time form of
+    * [[graft.operators.NgramSpans.decontamStats]]'s gram accounting.
+    * Returns one row per incoming non-null-text document:
+    * (id, n_grams, n_hit_grams, is_contaminated).
+    *
+    * Plan shape: window hashes compute MAP-SIDE on the stream (pure
+    * per-row expressions via `windowHashArray` — no shuffle, no window
+    * functions, so the same plan is legal streaming and batch); the eval
+    * window set is a stream-static equi join against a benchmark-sized
+    * static side (broadcast); ONE streaming aggregation per doc folds the
+    * flags. Span-level CUTTING stays a batch concern — the gate decides
+    * accept/quarantine, the batch `decontamClean` rewrites.
+    *
+    * `incoming` may be streaming or batch — stream ≡ batch parity is
+    * pinned in StreamDedupSpec against the batch operator itself.
+    */
+  def decontamGate(eval: DataFrame, incoming: DataFrame,
+                   idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    import graft.operators.NgramSpans
+    val evalGrams = NgramSpans.windowHashArray(eval, idCol, textCol, n)
+      .select(explode(col("__grams")).as("__gram")).distinct()
+      .withColumn("__hit", lit(true))
+    NgramSpans.windowHashArray(incoming, idCol, textCol, n)
+      .select(col(idCol), explode_outer(col("__grams")).as("__gram"))
+      .join(broadcast(evalGrams), Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__gram")).as("n_grams"),
+        count(when(col("__hit"), 1)).as("n_hit_grams"))
+      .withColumn("is_contaminated", col("n_hit_grams") > 0)
+  }
+
+  /** The documents fixture split into a static eval/benchmark side
+    * (doc_id % 10 ≠ 0) and a replayed incoming stream (doc_id % 10 = 0),
+    * gated at window granularity — the catalog/bench entry point (same
+    * split and sink lifecycle as [[ingestDedup]]).
+    */
+  def ingestDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val eval = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    runKeyed(decontamGate(eval, incoming, "doc_id", "text"))
+  }
 }

@@ -24,6 +24,27 @@ class StreamDedupSpec extends SparkSpec {
     assert(stream.count() == incoming.count())
   }
 
+  test("streamed decontamination gate equals the batch plan and the batch operator") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val eval = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val batch = StreamDedup.decontamGate(eval, incoming, "doc_id", "text")
+    val stream = StreamDedup.ingestDecontam(spark, sf)
+    assert(canon(stream) == canon(batch))
+    // gram accounting agrees with the batch span operator's stats columns
+    val spanStats = graft.operators.NgramSpans
+      .decontamStats(incoming, eval, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("n_grams"), col("n_hit_grams"),
+        (col("n_hit_grams") > 0).as("is_contaminated"))
+    assert(canon(stream) == canon(spanStats))
+    // the gate answers for every incoming non-null-text doc
+    assert(stream.count() == incoming.filter(col("text").isNotNull).count())
+    // the fixture must exercise both outcomes
+    val flags = stream.select("is_contaminated").collect().map(_.getBoolean(0))
+    assert(flags.contains(true) && flags.contains(false),
+      "fixture split must plant both contaminated and clean incoming docs")
+  }
+
   test("persisted LSH index serves identically to the fused plan; params ride the index") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
