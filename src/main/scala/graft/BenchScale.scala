@@ -98,8 +98,9 @@ object BenchScale {
     // span-level decontamination (broadcast eval window set, map-side flag)
     "pipeline_decontaminate_spans",
     // MMR diversified top-k (copy-0 query set; candidate stage is the
-    // brute kernel, greedy tail is per-query constant work)
-    "similarity_mmr",
+    // brute kernel / the nprobe-pruned IVF pool, greedy tail is
+    // per-query constant work)
+    "similarity_mmr", "similarity_mmr_ivf",
     // trained quality filter (iters × two linear shuffles on the md5
     // training sample + one map-side scoring pass)
     "pipeline_quality_classifier",
@@ -460,6 +461,9 @@ object BenchScale {
       // re-rank over the bigger corpus but the page shape is the contract
       q(outDir, "similarity_mmr").count() == q(srcDir, "similarity_mmr").count()
     }, "mmr page shape changed with scale")
+    check("mmr_ivf_page_shape_unchanged", {
+      q(outDir, "similarity_mmr_ivf").count() == q(srcDir, "similarity_mmr_ivf").count()
+    }, "ivf-mmr page shape changed with scale")
     check("quality_classifier_page", {
       // the trained filter re-fits on the scaled sample; the contract is
       // the serving page shape (top-20), not the weights

@@ -1121,6 +1121,20 @@ object ExtensionQueries {
         col("vec_id") < 5, k = 5, lambdaRel = 0.7, candidates = 20)
     },
 
+    // ---- MMR over the IVF candidate stage (the sub-quadratic serve path) ---
+    // Same greedy tail as similarity_mmr, candidate pool from nprobe
+    // coarse buckets instead of the brute cross join. no_oracle (k-means
+    // is not SQL-expressible); MmrSpec pins full-probe ≡ brute-MMR
+    // exactly, and the plan never crosses the corpus with the queries.
+    Q.noOracle("similarity_mmr_ivf") {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.mmrTopKIvf(emb, "vec_id", "embedding", col("vec_id") < 5,
+          k = 5, lambdaRel = 0.7, candidates = 20,
+          nlist = embNlist(s, d), nprobe = 8)
+      }
+    },
+
     // ---- LSH-bucketed ANN (scale path; recall vs brute force in tests) -----
     Q.noOracle("similarity_lsh") {
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",

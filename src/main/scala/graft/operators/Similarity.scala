@@ -280,6 +280,26 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** The sub-quadratic MMR path: [[mmrRerank]] composed over the IVF
+    * candidate stage instead of the brute cross join — per query the
+    * candidate pool is ≈ (nprobe/nlist)·N, re-ranked to the top
+    * `candidates` by the bounded page aggregate, then greedily
+    * diversified. With `nprobe = nlist` the pool is the whole corpus and
+    * the result equals [[mmrTopK]] exactly (pinned in MmrSpec).
+    */
+  def mmrTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
+                 queryPred: Column, k: Int, lambdaRel: Double = 0.7,
+                 candidates: Int = 0, nlist: Int = 16, nprobe: Int = 4,
+                 seed: Long = 42L): DataFrame = {
+    val c = if (candidates > 0) candidates else 4 * k
+    require(c >= k, s"candidates ($c) must be >= k ($k)")
+    val top = rerankTopK(
+      ivfCandidates(emb, idCol, vecCol, queryPred, nlist, nprobe, seed), c)
+    val cv = emb.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+    mmrRerank(top.select(col("q_id").cast("long").as("q_id"), col("n_id"),
+      col("sim")).join(cv, Seq("n_id")), k, lambdaRel)
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path: corpus vectors are assigned to their nearest of `nlist`
     * centroids (seeded deterministic init + one Lloyd refinement pass,

@@ -91,6 +91,15 @@ class MmrSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("IVF-candidate MMR at full probe equals the brute path exactly") {
+    val brute = Similarity.mmrTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 0, k = 3, lambdaRel = 0.7, candidates = 4).collect().toSeq
+    val ivf = Similarity.mmrTopKIvf(emb, "vec_id", "embedding",
+      col("vec_id") === 0, k = 3, lambdaRel = 0.7, candidates = 4,
+      nlist = 2, nprobe = 2).collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("result is partitioning-invariant") {
     val a = Similarity.mmrTopK(emb, "vec_id", "embedding", col("vec_id") === 0,
       k = 3, lambdaRel = 0.7, candidates = 4).collect().toSeq
