@@ -104,6 +104,8 @@ object BenchScale {
     // trained quality filter (iters × two linear shuffles on the md5
     // training sample + one map-side scoring pass)
     "pipeline_quality_classifier",
+    // BPE training (one linear word count + capped driver loop) + encode
+    "text_bpe_tokens",
     "pipeline_clean_corpus")
 
   private def remapped(spark: SparkSession, srcDir: String, table: String,
@@ -464,6 +466,12 @@ object BenchScale {
     check("mmr_ivf_page_shape_unchanged", {
       q(outDir, "similarity_mmr_ivf").count() == q(srcDir, "similarity_mmr_ivf").count()
     }, "ivf-mmr page shape changed with scale")
+    check("bpe_rows_scale_exactly", {
+      // merges retrain on the salted corpus (vocab changes), but encode
+      // answers one row per non-null-text doc at BOTH scales
+      q(outDir, "text_bpe_tokens").count() ==
+        factor * q(srcDir, "text_bpe_tokens").count()
+    }, "bpe encode row count broke the duplication contract")
     check("quality_classifier_page", {
       // the trained filter re-fits on the scaled sample; the contract is
       // the serving page shape (top-20), not the weights

@@ -1242,6 +1242,22 @@ object ExtensionQueries {
     },
 
     // ---- Token count -------------------------------------------------------
+    // ---- BPE tokenizer training + corpus encoding ---------------------------
+    // Sennrich et al. merges learned from the corpus's own word counts
+    // (one linear groupBy + a capped driver merge loop), then a map-side
+    // encode. no_oracle: the iterative global-argmax merge loop is not
+    // SQL-expressible; BpeSpec pins the reference merge sequence,
+    // round-trip reconstruction, and bit-determinism.
+    Q.noOracle("text_bpe_tokens") {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = Bpe.trainMerges(docs, "text", numMerges = 32)
+        Bpe.encode(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     Q("text_token_count",
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) {

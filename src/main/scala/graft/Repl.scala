@@ -65,6 +65,9 @@ object Repl {
       |                                         n-token windows recurring corpus-wide,
       |                                         keep-first, merged per-doc spans
       |  spansclean <view> <n>                  the span-cut documents themselves
+      |  bpetrain <view> <numMerges>            learn BPE merges from the corpus's
+      |                                         word counts (rank, left, right)
+      |  bpetokens <view> <numMerges>           train + encode: per-doc BPE counts
       |  spansdecontam <trainView> <evalView> <n>
       |                                         span-level decontamination stats:
       |                                         train windows matching ANY eval
@@ -340,6 +343,15 @@ object Repl {
         render(graft.operators.Dedup
           .subdocDedupClean(df(vid), "doc_id", "text", spanTokens.toInt, maxDocs.toInt)
           .orderBy(col("doc_id")))
+      case "bpetrain" :: vid :: nMerges :: Nil =>
+        val merges = graft.operators.Bpe.trainMerges(df(vid), "text", nMerges.toInt)
+        render(spark.createDataFrame(
+          merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+        ).toDF("rank", "left", "right"))
+      case "bpetokens" :: vid :: nMerges :: Nil =>
+        val merges = graft.operators.Bpe.trainMerges(df(vid), "text", nMerges.toInt)
+        render(graft.operators.Bpe.encode(df(vid), "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe")).orderBy(col("doc_id")))
       case "spansdecontam" :: trainVid :: evalVid :: n :: Nil =>
         render(graft.operators.NgramSpans
           .decontamStats(df(trainVid), df(evalVid), "doc_id", "text", n.toInt)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE tokenizer training: the Sennrich et al. reference fixture
+  * (hand-verified merge sequence + the classic "lowest" segmentation),
+  * exhaustion, encoding contracts, and bit-determinism across
+  * partitionings.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the ACL'16 fixture: low x5, lower x2, newest x6, widest x3
+  private lazy val corpus = Seq(
+    (1L, Array.fill(5)("low").mkString(" ")),
+    (2L, Array.fill(2)("lower").mkString(" ")),
+    (3L, Array.fill(6)("newest").mkString(" ")),
+    (4L, Array.fill(3)("widest").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("merge sequence matches the hand-computed reference") {
+    val m = Bpe.trainMerges(corpus, "text", 4)
+    // pair counts round 1: (e,s)=9 ties (s,t</w>)=9 -> lex; then chains
+    assert(m == Seq(
+      ("e", "s"), ("es", "t" + Bpe.EndMark), ("l", "o"), ("e", "w")), m.toString)
+  }
+
+  test("encoding an unseen word applies merges in rank order") {
+    val m = Bpe.trainMerges(corpus, "text", 4)
+    assert(Bpe.encodeWord("lowest", m) ==
+      IndexedSeq("lo", "w", "est" + Bpe.EndMark))
+    // untouched characters stay single symbols; the marker rides the last
+    assert(Bpe.encodeWord("xyz", m) == IndexedSeq("x", "y", "z" + Bpe.EndMark))
+  }
+
+  test("training exhausts gracefully when every word fuses") {
+    val tiny = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(tiny, "text", 100)
+    assert(m.size < 100, "must stop before the requested merge count")
+    // every word now encodes to ONE symbol under the learned merges
+    for (w <- Seq("aa", "ab"))
+      assert(Bpe.encodeWord(w, m).size == 1, w)
+  }
+
+  test("corpus encoding: concatenated symbols reconstruct each word") {
+    val m = Bpe.trainMerges(corpus, "text", 4)
+    val enc = Bpe.encode(corpus, "doc_id", "text", m).collect()
+    for (r <- enc) {
+      val toks = r.getSeq[String](1)
+      val rebuilt = toks.mkString("").replace(Bpe.EndMark, " ").trim
+      val original = corpus.filter(col("doc_id") === r.getLong(0))
+        .head().getString(1)
+      assert(rebuilt == original, s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) == toks.length)
+    }
+  }
+
+  test("training is bit-deterministic across partitionings") {
+    val docs = sources.Tables.open(spark, sf, "documents")
+    val a = Bpe.trainMerges(docs, "text", 16)
+    val b = Bpe.trainMerges(docs.repartition(7), "text", 16)
+    assert(a == b)
+    assert(a.size == 16)
+  }
+
+  test("encoding never exceeds character count and compresses the fixture") {
+    val m = Bpe.trainMerges(corpus, "text", 4)
+    val enc = Bpe.encode(corpus, "doc_id", "text", m)
+      .agg(sum("n_bpe")).head().getLong(0)
+    val chars = corpus.select(
+      sum(length(regexp_replace(col("text"), "\\s", "")))).head().getLong(0)
+    val words = 5 + 2 + 6 + 3
+    assert(enc < chars, "merges must compress below character segmentation")
+    assert(enc >= words, "at least one symbol per word")
+  }
+}

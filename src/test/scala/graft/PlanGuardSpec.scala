@@ -113,6 +113,9 @@ class PlanGuardSpec extends SparkSpec {
       // trainLogistic: one buckets-sized gradient per iteration (the
       // model IS the sketch — the bucketLogProbs/DSIR precedent)
       "Classifier.scala"    -> 1,
+      // trainMerges: the top-maxWords frequency table (capped — the
+      // k-means-sample precedent; the merge loop is driver arithmetic)
+      "Bpe.scala"           -> 1,
       // scale-invariant checks, not operators: funnel step counts (3
       // rows), retention cohort cells (tens of rows), theta overlap
       // cells (type-pairs), and weekly KLL quantiles (weeks) collected

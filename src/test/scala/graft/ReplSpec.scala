@@ -333,6 +333,8 @@ class ReplSpec extends SparkSpec {
       "filter documents-1 lang = 'en'",
       "filter documents-1 lang <> 'en'",
       "trainfilter filter-3 filter-4 documents-1 5 5",
+      "bpetrain documents-1 8",
+      "bpetokens documents-1 8",
       "quit")
     val lines = out.linesIterator.toSeq
     // spans: stats header + a data row
@@ -349,6 +351,13 @@ class ReplSpec extends SparkSpec {
     // trainfilter: (doc_id, score) page of 5
     val tfHeader = lines.indexWhere(_.startsWith("doc_id\tscore"))
     assert(tfHeader >= 0, s"trainfilter must render scores:\n$out")
-    assert(lines.drop(tfHeader + 1).takeWhile(_.contains("\t")).size == 5, out)
+    val tfRows = lines.drop(tfHeader + 1).take(5)
+    assert(tfRows.size == 5 && tfRows.forall(_.split("\t").length == 2), out)
+    // bpetrain: 8 (rank, left, right) merge rows; bpetokens: per-doc counts
+    val bpeHeader = lines.indexWhere(_.startsWith("rank\tleft\tright"))
+    assert(bpeHeader >= 0, s"bpetrain must render the merge table:\n$out")
+    val mergeRows = lines.drop(bpeHeader + 1).take(8)
+    assert(mergeRows.forall(_.split("\t").length == 3), out)
+    assert(lines.exists(_.startsWith("doc_id\tn_bpe")), out)
   }
 }
