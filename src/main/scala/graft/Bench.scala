@@ -202,8 +202,14 @@ object Bench {
     // only a FULL sweep may stamp the committed round artifact — a
     // SPARK_GRAFT_ONLY subset run would silently replace the 100+-query
     // record with its few rows
-    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty && only.isEmpty)
+    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty && only.isEmpty) {
       persistAtRepoRoot("bench", line, "BENCH_full_latest.json")
+      // the anchor-12 map ALSO lands as its own small durable artifact:
+      // three rounds of driver-side stdout parsing came back `parsed:
+      // null` despite head+tail anchor emission, so the normative
+      // BASELINE.md §B comparison must never depend on stdout at all
+      persistAtRepoRoot("bench", anchorLine, "BENCH_anchor_latest.json")
+    }
     spark.stop()
   }
 

@@ -80,9 +80,10 @@ object BenchScale {
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf",
     "similarity_pq", "similarity_pq_refined", "similarity_ivfpq_index",
+    "similarity_ivfpq_residual", "similarity_opq",
     "similarity_sq", "similarity_bq",
     // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
-    "histogram_equidepth",
+    "histogram_equidepth", "histogram_equidepth_per_group",
     // product analytics (user-keyed min-aggregations / cohort cells)
     "events_funnel", "events_retention", "events_anomaly",
     "events_distinct_rollup",
@@ -97,6 +98,9 @@ object BenchScale {
     "dedup_ngram_spans", "dedup_ngram_spans_clean",
     // span-level decontamination (broadcast eval window set, map-side flag)
     "pipeline_decontaminate_spans",
+    // streaming decontamination gate (micro-batch replay of the same
+    // broadcast-eval window join — stream-side constant factors at scale)
+    "pipeline_stream_decontam",
     // MMR diversified top-k (copy-0 query set; candidate stage is the
     // brute kernel / the nprobe-pruned IVF pool, greedy tail is
     // per-query constant work)
@@ -375,29 +379,48 @@ object BenchScale {
       q(outDir, "similarity_pq_refined").count() ==
         q(srcDir, "similarity_pq_refined").count()
     }, "refined-pq top-k result size changed with scale")
-    check("ivfpq_serve_probes_a_fraction", {
-      // the composed index's scale lever made OBSERVABLE: the serve plan
-      // must carry a non-empty bucket PartitionFilter (partition-pruned
-      // probe) listing at most nprobe·|Q| buckets — the probe CONTRACT
-      // that makes the read a shrinking fraction as nlist grows ~√N while
-      // probes stay constant (both sides logged so the artifact records
-      // the fraction). Bucket values are parsed from the filter after
-      // stripping expr ids — robust to IN vs INSET rendering.
-      val plan = q(outDir, "similarity_ivfpq_index")
-        .queryExecution.executedPlan.toString
+    // the composed index's scale lever made OBSERVABLE: the serve plan
+    // must carry a non-empty bucket PartitionFilter (partition-pruned
+    // probe) listing at most nprobe·|Q| buckets — the probe CONTRACT
+    // that makes the read a shrinking fraction as nlist grows ~√N while
+    // probes stay constant (both sides logged so the artifact records
+    // the fraction). Bucket values are parsed from the filter after
+    // stripping expr ids — robust to IN vs INSET rendering.
+    def probedBuckets(queryName: String, indexLeaf: String): Int = {
+      val plan = q(outDir, queryName).queryExecution.executedPlan.toString
       val line = plan.linesIterator.find(l =>
         l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []") &&
           l.contains("bucket"))
       val nlist = spark.read
-        .parquet(QueryDefs.ioDir(outDir, "ivfpq_index") + "/centroids").count()
+        .parquet(QueryDefs.ioDir(outDir, indexLeaf) + "/centroids").count()
       val probed = line.map { l =>
         val f = l.substring(l.indexOf("PartitionFilters: ["))
         "\\b\\d+\\b".r.findAllIn(f.replaceAll("#\\d+", "")).toSet.size
       }.getOrElse(0)
       System.err.println(
-        s"[bench-scale] ivfpq serve probe fraction: $probed of $nlist buckets")
+        s"[bench-scale] $queryName serve probe fraction: $probed of $nlist buckets")
+      probed
+    }
+    check("ivfpq_serve_probes_a_fraction", {
+      val probed = probedBuckets("similarity_ivfpq_index", "ivfpq_index")
       probed > 0 && probed <= 5 * 8 // |Q|=5 fixture queries, nprobe=8
     }, "ivfpq serve plan does not partition-prune to the probed buckets")
+    check("ivfpq_residual_serve_probes_a_fraction", {
+      // the IVFADC sibling must keep the same probe contract: residual
+      // coding changes WHAT the codes reconstruct, not what gets read
+      val probed = probedBuckets("similarity_ivfpq_residual", "ivfpq_res_index")
+      probed > 0 && probed <= 5 * 8
+    }, "residual ivfpq serve plan does not partition-prune to the probed buckets")
+    check("ivfpq_residual_topk_size_unchanged", {
+      // copy-0 query set: |Q|·k rows at both scales (codebooks retrain)
+      q(outDir, "similarity_ivfpq_residual").count() ==
+        q(srcDir, "similarity_ivfpq_residual").count()
+    }, "residual ivfpq top-k result size changed with scale")
+    check("opq_topk_size_unchanged", {
+      // copy-0 query set; the learned rotation refits on the bigger
+      // corpus (neighbor ids may move) but the served page shape is fixed
+      q(outDir, "similarity_opq").count() == q(srcDir, "similarity_opq").count()
+    }, "opq top-k result size changed with scale")
     check("ivfpq_topk_size_unchanged", {
       // copy-0 query set: |Q|·k rows at both scales (codebooks/centroids
       // retrain on the bigger corpus, so neighbor IDs may differ)
@@ -417,6 +440,31 @@ object BenchScale {
         s(k) == ((factor * n, lo, hi))
       }
     }, "equi-depth boundaries/counts departed from the exact scale contract")
+    check("equidepth_per_group_scales_exactly", {
+      // the same ceil-rank identity holds INSIDE each event_type group
+      // (values repeat verbatim per copy and event_type never remaps):
+      // the (group, bucket) grid and every lo/hi boundary are
+      // bit-identical, every count exactly factor×
+      val b = q(srcDir, "histogram_equidepth_per_group").collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val s = q(outDir, "histogram_equidepth_per_group").collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      s.keySet == b.keySet && b.forall { case (k, (n, lo, hi)) =>
+        s(k) == ((factor * n, lo, hi))
+      }
+    }, "per-group equi-depth grid departed from the exact scale contract")
+    check("stream_decontam_copy0_exact", {
+      // the copy offset is a multiple of 10, so the %10 stream/benchmark
+      // split replicates per copy, and token salting confines every gram
+      // match within its copy: copy-0 gate rows are byte-identical to the
+      // base corpus's (and the gate's stream≡batch proof carries to scale)
+      val b = q(srcDir, "pipeline_stream_decontam").collect().map(_.toSeq).toSet
+      val s = q(outDir, "pipeline_stream_decontam")
+        .filter(col("doc_id") < 100000000L).collect().map(_.toSeq).toSet
+      b == s
+    }, "copy-0 streaming-gate rows departed from the base corpus")
     check("sq_topk_size_unchanged", {
       // copy-0 query set, same shape contract as the PQ rows; the SQ8
       // grid retrains its per-dim min/max on the bigger corpus

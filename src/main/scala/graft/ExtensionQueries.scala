@@ -1436,6 +1436,50 @@ object ExtensionQueries {
       }
     },
 
+    // ---- Classifier SERVING under the hash gate (logit scoring pass) -------
+    // The deployment half of pipeline_quality_classifier made
+    // oracle-green: scoring is featurize-and-dot — portable md5 bucketing
+    // (the splitByHash convention), literal weights, exact DECIMAL(30,6)
+    // accumulation — so with a FIXED model the whole pass replays in
+    // DuckDB bit-for-bit. The pinned model (w_b = (b mod 17 − 8)/100,
+    // bias −0.25; both sides derive it from the bucket index) stands in
+    // for any trained weights: serving is model-agnostic, and training
+    // stays no_oracle where the GD + exp() belongs. LOGITS, not sigmoid
+    // probabilities: σ is monotone (ordering/thresholding unchanged) and
+    // exp() is not bit-portable across libms.
+    Q("pipeline_quality_classifier_score",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+        |    i -> list_extract(t, i) || ' ' || list_extract(t, i+1))) AS sh
+        |  FROM tk),
+        |bk AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(sh), 1, 13)) AS BIGINT) % 512 AS b
+        |  FROM sh),
+        |tf AS (
+        |  SELECT doc_id, b,
+        |         round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS DOUBLE), 6) AS tf
+        |  FROM bk GROUP BY doc_id, b),
+        |lg AS (
+        |  SELECT doc_id,
+        |         round(CAST(SUM(CAST(tf * ((b % 17 - 8) / 100.0) AS DECIMAL(30,6))) AS DOUBLE)
+        |               + (-0.25), 6) AS logit
+        |  FROM tf GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(lg.logit, -0.25) AS logit
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN lg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) => {
+        val model = Classifier.LogisticModel(-0.25,
+          Array.tabulate(512)(b => (b % 17 - 8) / 100.0))
+        sortSmall(
+          Classifier.logitScore(t(s, d, "documents"), "doc_id", "text", model, n = 2),
+          col("doc_id"))
+      }
+    },
+
     // ---- Per-source cap: k best docs per source ----------------------------
     // Deterministic top-k per group by quality — over-represented-domain
     // control. Bounded page aggregate (partitions·sources·k rows shuffle),

@@ -74,6 +74,13 @@ object Repl {
       |                                         window, merged to maximal spans
       |  spansdecontamclean <trainView> <evalView> <n>
       |                                         the surgically-cleaned train docs
+      |  spanstats <trainView> <evalView> <n>   one-row decontamination ACCOUNTING:
+      |                                         docs touched, grams/tokens cut vs
+      |                                         kept — the report a gate publishes
+      |  kllq <view> <valueCol> <group> [fine]  per-group p50/p95 via KLL sketch
+      |                                         tables; with [fine], sketches build
+      |                                         per (group, fine) and MERGE up to
+      |                                         group — rollup never rescans rows
       |  mmr <view> <id> <k> <lambda>           diversified top-k for a query vector:
       |                                         greedy MMR over brute candidates
       |  trainfilter <posView> <negView> <view> <k> [iters]
@@ -360,6 +367,30 @@ object Repl {
         render(graft.operators.NgramSpans
           .decontamClean(df(trainVid), df(evalVid), "doc_id", "text", n.toInt)
           .orderBy(col("doc_id")))
+      case "spanstats" :: trainVid :: evalVid :: n :: Nil =>
+        // the corpus-level accounting a decontamination gate publishes:
+        // one row folding the per-doc stats
+        render(graft.operators.NgramSpans
+          .decontamStats(df(trainVid), df(evalVid), "doc_id", "text", n.toInt)
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("n_hit_grams") > 0, 1)).as("n_contaminated"),
+            sum(col("n_grams")).as("n_grams"),
+            sum(col("n_hit_grams")).as("n_hit_grams"),
+            sum(col("n_cut_tokens")).as("n_cut_tokens"),
+            sum(col("n_kept_tokens")).as("n_kept_tokens")))
+      case "kllq" :: vid :: valueCol :: group :: rest if rest.size <= 1 =>
+        // rollup-by-merge: with a finer key the sketches build once per
+        // (group, fine) and the group level merges them — the dashboard
+        // shape where exact per-group quantiles would rescan the rows
+        val table = rest match {
+          case fine :: Nil => graft.operators.SketchTables.kllRollup(
+            graft.operators.SketchTables.kllTable(df(vid), Seq(group, fine), valueCol),
+            Seq(group))
+          case _ =>
+            graft.operators.SketchTables.kllTable(df(vid), Seq(group), valueCol)
+        }
+        render(graft.operators.SketchTables
+          .kllQuantiles(table, Seq(0.5, 0.95)).orderBy(col(group)))
       case "spans" :: vid :: n :: Nil =>
         render(graft.operators.NgramSpans
           .stats(df(vid), "doc_id", "text", n.toInt)

@@ -126,7 +126,10 @@ object Bpe {
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap.empty[String, IndexedSeq[String]]
         it.map { case (id, text) =>
-          val toks = text.trim.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+          // the shared JVM twin of wordCounts' SQL tokenization — one
+          // definition, so training vocabulary and encode input cannot
+          // desynchronize (TextOps.jvmWords pins the parity argument)
+          val toks = TextOps.jvmWords(text)
           val enc = toks.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ms)))
           (id, enc, enc.length.toLong)
         }

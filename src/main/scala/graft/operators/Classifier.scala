@@ -63,7 +63,6 @@ object Classifier {
                     n: Int = 2, buckets: Int = 1024, iters: Int = 30,
                     lr: Double = 3.0, l2: Double = 1e-4): LogisticModel = {
     require(iters >= 1 && buckets >= 2)
-    val spark = pos.sparkSession
     // disambiguate colliding ids across sides; labels ride the feature rows
     val labeled = pos.select(col(idCol), col(textCol), lit(1.0).as("__y"))
       .unionByName(neg.select(col(idCol), col(textCol), lit(0.0).as("__y")))
@@ -123,6 +122,31 @@ object Classifier {
       .select(col(idCol),
         round(lit(1.0) / (lit(1.0) + exp(-coalesce(col("__m"), lit(model.bias)))), 6)
           .as("score"))
+  }
+
+  /** Map-side LOGIT serving — the deployment half under the exact-oracle
+    * contract: (id, logit) with logit = round6(bias + Σ_b tf_b·w_b), the
+    * dot product accumulated through [[Det.dsum]] (exact DECIMAL(30,6)).
+    * Unlike [[scoreLogistic]] (sigmoid probabilities — exp() is not
+    * bit-portable across libms), a logit is literal-weight lookup +
+    * exact decimal sum + one IEEE add and round: every step re-derives
+    * bit-identically in any engine with md5 and decimal arithmetic, so a
+    * SQL oracle can replay the whole featurize-and-dot pass. Ranking by
+    * logit ≡ ranking by σ(logit) (σ is monotone), so a serving gate
+    * loses nothing thresholding logits instead of probabilities. Docs
+    * with no shingles (null text, single token) emit the bare bias —
+    * the model's prior.
+    */
+  def logitScore(df: DataFrame, idCol: String, textCol: String,
+                 model: LogisticModel, n: Int = 2): DataFrame = {
+    val f = features(df, idCol, textCol, n, model.buckets)
+    val wLit = typedlit(model.weights.toIndexedSeq)
+    val m = f.groupBy(col(idCol))
+      .agg(Det.dsum(col("tf") * element_at(wLit, col("bucket") + 1)).as("__m"))
+    df.select(col(idCol)).distinct()
+      .join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__m"), lit(0.0)) + lit(model.bias), 6).as("logit"))
   }
 
   /** Mean log-loss of a model on a labeled (pos, neg) pair — the

@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * shuffle-native equivalent at window granularity):
   *  - windows explode map-side to (id, pos, md5) — O(total tokens)
   *    rows, never text;
-  *  - first-occurrence marking is ONE hash-partitioned window over the
-  *    gram hash (count + row_number share the partition; n-gram
-  *    collisions are corpus-rare by construction, so no skew);
+  *  - first-occurrence marking is one partial-aggregating `groupBy` on
+  *    the gram hash plus an AQE-divisible join-back — hot boilerplate
+  *    grams combine map-side instead of serializing into one task (see
+  *    [[markedOccurrences]] for the full skew argument);
   *  - span merging is ONE id-partitioned window + one id-keyed rollup —
   *    both linear, both co-partitioned after a single exchange.
   */
@@ -207,16 +208,38 @@ object NgramSpans {
 
   /** Window occurrences (id, __pos, __dup): every n-token window start,
     * marked duplicated unless it is the (id, pos)-first holder of its
-    * hash. One exchange on the gram hash serves both the corpus count
-    * and the first-occurrence rank.
+    * hash.
+    *
+    * Skew shape — this is deliberately NOT a window function. A
+    * `row_number().over(partitionBy(__gram))` forces EVERY occurrence of
+    * a gram into one task (window partitions are indivisible), so a hot
+    * boilerplate n-gram — a license header occurring 10⁸ times on a web
+    * corpus — becomes a single-task straggler. Instead:
+    *  - the per-gram (count, first-occurrence) pair is a `groupBy(__gram)
+    *    .agg(count, min(struct(id, pos)))` — hash-aggregates combine
+    *    PARTIALLY map-side, so a hot gram reduces to one partial row per
+    *    input partition before the exchange;
+    *  - occurrences re-acquire their gram's (cnt, first) through an
+    *    equi-join on the gram hash. Unlike a window partition, a skewed
+    *    probe-side join partition is AQE-divisible
+    *    (`OptimizeSkewedJoin` splits it by map-output ranges and
+    *    replicates the one matching build row), so the hot gram fans
+    *    back out across tasks.
+    * `min(struct(id, pos))` is exactly the `row_number() = 1` holder
+    * under `orderBy(id, pos)`: (id, pos) pairs are unique per gram, so
+    * the struct min is unique and the keep-first rule is unchanged
+    * bit-for-bit (NgramSpansSpec pins parity against the window form and
+    * a planted hot-gram fixture).
     */
   private def markedOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame = {
-    val byGram = Window.partitionBy(col("__gram"))
-    windowOccurrences(toks, idCol, n)
-      .withColumn("__rk", row_number().over(byGram.orderBy(col(idCol), col("__pos"))))
-      .withColumn("__cnt", count(lit(1)).over(byGram))
+    val occ = windowOccurrences(toks, idCol, n)
+    val perGram = occ.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("__pos"))).as("__first"))
+    occ.join(perGram, Seq("__gram"))
       .select(col(idCol), col("__pos"),
-        (col("__cnt") > 1 && col("__rk") > 1).as("__dup"))
+        (col("__cnt") > 1 &&
+          struct(col(idCol), col("__pos")) =!= col("__first")).as("__dup"))
   }
 
   /** Maximal per-document spans (id, __s, __e) — duplicated occurrences

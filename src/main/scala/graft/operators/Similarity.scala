@@ -193,13 +193,33 @@ object Similarity {
     * tasks; nothing reaches the driver. Non-finite pair similarities
     * (zero-norm vectors) contribute no penalty — the caller owns vector
     * hygiene, as in [[cosineDupPairs]].
+    *
+    * The incoming `sim` is defensively re-rounded to 6 decimals (a no-op
+    * for the catalog paths, which round at the candidate stage), so a
+    * caller passing raw cosines cannot silently break the
+    * bit-determinism / oracle-replay guarantee.
+    *
+    * First-pick tie rule: selection starts from the candidate order
+    * (relevance DESC, id ASC) REGARDLESS of λ — at λ = 0, where every
+    * first-step score ties at 0, the pick is therefore the most-relevant
+    * candidate (smallest id among relevance ties), not the smallest id
+    * overall; the ascending-id tie-break applies within later steps'
+    * equal MMR scores. MmrSpec and the DuckDB oracle both pin this.
+    *
+    * Candidate volume is observable in production: the input frame emits
+    * a [[mmrCandidatesMetric]]-prefixed observed metric (`examined` =
+    * candidate rows entering the greedy tail — the
+    * [[candidatesMetric]] convention; listeners sum prefix-matched rows).
     */
   def mmrRerank(cand: DataFrame, k: Int, lambdaRel: Double): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(lambdaRel >= 0.0 && lambdaRel <= 1.0, "lambda must be in [0, 1]")
     val spark = cand.sparkSession
     import spark.implicits._
-    val out = cand.select(col("q_id"), col("n_id"), col("sim"), col("n_vec"))
+    val out = cand.select(col("q_id"), col("n_id"),
+        round(col("sim"), 6).as("sim"), col("n_vec"))
+      .observe(s"${mmrCandidatesMetric}_${observeSeq.incrementAndGet()}",
+        count(lit(1)).as("examined"))
       .as[(Long, Long, Double, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (q, it) =>
@@ -240,7 +260,11 @@ object Similarity {
           else base.subtract(oneMinusBd.multiply(maxSimTo(i)))
         }
         val rows = Vector.newBuilder[(Long, Long, Long, Double, Double)]
-        var last = 0 // cs(0) maximizes λ·rel over the empty-selection step
+        // first pick = cs(0), i.e. (relevance DESC, id ASC) regardless of
+        // λ: for λ > 0 that IS the λ·rel argmax (ties on ascending id);
+        // at λ = 0 all first-step scores tie at 0 and this rule keeps the
+        // most-relevant candidate — see the scaladoc contract
+        var last = 0
         var step = 0
         while (step < kk) {
           if (step > 0) {
@@ -629,6 +653,14 @@ object Similarity {
     * reference consumer).
     */
   val candidatesMetric = "graft_ivf_candidates"
+
+  /** Observed-metric prefix for the MMR greedy tail's candidate volume
+    * (same prefix+suffix listener convention as [[candidatesMetric]]):
+    * `examined` = rows entering [[mmrRerank]]'s per-query O(c²) kernel,
+    * so production can see candidate volume vs nprobe/candidates without
+    * touching the hot path.
+    */
+  val mmrCandidatesMetric = "graft_mmr_candidates"
 
   private val observeSeq = new java.util.concurrent.atomic.AtomicLong
 

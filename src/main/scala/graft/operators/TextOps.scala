@@ -20,6 +20,19 @@ object TextOps {
     */
   def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
 
+  /** JVM twin of the SQL word stream `explode(tokens(text))` filtered
+    * nonempty ([[graft.operators.Bpe.wordCounts]]'s tokenization), for
+    * partition-local kernels that segment words off-plan (Bpe.encode).
+    * Kept HERE, next to [[tokens]], so the two definitions cannot drift:
+    * the JVM side trims more aggressively (String.trim strips tabs and
+    * newlines, SQL trim only spaces), but the NONEMPTY pieces of a `\s+`
+    * split are insensitive to how the string's ends were trimmed, so the
+    * word sequences agree for every input — BpeSpec pins parity on edge
+    * inputs (leading tabs, blank strings, NBSP non-splits).
+    */
+  def jvmWords(text: String): IndexedSeq[String] =
+    text.trim.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+
   /** Word n-gram shingle list over a token-array column. 1-based
     * element_at matches DuckDB list_extract; the guard keeps short docs at
     * an empty list (Spark's sequence(1, 0) would be DESCENDING, not empty).

@@ -322,13 +322,34 @@ object StreamDedup {
     *
     * `incoming` may be streaming or batch — stream ≡ batch parity is
     * pinned in StreamDedupSpec against the batch operator itself.
+    *
+    * Broadcast-size guard: the eval window-hash set ships WHOLE to every
+    * executor (that is the design — the benchmark side is small by
+    * contract), so a caller who swaps the frames — or points `eval` at a
+    * raw training corpus — would OOM the entire fleet, not one task. The
+    * gate therefore counts the distinct eval grams ONCE at build time
+    * (the eval side is static; the count is one pass over the small
+    * frame) and FAILS LOUDLY past `maxEvalGrams` (the
+    * `maxCellsPerInterval` precedent: a guard the caller must consciously
+    * raise, never a silent degradation). The default (2²⁴ ≈ 16.8M grams,
+    * ~32 B of md5 key each — a few hundred MB broadcast) is generous for
+    * any real benchmark suite; a train-corpus-sized side blows through it
+    * by orders of magnitude.
     */
   def decontamGate(eval: DataFrame, incoming: DataFrame,
-                   idCol: String, textCol: String, n: Int = 8): DataFrame = {
+                   idCol: String, textCol: String, n: Int = 8,
+                   maxEvalGrams: Long = 1L << 24): DataFrame = {
     import graft.operators.NgramSpans
+    require(maxEvalGrams > 0, s"maxEvalGrams must be positive, got $maxEvalGrams")
     val evalGrams = NgramSpans.windowHashArray(eval, idCol, textCol, n)
       .select(explode(col("__grams")).as("__gram")).distinct()
       .withColumn("__hit", lit(true))
+    val nEval = evalGrams.count()
+    require(nEval <= maxEvalGrams,
+      s"decontamGate: eval window-hash set has $nEval distinct grams > " +
+        s"maxEvalGrams=$maxEvalGrams — the eval side broadcasts to every " +
+        "executor and must stay benchmark-sized; check the frames are not " +
+        "swapped, or consciously raise the cap")
     NgramSpans.windowHashArray(incoming, idCol, textCol, n)
       .select(col(idCol), explode_outer(col("__grams")).as("__gram"))
       .join(broadcast(evalGrams), Seq("__gram"), "left")

