@@ -108,6 +108,9 @@ object BenchScale {
     // trained quality filter (iters × two linear shuffles on the md5
     // training sample + one map-side scoring pass)
     "pipeline_quality_classifier",
+    // the oracle-green serving half (featurize-and-dot, fixed model —
+    // two linear doc-keyed shuffles, nothing iterative)
+    "pipeline_quality_classifier_score",
     // BPE training (one linear word count + capped driver loop) + encode
     "text_bpe_tokens",
     "pipeline_clean_corpus")
@@ -525,6 +528,18 @@ object BenchScale {
       // the serving page shape (top-20), not the weights
       q(outDir, "pipeline_quality_classifier").count() == 20L
     }, "classifier top-k page size changed with scale")
+    check("classifier_score_copy0_exact", {
+      // tf features are INTRA-document (bucket share of the doc's own
+      // shingles) and the model is fixed, so each doc's logit is
+      // independent of the rest of the corpus: copy-0 rows are
+      // byte-identical to the base run and the row count is exactly
+      // factor× (one row per doc, empties included)
+      val bdf = q(srcDir, "pipeline_quality_classifier_score")
+      val b = bdf.collect().map(_.toSeq).toSet
+      val sdf = q(outDir, "pipeline_quality_classifier_score")
+      sdf.count() == factor * b.size &&
+        sdf.filter(col("doc_id") < 100000000L).collect().map(_.toSeq).toSet == b
+    }, "copy-0 logits departed from the base corpus (features must be per-doc)")
     check("pq_topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: |Q|·k rows at
       // both scales (codebooks retrain on the bigger corpus, so NEIGHBOR
@@ -646,9 +661,13 @@ object BenchScale {
     Bench.persist("bench-scale", line,
       java.nio.file.Paths.get("target", s"bench_scale_f$factor.json").toAbsolutePath)
     // factor-suffixed name past the default 10 so a 30× run cannot
-    // clobber the committed 10× artifact (both are round evidence)
-    Bench.persistAtRepoRoot("bench-scale", line,
-      if (factor == 10) "BENCH_scale.json" else s"BENCH_scale_f$factor.json")
+    // clobber the committed 10× artifact (both are round evidence); and
+    // only a FULL sweep may stamp it — a SPARK_GRAFT_ONLY subset run
+    // would silently replace the 70+-query record with its few rows
+    // (the Bench.scala guard, same hazard)
+    if (only.isEmpty)
+      Bench.persistAtRepoRoot("bench-scale", line,
+        if (factor == 10) "BENCH_scale.json" else s"BENCH_scale_f$factor.json")
     spark.stop()
   }
 }

@@ -1163,6 +1163,61 @@ object ExtensionQueries {
         ivfIndexDir(s, d), 10, nprobe = 8)
     },
 
+    // ---- IVF serve under the hash gate (pinned coarse quantizer) -----------
+    // The probe-and-rerank MACHINERY made oracle-green, the
+    // classifier-serving precedent: with a PINNED quantizer (the four
+    // vectors vec_id 100-103, data-derived so both engines read the same
+    // floats) every stage is deterministic replayable arithmetic —
+    // squared-L2 argmin assignment (ascending (distance, index), the
+    // NearestCentroids selection), nprobe=2 probe, rounded-cosine
+    // re-rank. DuckDB replays assignment, probing, and the page; the
+    // k-means QUALITY question stays with similarity_ivf's recall tests
+    // where it belongs.
+    Q("similarity_ivf_pinned",
+      s"""WITH c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id < 5) WHERE r <= 2),
+        |sims AS (
+        |  SELECT p.q_id, s.vec_id AS n_id, ${sqlCos("a", "b")} AS sim
+        |  FROM probe p
+        |  JOIN assign s ON s.bucket = p.bucket
+        |  JOIN embeddings a ON a.vec_id = p.q_id
+        |  JOIN embeddings b ON b.vec_id = s.vec_id
+        |  WHERE p.q_id <> s.vec_id)
+        |SELECT q_id, n_id, sim, rk FROM (
+        |  SELECT q_id, n_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // the pinned quantizer: four data-derived vectors, collected by
+        // contract (4·64 doubles — sketch-sized, the centroid convention)
+        val cs: Seq[Seq[Double]] = emb
+          .filter(col("vec_id") >= 100 && col("vec_id") <= 103)
+          .orderBy(col("vec_id")).select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        Similarity.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+          col("vec_id") < 5, 10, cs, nprobe = 2)
+      }
+    },
+
     // ---- IVF-PQ serve: partition-pruned scan of 32×-compressed codes -------
     // The two scale levers composed: a probe reads nprobe/nlist of a
     // corpus already 32× smaller than the vectors, which are never

@@ -618,13 +618,29 @@ object Similarity {
   def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
                     queryPred: Column, nlist: Int = 16, nprobe: Int = 4,
                     seed: Long = 42L): DataFrame = {
-    graft.functions.VectorExprs.register(emb.sparkSession)
     // assignment + probing are the native NearestCentroids expression
     // (codegen'd primitive loops; the centroid matrix decodes once per
     // task, not per row) — selection order matches the training loop's
     // `nearest`/a stable sort: ascending (distance, index)
     val cs: Seq[Seq[Double]] =
       trainCentroids(emb, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    ivfCandidatesWithCentroids(emb, idCol, vecCol, queryPred, cs, nprobe)
+  }
+
+  /** The candidate stage under a CALLER-SUPPLIED coarse quantizer — the
+    * probe machinery with the training stage factored out. Two uses:
+    * [[ivfCandidates]] passes the k-means result; an ORACLE-REPLAYABLE
+    * deployment passes pinned centroids (any fixed vector list), making
+    * the entire probe-and-rerank pass deterministic arithmetic that a
+    * SQL engine can replay — bucket assignment is squared-L2 argmin
+    * (ascending (distance, index), exactly [[NearestCentroids]]'s
+    * selection), probing takes the `nprobe` nearest lists.
+    */
+  def ivfCandidatesWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                                 queryPred: Column, cs: Seq[Seq[Double]],
+                                 nprobe: Int): DataFrame = {
+    require(cs.nonEmpty, "centroid list must be non-empty")
+    graft.functions.VectorExprs.register(emb.sparkSession)
     import graft.functions.VectorExprs.nearestCentroids
     val corpus = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("bucket", element_at(nearestCentroids(col("n_vec"), cs, 1), 1))
@@ -636,6 +652,20 @@ object Similarity {
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")))
   }
+
+  /** IVF top-k under a caller-supplied quantizer ([[ivfTopK]]'s shape,
+    * training replaced by `cs`): with PINNED centroids every stage —
+    * assignment, probe selection, cosine, page order — is deterministic
+    * replayable arithmetic, so the result sits under the exact-oracle
+    * hash gate (catalog `similarity_ivf_pinned`), pinning the IVF
+    * serve SEMANTICS the way `pipeline_quality_classifier_score` pins
+    * classifier serving: the k-means quality question stays with the
+    * recall tests, the probe/rerank machinery is hash-checked.
+    */
+  def ivfTopKWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                           queryPred: Column, k: Int, cs: Seq[Seq[Double]],
+                           nprobe: Int): DataFrame =
+    rerankTopK(ivfCandidatesWithCentroids(emb, idCol, vecCol, queryPred, cs, nprobe), k)
 
   /** Stable PREFIX of the observation emitted by both IVF candidate paths
     * (fused and index-served): `examined` = candidate pairs entering exact

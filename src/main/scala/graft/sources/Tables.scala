@@ -123,6 +123,31 @@ object Tables {
     keys.foreach { k => cached.remove(k).foreach(_.unpersist()) }
   }
 
+  /** The `$sfDir/$table.parquet` fixture as a file-STREAM source,
+    * layout-adaptive. The driver fixtures ship each table as a single
+    * FILE inside the sf directory — the file stream source wants a
+    * directory, so that layout streams the sf dir with a leaf glob
+    * selecting the one file. Engine-written fixtures (the scale sweep's
+    * self-union, any `df.write.parquet` output) are a DIRECTORY of part
+    * files — those stream the directory itself. The distinction matters
+    * because a leaf glob of `documents.parquet` matches NO part file
+    * inside a `documents.parquet/` directory: the stream comes up EMPTY
+    * and every downstream gate silently passes everything — the failed
+    * `stream_decontam_copy0_exact` scale invariant that motivated this
+    * helper. One driver-side FileSystem stat per open, nothing per row.
+    */
+  def streamTable(spark: SparkSession, sfDir: String, table: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path.toString)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet")
+        .parquet(sfDir)
+  }
+
   // Generic loaders (reference source-matrix parity).
   def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 

@@ -226,9 +226,8 @@ object StreamDedup {
   def embeddingIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
-    val incoming = spark.readStream.schema(emb.schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(sfDir)
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "embeddings", emb.schema)
       .filter(pmod(col("vec_id"), lit(10)) === 0)
     val nlist = Similarity.autoNlist(corpus.count())
     val flagged = embeddingDedupAgainstCorpus(corpus, incoming,
@@ -243,9 +242,8 @@ object StreamDedup {
   def embeddingIngestDedupFromIndex(spark: SparkSession, sfDir: String,
                                     indexDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val incoming = spark.readStream.schema(emb.schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(sfDir)
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "embeddings", emb.schema)
       .filter(pmod(col("vec_id"), lit(10)) === 0)
     runKeyed(embeddingDedupAgainstIvfIndex(spark, incoming,
       "vec_id", "embedding", indexDir, nprobe = 4))
@@ -282,9 +280,8 @@ object StreamDedup {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val incoming = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "documents", docs.schema)
       .filter(pmod(col("doc_id"), lit(10)) === 0)
     runKeyed(dedupAgainstCorpus(corpus, incoming, "doc_id", "text"))
   }
@@ -298,9 +295,8 @@ object StreamDedup {
                            indexDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val incoming = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "documents", docs.schema)
       .filter(pmod(col("doc_id"), lit(10)) === 0)
     runKeyed(dedupAgainstLshIndex(spark, incoming, "doc_id", "text", indexDir))
   }
@@ -368,9 +364,8 @@ object StreamDedup {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val eval = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val incoming = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "documents", docs.schema)
       .filter(pmod(col("doc_id"), lit(10)) === 0)
     runKeyed(decontamGate(eval, incoming, "doc_id", "text"))
   }

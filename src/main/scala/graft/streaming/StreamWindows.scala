@@ -30,12 +30,10 @@ object StreamWindows {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file stream source wants a directory — replay the sf dir with a
-    // glob filter selecting just the events file
+    // layout-adaptive source (single-file fixture vs directory-of-parts —
+    // see Tables.streamTable for why the distinction is load-bearing)
     graft.sources.Tables.normalizeEventsTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+      graft.sources.Tables.streamTable(spark, sfDir, "events", schema))
   }
 
   /** Drive a streaming aggregation to completion over all available input

@@ -25,6 +25,30 @@ class IvfIndexSpec extends SparkSpec {
       (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
   }
 
+  test("pinned-quantizer serve at full probe equals brute force exactly") {
+    // ivfTopKWithCentroids partitions the corpus under ANY fixed
+    // quantizer; probing every list must therefore reproduce the brute
+    // ranking bit-for-bit — the same exactness lever the trained paths
+    // pin, here for the oracle-replayable pinned form
+    val emb = embeddings(300).cache(); emb.count()
+    val cs: Seq[Seq[Double]] = emb.filter(col("vec_id") < 4)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 6, 10).collect().toSeq
+    val pinned = Similarity.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+      col("vec_id") < 6, 10, cs, nprobe = cs.length).collect().toSeq
+    assert(pinned == brute, s"full-probe pinned serve diverged from brute")
+    // and a partial probe returns the page shape with a strict candidate
+    // subset (observable via the shared metric)
+    val partial = observedExamined(Similarity.candidatesMetric) {
+      Similarity.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+        col("vec_id") < 6, 10, cs, nprobe = 1).collect()
+    }
+    assert(partial.exists(n => n > 0 && n < 6L * 299), s"probe not partial: $partial")
+    emb.unpersist()
+  }
+
   test("served top-k from a persisted index equals the fused train-per-call path") {
     val emb = embeddings(500).cache(); emb.count()
     val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/ivf_spec/parity"

@@ -45,6 +45,26 @@ class StreamDedupSpec extends SparkSpec {
       "fixture split must plant both contaminated and clean incoming docs")
   }
 
+  test("streaming sources adapt to directory-layout fixtures") {
+    // engine-written fixtures (df.write.parquet) are a DIRECTORY of part
+    // files; the leaf glob that selects a single-file fixture matches no
+    // part file INSIDE such a directory, silently emptying the stream —
+    // every row then passes the gate unexamined (caught as the failed
+    // stream_decontam_copy0_exact invariant in the f10 sweep). Re-write
+    // the fixture in directory layout and pin gate ≡ batch on it.
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/stream_layout"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stream = StreamDedup.ingestDecontam(spark, dir)
+    assert(stream.count() ==
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0 && col("text").isNotNull).count(),
+      "directory-layout stream must carry every incoming doc")
+    val batch = StreamDedup.decontamGate(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+    assert(canon(stream) == canon(batch))
+  }
+
   test("decontamGate fails loudly when the eval side exceeds maxEvalGrams") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val eval = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
