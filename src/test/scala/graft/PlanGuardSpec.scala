@@ -124,8 +124,15 @@ class PlanGuardSpec extends SparkSpec {
       // week×probe grids vs the exact twin, tens of rows each; +2: the
       // per-bucket equi-depth histograms at both scales, k rows each;
       // +4: the copy-0 ngram-span and span-decontam stats row sets at
-      // both scales, one row per base doc each — fixture-sized)
-      "BenchScale.scala"    -> 18)
+      // both scales, one row per base doc each — fixture-sized; +2: the
+      // per-(group, bucket) equi-depth grids at both scales, groups·k
+      // rows each; +2: the copy-0 streaming-gate row sets at both
+      // scales, one row per incoming base doc; +2: the copy-0
+      // classifier-logit row sets at both scales, one row per base doc)
+      "BenchScale.scala"    -> 24,
+      // similarity_ivf_pinned: the 4-row pinned-quantizer collect (the
+      // nlist-row centroid-table precedent — sketch-sized by contract)
+      "ExtensionQueries.scala" -> 1)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
