@@ -46,20 +46,23 @@ object NgramSpans {
     * post-cut token count.
     */
   def stats(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    // ONE pass over the marked-occurrence pipeline: `n_grams` is closed
+    // form (a doc with n_tokens >= n has exactly n_tokens - n + 1
+    // windows; fewer has none) and `n_dup_grams` rides the span merge as
+    // the per-island occurrence count — re-deriving gram stats from a
+    // second traversal of the unpersisted explode+join lineage doubled
+    // the operator's cost for nothing
     val toks = tokenized(df, idCol, textCol)
-    val occ = markedOccurrences(toks, idCol, n)
-    val gramStats = occ.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("__dup"), 1)).as("n_dup_grams"))
-    val spanStats = spans(occ, idCol, n)
+    val spanStats = spansWithCounts(markedOccurrences(toks, idCol, n), idCol, n)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__c")).cast("long").as("n_dup_grams"),
         sum(col("__e") - col("__s")).cast("long").as("n_dup_tokens"))
-    toks.select(col(idCol), col("n_tokens"))
-      .join(gramStats, Seq(idCol), "left")
+    toks.select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") >= n, col("n_tokens") - lit(n - 1))
+          .otherwise(lit(0L)).cast("long").as("n_grams"))
       .join(spanStats, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
@@ -98,20 +101,20 @@ object NgramSpans {
     */
   def decontamStats(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
+    // same single-pass shape as [[stats]]: closed-form n_grams, hit-gram
+    // counts riding the island merge
     val toks = tokenized(train, idCol, textCol)
-    val occ = evalMarked(toks, eval, idCol, textCol, n)
-    val gramStats = occ.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("__dup"), 1)).as("n_hit_grams"))
-    val spanStats = spans(occ, idCol, n)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit_spans"),
-        sum(col("__e") - col("__s")).cast("long").as("n_cut_tokens"))
-    toks.select(col(idCol), col("n_tokens"))
-      .join(gramStats, Seq(idCol), "left")
+    val spanStats =
+      spansWithCounts(evalMarked(toks, eval, idCol, textCol, n), idCol, n)
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_hit_spans"),
+          sum(col("__c")).cast("long").as("n_hit_grams"),
+          sum(col("__e") - col("__s")).cast("long").as("n_cut_tokens"))
+    toks.select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") >= n, col("n_tokens") - lit(n - 1))
+          .otherwise(lit(0L)).cast("long").as("n_grams"))
       .join(spanStats, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
         coalesce(col("n_hit_spans"), lit(0L)).as("n_hit_spans"),
         coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"),
@@ -233,12 +236,17 @@ object NgramSpans {
     */
   private def markedOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame = {
     val occ = windowOccurrences(toks, idCol, n)
-    val perGram = occ.groupBy(col("__gram"))
+    // only grams that RECUR can mark an occurrence — dropping the
+    // unique majority before the join shrinks the build side to the
+    // duplicated vocabulary (AQE broadcasts it when small; at web scale
+    // it stays a shuffle join, still skew-divisible)
+    val dupGrams = occ.groupBy(col("__gram"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col(idCol), col("__pos"))).as("__first"))
-    occ.join(perGram, Seq("__gram"))
+      .filter(col("__cnt") > 1)
+    occ.join(dupGrams, Seq("__gram"), "left")
       .select(col(idCol), col("__pos"),
-        (col("__cnt") > 1 &&
+        (col("__first").isNotNull &&
           struct(col(idCol), col("__pos")) =!= col("__first")).as("__dup"))
   }
 
@@ -246,7 +254,14 @@ object NgramSpans {
     * [pos, pos+n) merged when overlapping or touching, via running-max
     * gaps-and-islands on the id partition.
     */
-  private def spans(occ: DataFrame, idCol: String, n: Int): DataFrame = {
+  private def spans(occ: DataFrame, idCol: String, n: Int): DataFrame =
+    spansWithCounts(occ, idCol, n).select(col(idCol), col("__s"), col("__e"))
+
+  /** [[spans]] carrying each island's merged-occurrence count as `__c` —
+    * the stats forms read their dup/hit gram totals off the span merge
+    * itself instead of traversing the marked-occurrence lineage twice.
+    */
+  private def spansWithCounts(occ: DataFrame, idCol: String, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     occ.filter(col("__dup"))
       .select(col(idCol), col("__pos"), (col("__pos") + lit(n)).as("__end"))
@@ -257,7 +272,8 @@ object NgramSpans {
       .withColumn("__isl",
         sum(col("__ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("__isl"))
-      .agg(min(col("__pos")).as("__s"), max(col("__end")).as("__e"))
-      .select(col(idCol), col("__s"), col("__e"))
+      .agg(min(col("__pos")).as("__s"), max(col("__end")).as("__e"),
+        count(lit(1)).as("__c"))
+      .select(col(idCol), col("__s"), col("__e"), col("__c"))
   }
 }

@@ -337,15 +337,25 @@ object StreamDedup {
                    maxEvalGrams: Long = 1L << 24): DataFrame = {
     import graft.operators.NgramSpans
     require(maxEvalGrams > 0, s"maxEvalGrams must be positive, got $maxEvalGrams")
+    // persisted: the guard count below materializes the SAME cache every
+    // micro-batch then reuses — without it each micro-batch re-derives
+    // the distinct eval gram set from text (measured doubling the gate's
+    // cost), and the guard count would add a third derivation. Bounded
+    // by the guard itself (≤ maxEvalGrams rows); released by
+    // clearCache()/session end like the other static serve-side caches
     val evalGrams = NgramSpans.windowHashArray(eval, idCol, textCol, n)
       .select(explode(col("__grams")).as("__gram")).distinct()
       .withColumn("__hit", lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEval = evalGrams.count()
-    require(nEval <= maxEvalGrams,
-      s"decontamGate: eval window-hash set has $nEval distinct grams > " +
-        s"maxEvalGrams=$maxEvalGrams — the eval side broadcasts to every " +
-        "executor and must stay benchmark-sized; check the frames are not " +
-        "swapped, or consciously raise the cap")
+    if (nEval > maxEvalGrams) {
+      evalGrams.unpersist() // don't leak the oversized cache with the failure
+      throw new IllegalArgumentException(
+        s"decontamGate: eval window-hash set has $nEval distinct grams > " +
+          s"maxEvalGrams=$maxEvalGrams — the eval side broadcasts to every " +
+          "executor and must stay benchmark-sized; check the frames are not " +
+          "swapped, or consciously raise the cap")
+    }
     NgramSpans.windowHashArray(incoming, idCol, textCol, n)
       .select(col(idCol), explode_outer(col("__grams")).as("__gram"))
       .join(broadcast(evalGrams), Seq("__gram"), "left")
