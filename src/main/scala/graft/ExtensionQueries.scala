@@ -1266,6 +1266,41 @@ object ExtensionQueries {
         col("vec_id") < 5, 10, refine = 8)
     },
 
+    // ---- BQ serve under the hash gate (pinned sign thresholds) -------------
+    // The Hamming-shortlist + exact-re-rank MACHINERY made oracle-green
+    // (the similarity_ivf_pinned precedent): with thresholds pinned at
+    // zero, sign bits are plain >= 0 comparisons, bit-agreement scores
+    // are exact multiples of 1/64 (binary-exact through the 6-dp page
+    // rounding), and DuckDB replays shortlist membership (agreement
+    // DESC, id ASC, refine·k = 80) plus the rounded-cosine re-rank.
+    // Threshold QUALITY stays with Bq.train's recall contracts in BqSpec.
+    Q("similarity_bq_pinned",
+      s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+        |ham AS (
+        |  SELECT q.q_id, n.vec_id AS n_id,
+        |         round((64 - len(list_filter(range(1, 65),
+        |           i -> (q.embedding[i] >= 0) <> (n.embedding[i] >= 0)))) / 64.0, 6) AS asim
+        |  FROM q, embeddings n WHERE q.q_id <> n.vec_id),
+        |short AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS r
+        |    FROM ham) WHERE r <= 80),
+        |sims AS (
+        |  SELECT s.q_id, s.n_id, ${sqlCos("a", "b")} AS sim
+        |  FROM short s
+        |  JOIN embeddings a ON a.vec_id = s.q_id
+        |  JOIN embeddings b ON b.vec_id = s.n_id)
+        |SELECT q_id, n_id, sim, rk FROM (
+        |  SELECT q_id, n_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => Bq.bqTopKWithThresholds(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, Array.fill(64)(0.0), refine = 8)
+    },
+
     // ---- Product-quantization ANN (scale path #3: compressed serving) -----
     // 64-dim float vectors compress to 8 one-byte codes (32×); ADC scores
     // each row with 2m table lookups, query side exact. Recall /

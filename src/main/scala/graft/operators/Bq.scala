@@ -143,6 +143,33 @@ object Bq {
       k, refine, maxQueryBatch)
   }
 
+  /** [[bqTopK]] under CALLER-SUPPLIED thresholds (training replaced by
+    * `thr`) — the oracle-replayable form: with pinned thresholds every
+    * stage is deterministic arithmetic a SQL engine can replay — sign
+    * bits are plain `v(i) >= thr(i)` comparisons, bit-agreement scores
+    * are exact multiples of 1/dim (binary-exact through the 6-dp page
+    * rounding when dim is a power of two), the shortlist ties break on
+    * ascending id, and the refine stage is the hash-checked
+    * rounded-cosine page. Catalog `similarity_bq_pinned` replays the
+    * whole Hamming-shortlist + exact-re-rank deployment in DuckDB (the
+    * `similarity_ivf_pinned` precedent); threshold QUALITY stays with
+    * [[train]] and BqSpec's recall contracts.
+    */
+  def bqTopKWithThresholds(emb: DataFrame, idCol: String, vecCol: String,
+                           queryPred: Column, k: Int, thr: Array[Double],
+                           refine: Int = 8,
+                           maxQueryBatch: Int = 100000): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(thr.nonEmpty, "threshold vector must be non-empty")
+    val codes = encode(emb, idCol, vecCol, thr)
+      .select(col(idCol).cast("long").as("n_id"), col("code"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    serve(codes, thr, queries, emb.select(
+      col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec")),
+      k, refine, maxQueryBatch)
+  }
+
   /** Shared fused/served tail: encode the query batch driver-side, bit-
     * scan, optionally exact-re-rank against `corpusVecs`.
     */

@@ -80,6 +80,18 @@ class BqSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("caller-supplied thresholds reproduce the fused path at the trained point") {
+    // bqTopKWithThresholds is the oracle-replayable entry; handing it the
+    // SAME thresholds bqTopK trains internally must change nothing
+    import graft.operators.Bq
+    val thr = Bq.train(emb, "vec_id", "embedding", seed = 42L)
+    val fused = Bq.bqTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, 10, refine = 8).collect().toSeq
+    val pinned = Bq.bqTopKWithThresholds(emb, "vec_id", "embedding",
+      col("vec_id") < 5, 10, thr, refine = 8).collect().toSeq
+    assert(pinned == fused)
+  }
+
   test("served BQ (persisted index) equals the fused path") {
     val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/bq_spec/serve"
     Bq.buildBqIndex(emb, "vec_id", "embedding", dir)
