@@ -179,7 +179,13 @@ object Bench {
     val rmap = results.toMap
     val aqs = anchors.flatMap(a => rmap.get(a).map(v =>
       "\"" + a + "\":" + v.map(fmt3).getOrElse("-1.0"))).mkString("{", ",", "}")
-    val anchorLine = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$aqs,"errors":$errors,"sf":"$sfDir","subset":"anchor12_of_${results.size}","full":"BENCH_full_latest.json"}"""
+    // the subset artifact's headline `value` is the SUM OF ITS OWN
+    // queries map (the BASELINE.md §B comparison number) — a reader of
+    // `metric`+`value` must never get the full-catalog total from a file
+    // whose map is the 12-anchor subset (that number lives in
+    // BENCH_full_latest.json, and here under `full_total`)
+    val anchorTotal = anchors.flatMap(a => rmap.get(a).flatten).sum
+    val anchorLine = s"""{"metric":"anchor12_total","value":${fmt3(anchorTotal)},"unit":"sec","queries":$aqs,"full_total":${fmt3(total)},"errors":$errors,"sf":"$sfDir","subset":"anchor12_of_${results.size}","full":"BENCH_full_latest.json"}"""
     println(anchorLine)
     val qs3 = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(fmt3).getOrElse("-1.0") }

@@ -82,6 +82,14 @@ object BenchScale {
     "similarity_pq", "similarity_pq_refined", "similarity_ivfpq_index",
     "similarity_ivfpq_residual", "similarity_opq",
     "similarity_sq", "similarity_bq",
+    // the hash-green pinned-artifact serving rows (quantizers pinned to
+    // copy-0 data vectors, which the remapping leaves verbatim): same
+    // serve machinery as their trained siblings, so exponents should
+    // track them. dedup_semantic_pinned stays OUT: its pinned FOUR-list
+    // quantizer makes the within-cluster scan quadratic by construction
+    // (the scale row is dedup_semantic's autoNlist sizing)
+    "similarity_ivf_pinned", "similarity_bq_pinned", "similarity_pq_pinned",
+    "similarity_sq_pinned", "similarity_opq_pinned", "similarity_lsh_pinned",
     // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
     "histogram_equidepth", "histogram_equidepth_per_group",
     // product analytics (user-keyed min-aggregations / cohort cells)
@@ -468,6 +476,20 @@ object BenchScale {
         .filter(col("doc_id") < 100000000L).collect().map(_.toSeq).toSet
       b == s
     }, "copy-0 streaming-gate rows departed from the base corpus")
+    check("pinned_serving_topk_shape_unchanged", {
+      // the six hash-green pinned-artifact serve rows share one scale
+      // contract: quantizers are pinned to copy-0 vectors (verbatim at
+      // any factor) and the query set lives in copy 0, so each page
+      // stays |Q|·k rows while the scanned corpus grows factor×.
+      // (similarity_lsh_pinned's buckets only gain members with scale —
+      // pages stay full; a SHRINKING page would mean the pinned
+      // signature path lost candidates, i.e. a collision bug at scale)
+      Seq("similarity_ivf_pinned", "similarity_bq_pinned",
+          "similarity_pq_pinned", "similarity_sq_pinned",
+          "similarity_opq_pinned", "similarity_lsh_pinned").forall { n =>
+        q(outDir, n).count() == q(srcDir, n).count()
+      }
+    }, "a pinned-artifact serve page changed shape with scale")
     check("sq_topk_size_unchanged", {
       // copy-0 query set, same shape contract as the PQ rows; the SQ8
       // grid retrains its per-dim min/max on the bigger corpus

@@ -332,6 +332,25 @@ object EventQueries {
       }
     },
 
+    // ---- PER-GROUP value-quantile rollup via KLL sketch table ----------
+    // The same rollup-by-merge shape keyed by a CATEGORICAL group
+    // (event_type): per-(type, day) sketches build in one scan, the
+    // per-type summary merges them — the per-source dashboard tile a
+    // pipeline publishes (quality score p50/p95 by source) where exact
+    // per-group quantiles would rescan the corpus per rollup level.
+    // no_oracle: KLL estimates; SketchTablesSpec pins the per-group
+    // rank-error bound vs the exact twin.
+    Q.noOracle("events_value_quantile_rollup_per_group") {
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+        val daily = SketchTables.kllTable(ev, Seq("event_type", "day"), "value")
+        sortSmall(
+          SketchTables.kllQuantiles(
+            SketchTables.kllRollup(daily, Seq("event_type")), Seq(0.5, 0.95)),
+          col("event_type"))
+      }
+    },
+
     // ---- Per-user weekly frequency, EXACT (oracle twin of the CMS row
     // below: same week buckets and probe keys, COUNT(*) instead of
     // sketch estimates — pins the bucket/probe semantics; zero weeks

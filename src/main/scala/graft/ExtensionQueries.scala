@@ -246,6 +246,122 @@ object ExtensionQueries {
        |       * sqrt(list_sum(list_transform(range(1, 65),
        |            i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))), 6)""".stripMargin
 
+  /** The pinned data-derived constant vectors `vec_id ∈ [lo, hi]` as
+    * driver doubles — sketch-sized by contract (the `similarity_ivf_pinned`
+    * centroid convention: data-derived so both engines read the SAME
+    * floats, never literals that could drift between the two parsers).
+    */
+  private def pinnedVecs(s: org.apache.spark.sql.SparkSession, d: String,
+                         lo: Int, hi: Int): Array[Array[Double]] =
+    t(s, d, "embeddings")
+      .filter(col("vec_id") >= lo && col("vec_id") <= hi)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** The pinned 3-4-5 Givens rotation (0.6/0.8 entries in 2×2 blocks down
+    * the diagonal): orthogonal up to one ulp, and — decisively for the
+    * oracle — every entry is a plain decimal literal both engines parse
+    * to the identical double, so `v·R` is two exact-ordered products and
+    * one add per output element in both. Row-vector convention (v' = v·R,
+    * [[Pq.pqTopKWithCodebooks]]'s `rotation`).
+    */
+  private def pinnedRotation(dim: Int): Array[Array[Double]] =
+    Array.tabulate(dim, dim) { (i, j) =>
+      if (i == j) 0.6
+      else if (i % 2 == 0 && j == i + 1) 0.8
+      else if (i % 2 == 1 && j == i - 1) -0.8
+      else 0.0
+    }
+
+  /** `v·R` for [[pinnedRotation]], in the exact add order of the rotation
+    * kernel (even out: +0.6 term first; odd out: +0.8 term first — zeros
+    * contribute exact identities), shared by the Spark-side codebook
+    * construction so pinned codebooks and the encoder's rotated corpus
+    * see bit-identical doubles.
+    */
+  private def applyPinnedRotation(v: Array[Double]): Array[Double] =
+    Array.tabulate(v.length) { i =>
+      if (i % 2 == 0) v(i) * 0.6 + v(i + 1) * (-0.8)
+      else v(i - 1) * 0.8 + v(i) * 0.6
+    }
+
+  /** Pinned `m=8, dsub=8, ksub=4` PQ codebooks whose centroid `(s, j)` is
+    * subvector `s` of source vector `j` — the data-derived pinned-artifact
+    * construction both engines can rebuild from the corpus.
+    */
+  private def pinnedCodebooks(src: Array[Array[Double]]): Pq.Codebooks =
+    Pq.Codebooks(m = 8, dsub = 8, ksub = src.length,
+      Array.tabulate(8)(sub => Array.tabulate(src.length)(j =>
+        Array.tabulate(8)(i => src(j)(sub * 8 + i)))))
+
+  /** DuckDB replay of the pinned-codebook ADC serve (the
+    * `similarity_pq_pinned` / `similarity_opq_pinned` oracle): rebuild
+    * the codebooks from source vectors 100-103 (`rotated` additionally
+    * applies [[pinnedRotation]] to every vector first), assign each
+    * corpus vector per subspace by squared-L2 argmin (ties to the lowest
+    * code), score each (query, row) with the 2m-lookup ADC cosine — the
+    * lookup tables flattened to `(s·ksub + j)`-indexed lists so the
+    * subspace sum replays in the kernel's exact order — and page by
+    * (round-6 score DESC, id ASC).
+    */
+  private def sqlPinnedAdcTopK(rotated: Boolean): String = {
+    val pre =
+      if (!rotated) ""
+      else
+        """rot AS (
+          |  SELECT vec_id, list_transform(range(1, 65), i -> CASE WHEN i % 2 = 1
+          |    THEN CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 0.6 + CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * (-0.8)
+          |    ELSE CAST(embedding[CAST(i AS INTEGER) - 1] AS DOUBLE) * 0.8 + CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 0.6 END) AS r
+          |  FROM embeddings),
+          |""".stripMargin
+    val table = if (rotated) "rot" else "embeddings"
+    // element accessor: the rot CTE already emits DOUBLE lists; the raw
+    // table needs the float→double cast both kernels apply
+    def el(row: String, idx: String): String =
+      if (rotated) s"$row.r[$idx]" else s"CAST($row.embedding[$idx] AS DOUBLE)"
+    s"""WITH $pre
+       |src AS (SELECT CAST(vec_id - 100 AS INTEGER) AS j, ${if (rotated) "r" else "embedding"}
+       |        FROM $table WHERE vec_id BETWEEN 100 AND 103),
+       |ss AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s),
+       |sub AS (
+       |  SELECT v.vec_id, ss.s, c.j,
+       |         list_sum(list_transform(range(1, 9), i ->
+       |           (${el("v", "ss.s*8 + i")} - ${el("c", "ss.s*8 + i")})
+       |         * (${el("v", "ss.s*8 + i")} - ${el("c", "ss.s*8 + i")}))) AS dist
+       |  FROM $table v CROSS JOIN ss CROSS JOIN src c),
+       |assign AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS r
+       |    FROM sub) WHERE r = 1),
+       |codes AS (SELECT vec_id, list(j ORDER BY s) AS code FROM assign GROUP BY vec_id),
+       |cn AS (
+       |  SELECT list(n ORDER BY s, j) AS cn2 FROM (
+       |    SELECT ss.s, c.j,
+       |           list_sum(list_transform(range(1, 9), i ->
+       |             ${el("c", "ss.s*8 + i")} * ${el("c", "ss.s*8 + i")})) AS n
+       |    FROM ss CROSS JOIN src c)),
+       |lutq AS (
+       |  SELECT q_id, list(d ORDER BY s, j) AS lut, any_value(qn) AS qn FROM (
+       |    SELECT q.vec_id AS q_id, ss.s, c.j,
+       |           list_sum(list_transform(range(1, 9), i ->
+       |             ${el("q", "ss.s*8 + i")} * ${el("c", "ss.s*8 + i")})) AS d,
+       |           sqrt(list_sum(list_transform(range(1, 65), i ->
+       |             ${el("q", "CAST(i AS INTEGER)")} * ${el("q", "CAST(i AS INTEGER)")}))) AS qn
+       |    FROM $table q CROSS JOIN ss CROSS JOIN src c WHERE q.vec_id < 5)
+       |  GROUP BY q_id),
+       |sims AS (
+       |  SELECT l.q_id, o.vec_id AS n_id,
+       |         round(list_sum(list_transform(range(0, 8), s -> l.lut[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)]))
+       |             / (l.qn * sqrt(list_sum(list_transform(range(0, 8), s -> cn.cn2[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)])))), 6) AS asim
+       |  FROM lutq l CROSS JOIN codes o CROSS JOIN cn
+       |  WHERE l.q_id <> o.vec_id)
+       |SELECT q_id, n_id, asim, rk FROM (
+       |  SELECT q_id, n_id, asim,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS BIGINT) AS rk
+       |  FROM sims)
+       |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** Shared DuckDB CTEs for the sliding-window exact-substring pass
     * (width 8): tokenize → window occurrences → keep-first marking →
     * merged per-doc spans. The one copy serving `dedup_ngram_spans`
@@ -1035,6 +1151,69 @@ object ExtensionQueries {
           col("vec_id"))
     },
 
+    // ---- SemDeDup under the hash gate (pinned cluster centroids) -----------
+    // The cluster → pair → chain → prune MACHINERY oracle-green (the
+    // similarity_ivf_pinned quantizer, the dedup_groups recursive-CTE
+    // components): with centroids pinned to vectors 100-103, assignment
+    // is squared-L2 argmin, within-cluster pairs use the shared rounded-
+    // cosine fragment at 0.45, components are min-label closure, and the
+    // keep rule is min-(centroid_sim, id) per group. k-means QUALITY
+    // stays with SemDedupSpec's brute-parity contracts.
+    Q("dedup_semantic_pinned",
+      s"""WITH RECURSIVE c AS (
+        |  SELECT CAST(vec_id - 100 AS INTEGER) AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65), i ->
+        |           (CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |         * (CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |pairs AS (
+        |  SELECT sa.vec_id AS d1, sb.vec_id AS d2
+        |  FROM assign sa JOIN assign sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+        |  JOIN embeddings a ON a.vec_id = sa.vec_id
+        |  JOIN embeddings b ON b.vec_id = sb.vec_id
+        |  WHERE ${sqlCos("a", "b")} >= 0.45),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, MIN(r) AS rep_id FROM reach GROUP BY 1),
+        |csim AS (
+        |  SELECT a.vec_id AS id,
+        |         list_sum(list_transform(range(1, 65), i ->
+        |           CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(range(1, 65), i ->
+        |           CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(range(1, 65), i ->
+        |           CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)))))
+        |         AS cs
+        |  FROM embeddings a JOIN assign sa ON sa.vec_id = a.vec_id JOIN c ON c.bucket = sa.bucket),
+        |keep AS (SELECT comp.rep_id, csim.id, csim.cs FROM comp JOIN csim ON csim.id = comp.id),
+        |agg AS (SELECT rep_id, COUNT(*) AS n_members FROM keep GROUP BY 1),
+        |sel AS (
+        |  SELECT rep_id, id, cs FROM (
+        |    SELECT rep_id, id, cs, row_number() OVER (PARTITION BY rep_id ORDER BY cs, id) AS r
+        |    FROM keep) WHERE r = 1)
+        |SELECT sel.id AS vec_id, sel.rep_id, agg.n_members, round(sel.cs, 6) AS centroid_sim
+        |FROM sel JOIN agg USING (rep_id) ORDER BY vec_id""".stripMargin) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        sortSmall(
+          Similarity.semDedupWithCentroids(emb, "vec_id", "embedding", 0.45,
+            pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq)
+            .select(col("id").as("vec_id"), col("rep_id"), col("n_members"),
+              round(col("centroid_sim"), 6).as("centroid_sim")),
+          col("vec_id"))
+      }
+    },
+
     // ---- IVF-bucketed embedding near-dup (approximate scale path) ----------
     // Exact-verified candidates from shared coarse buckets: always a
     // subset of dedup_embedding's exact pairs (no false positives; recall
@@ -1139,6 +1318,44 @@ object ExtensionQueries {
     Q.noOracle("similarity_lsh") {
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10)
+    },
+
+    // ---- LSH serve under the hash gate (pinned hyperplanes) ----------------
+    // The signature → collide → re-rank MACHINERY oracle-green (the
+    // similarity_bq_pinned precedent, sign bits under data-derived
+    // hyperplanes instead of mean thresholds): one 4-bit table whose
+    // planes are vectors 110-113, so a signature is four sequential-fold
+    // dot-product signs, candidates are exact signature collisions, and
+    // the re-rank is the hash-checked rounded-cosine page. Hyperplane
+    // QUALITY (collision prob vs angle) stays with lshTopK's recall tests.
+    Q("similarity_lsh_pinned",
+      s"""WITH h AS (
+        |  SELECT CAST(vec_id - 110 AS INTEGER) AS b, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 110 AND 113),
+        |bits AS (
+        |  SELECT v.vec_id, h.b,
+        |         CASE WHEN list_sum(list_transform(range(1, 65), i ->
+        |                CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(h.embedding[CAST(i AS INTEGER)] AS DOUBLE))) >= 0
+        |              THEN CAST(1 AS BIGINT) << h.b ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM embeddings v CROSS JOIN h),
+        |sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sg FROM bits GROUP BY vec_id),
+        |cand AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+        |  FROM sig q JOIN sig n ON q.sg = n.sg
+        |  WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id),
+        |sims AS (
+        |  SELECT c.q_id, c.n_id, ${sqlCos("a", "b")} AS sim
+        |  FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.q_id
+        |  JOIN embeddings b ON b.vec_id = c.n_id)
+        |SELECT q_id, n_id, sim, rk FROM (
+        |  SELECT q_id, n_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => Similarity.lshTopKWithPlanes(t(s, d, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 5, 10,
+        Seq(pinnedVecs(s, d, 110, 113).map(_.toSeq).toSeq))
     },
 
     // ---- IVF coarse-quantizer ANN (scale path #2; recall-tested) -----------
@@ -1299,6 +1516,81 @@ object ExtensionQueries {
         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
       (s, d) => Bq.bqTopKWithThresholds(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10, Array.fill(64)(0.0), refine = 8)
+    },
+
+    // ---- PQ ADC serve under the hash gate (pinned codebooks) ---------------
+    // The encode → ADC → page MACHINERY made oracle-green, completing the
+    // pinned-artifact pattern for the largest remaining no_oracle block:
+    // with codebooks pinned to data-derived subvectors (centroid (s, j) =
+    // subspace s of vector 100+j — both engines read the same floats),
+    // per-subspace assignment is squared-L2 argmin, ADC is 2m table
+    // lookups summed in subspace order, and DuckDB replays assignment,
+    // the flattened lookup tables, and the rounded page. Codebook QUALITY
+    // stays with Pq.train's recall/MSE contracts in PqSpec.
+    Q("similarity_pq_pinned", sqlPinnedAdcTopK(rotated = false)) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Pq.pqTopKWithCodebooks(emb, "vec_id", "embedding",
+          col("vec_id") < 5, 10, pinnedCodebooks(pinnedVecs(s, d, 100, 103)))
+      }
+    },
+
+    // ---- OPQ ADC serve under the hash gate (pinned rotation + books) -------
+    // The rotate → encode → ADC → page machinery oracle-green: the pinned
+    // 3-4-5 Givens rotation (exact decimal literals, two-term ordered
+    // products) rotates corpus rows map-side and the query batch driver-
+    // side — exactly the trained-OPQ deployment shape — and the codebooks
+    // are the SAME data-derived subvectors taken in the rotated space.
+    // DuckDB replays the rotation as a list_transform and re-runs the PQ
+    // replay over it. Rotation QUALITY (Procrustes non-degradation) stays
+    // with Pq.trainOpq's contracts in PqSpec.
+    Q("similarity_opq_pinned", sqlPinnedAdcTopK(rotated = true)) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Pq.pqTopKWithCodebooks(emb, "vec_id", "embedding",
+          col("vec_id") < 5, 10,
+          pinnedCodebooks(pinnedVecs(s, d, 100, 103).map(applyPinnedRotation)),
+          rotation = Some(pinnedRotation(64)))
+      }
+    },
+
+    // ---- SQ ADC serve under the hash gate (pinned uniform grid) ------------
+    // The uniform-rounding encode + dsub=1 ADC machinery oracle-green:
+    // grid lo=-2, Δ=0.25 (both exact binary, so every reconstruction
+    // -2 + j·0.25 is an exact grid point in both engines), levels=17.
+    // The encoder's round-HALF-EVEN (math.rint) is emulated exactly in
+    // the oracle (floor-parity branch on the .5 case); scores are the
+    // same sequential-fold ADC cosine as the PQ replay. Grid QUALITY
+    // (per-dim min/max training) stays with Sq.train's bounds in SqSpec.
+    Q("similarity_sq_pinned",
+      """WITH codes AS (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    LEAST(GREATEST(
+        |      CASE WHEN ((CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) + 2.0) / 0.25)
+        |                - floor((CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) + 2.0) / 0.25) = 0.5
+        |           THEN CAST(floor((CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) + 2.0) / 0.25) AS BIGINT)
+        |                + CAST(floor((CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) + 2.0) / 0.25) AS BIGINT) % 2
+        |           ELSE CAST(round((CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) + 2.0) / 0.25) AS BIGINT) END,
+        |      0), 16)) AS code
+        |  FROM embeddings),
+        |recs AS (SELECT vec_id, list_transform(code, j -> -2.0 + j * 0.25) AS rec FROM codes),
+        |qn AS (SELECT vec_id AS q_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65), i ->
+        |           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS qn
+        |       FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.q_id, r.vec_id AS n_id,
+        |         round(list_sum(list_transform(range(1, 65), i ->
+        |                 CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * r.rec[CAST(i AS INTEGER)]))
+        |             / (q.qn * sqrt(list_sum(list_transform(r.rec, x -> x * x)))), 6) AS asim
+        |  FROM qn q CROSS JOIN recs r WHERE q.q_id <> r.vec_id)
+        |SELECT q_id, n_id, asim, rk FROM (
+        |  SELECT q_id, n_id, asim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => Sq.sqTopKWithGrid(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, dim = 64, lo = -2.0, delta = 0.25, levels = 17)
     },
 
     // ---- Product-quantization ANN (scale path #3: compressed serving) -----

@@ -577,6 +577,45 @@ object Pq {
     }
   }
 
+  /** [[pqTopK]] under CALLER-SUPPLIED codebooks (training replaced by
+    * `cb`, optionally with a caller-supplied orthogonal `rotation` in the
+    * OPQ position) — the oracle-replayable form, completing the pinned-
+    * artifact pattern for the ADC family: with pinned codebooks every
+    * stage is deterministic arithmetic a SQL engine can replay —
+    * per-subspace assignment is squared-L2 argmin (ascending (distance,
+    * code), [[encodeVec]]'s selection), ADC scores are `2m` table lookups
+    * summed in subspace order over lookup tables that are plain
+    * per-subspace dot products, and the page ranks the 6-dp-rounded score
+    * with ties on ascending id. Catalog `similarity_pq_pinned` /
+    * `similarity_opq_pinned` replay the whole encode → ADC → page
+    * deployment in DuckDB (the `similarity_bq_pinned` precedent);
+    * codebook/rotation QUALITY stays with [[train]]/[[trainOpq]] and
+    * PqSpec's recall/MSE contracts.
+    */
+  def pqTopKWithCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, k: Int, cb: Codebooks,
+                          rotation: Option[Array[Array[Double]]] = None,
+                          refine: Int = 1,
+                          maxQueryBatch: Int = 100000): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(Seq("bigint", "int", "smallint").contains(
+      emb.schema(idCol).dataType.simpleString),
+      s"pqTopKWithCodebooks needs an integral id column, got ${emb.schema(idCol).dataType}")
+    val codes = encode(emb, idCol, vecCol, cb, rotation)
+      .select(col(idCol).cast("long").as("n_id"), col("code"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    if (refine <= 1) adcTopK(codes, cb, queries, k, maxQueryBatch, rotation)
+    else {
+      val shortlist = adcTopK(codes, cb, queries, k * refine, maxQueryBatch, rotation)
+      val cv = emb.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      Similarity.rerankTopK(
+        shortlist.select(col("q_id"), col("n_id"))
+          .join(queries, Seq("q_id")).join(cv, Seq("n_id"))
+          .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")), k)
+    }
+  }
+
   // ---- persisted build / serve split (the IVF index precedent) -----------
 
   /** Persist codebooks + codes: `dir/codebooks` is (subspace, code,

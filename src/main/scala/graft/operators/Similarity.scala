@@ -98,12 +98,30 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, dim: Int = 64, bits: Int = 4,
-              tables: Int = 16, seed: Long = 42L): DataFrame = {
+              tables: Int = 16, seed: Long = 42L): DataFrame =
+    lshTopKWithPlanes(emb, idCol, vecCol, queryPred, k,
+      (0 until tables).map(l => planeMatrix(dim, bits, seed + 1000L * l)))
+
+  /** [[lshTopK]] under CALLER-SUPPLIED plane matrices (one per table,
+    * each `bits × dim`; seeded Gaussian generation replaced by `planes`)
+    * — the oracle-replayable form: with pinned hyperplanes a signature is
+    * `bits` plain sign comparisons of sequential-fold projections, bucket
+    * collision is signature equality, and the re-rank is the hash-checked
+    * rounded-cosine page. Catalog `similarity_lsh_pinned` replays the
+    * whole signature → collide → re-rank deployment in DuckDB (the
+    * `similarity_bq_pinned` precedent); hyperplane QUALITY (collision
+    * probability vs angle) stays with [[lshTopK]]'s recall contracts.
+    */
+  def lshTopKWithPlanes(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int,
+                        planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(planes.nonEmpty && planes.forall(_.nonEmpty),
+      "at least one non-empty plane table required")
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val sigs = (0 until tables).map { l =>
+    val sigs = planes.zipWithIndex.map { case (pm, l) =>
       struct(lit(l).as("tbl"),
         graft.functions.VectorExprs.hyperplaneSig(
-          col(vecCol), planeMatrix(dim, bits, seed + 1000L * l)).as("bucket"))
+          col(vecCol), pm).as("bucket"))
     }
     // queryPred is applied to the ORIGINAL frame (it may reference any emb
     // column), then the filtered queries are signature-tagged separately
@@ -1045,15 +1063,34 @@ object Similarity {
                threshold: Double, nlist: Int = 16,
                seed: Long = 42L): DataFrame = {
     Dedup.requireIntegralId(emb, idCol, "semDedup")
-    graft.functions.VectorExprs.register(emb.sparkSession)
-    val spark = emb.sparkSession
-    import graft.functions.VectorExprs.nearestCentroids
     // a null vector belongs to no cluster — excluded by contract (same
     // stance as the weight/score contracts in Sampling), from BOTH the
     // centroid training pass and the dedup itself
     val nonNull = emb.filter(col(vecCol).isNotNull)
     val cs: Seq[Seq[Double]] =
       trainCentroids(nonNull, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    semDedupWithCentroids(emb, idCol, vecCol, threshold, cs)
+  }
+
+  /** [[semDedup]] under a CALLER-SUPPLIED quantizer (k-means replaced by
+    * `cs`) — the oracle-replayable form: with pinned centroids every
+    * stage is deterministic replayable arithmetic — squared-L2 argmin
+    * assignment (ascending (distance, index), the [[ivfTopKWithCentroids]]
+    * precedent), within-cluster rounded-cosine pairs at `threshold`,
+    * min-label connected components, and the min-(centroid_sim, id) keep
+    * rule. Catalog `dedup_semantic_pinned` replays the whole
+    * cluster → pair → chain → prune flow in DuckDB (recursive-CTE
+    * components, the `dedup_groups` oracle); clustering QUALITY stays
+    * with [[semDedup]]'s brute-parity contracts in SemDedupSpec.
+    */
+  def semDedupWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, cs: Seq[Seq[Double]]): DataFrame = {
+    Dedup.requireIntegralId(emb, idCol, "semDedupWithCentroids")
+    require(cs.nonEmpty, "centroid list must be non-empty")
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import graft.functions.VectorExprs.nearestCentroids
+    val nonNull = emb.filter(col(vecCol).isNotNull)
     val tagged = nonNull
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", nearestCentroids(col("vec"), cs, 1).getItem(0))

@@ -132,6 +132,15 @@ object Sq {
       emb.schema(idCol).dataType.simpleString),
       s"sqTopK needs an integral id column, got ${emb.schema(idCol).dataType}")
     val cb = train(emb, idCol, vecCol, levels, seed)
+    serveFused(emb, idCol, vecCol, queryPred, k, cb, refine, maxQueryBatch)
+  }
+
+  /** Shared fused tail (encode → ADC → optional exact re-rank) for the
+    * trained and pinned-grid entry points.
+    */
+  private def serveFused(emb: DataFrame, idCol: String, vecCol: String,
+                         queryPred: Column, k: Int, cb: Pq.Codebooks,
+                         refine: Int, maxQueryBatch: Int): DataFrame = {
     val codes = encode(emb, idCol, vecCol, cb)
       .select(col(idCol).cast("long").as("n_id"), col("code"))
     val queries = emb.filter(queryPred)
@@ -145,6 +154,45 @@ object Sq {
           .join(queries, Seq("q_id")).join(cv, Seq("n_id"))
           .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")), k)
     }
+  }
+
+  /** The uniform grid `centroid(s)(j) = lo + j·delta` for every dimension
+    * — [[train]]'s layout with the per-dim sample min/max replaced by one
+    * caller-supplied (lo, delta) pair, so a pinned grid is constructible
+    * without a training pass.
+    */
+  def gridCodebooks(dim: Int, lo: Double, delta: Double,
+                    levels: Int): Pq.Codebooks = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    require(levels > 1 && levels <= 256,
+      s"levels must be in [2, 256] to pack one byte, got $levels")
+    require(delta > 0.0, s"grid step must be > 0, got $delta")
+    Pq.Codebooks(m = dim, dsub = 1, ksub = levels,
+      centroids = Array.tabulate(dim)(_ =>
+        Array.tabulate(levels)(j => Array(lo + j * delta))))
+  }
+
+  /** [[sqTopK]] under a CALLER-SUPPLIED uniform grid (training replaced
+    * by (lo, delta, levels)) — the oracle-replayable form: with a pinned
+    * grid every stage is deterministic arithmetic a SQL engine can replay
+    * — encoding is `clamp(rint((v−lo)/Δ))` (round-HALF-EVEN, emulated
+    * exactly in the oracle), reconstructions are exact grid points
+    * `lo + j·Δ`, and the ADC cosine over them is the same sequential-fold
+    * sum the whole similarity family's oracles share. Catalog
+    * `similarity_sq_pinned` replays encode → reconstruct → score → page
+    * in DuckDB (the `similarity_bq_pinned` precedent); grid QUALITY
+    * stays with [[train]] and SqSpec's reconstruction-bound contracts.
+    */
+  def sqTopKWithGrid(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int, dim: Int, lo: Double,
+                     delta: Double, levels: Int, refine: Int = 1,
+                     maxQueryBatch: Int = 4096): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(Seq("bigint", "int", "smallint").contains(
+      emb.schema(idCol).dataType.simpleString),
+      s"sqTopKWithGrid needs an integral id column, got ${emb.schema(idCol).dataType}")
+    serveFused(emb, idCol, vecCol, queryPred, k,
+      gridCodebooks(dim, lo, delta, levels), refine, maxQueryBatch)
   }
 
   /** Persist grid + codes in the EXACT [[Pq.buildPqIndex]] layout

@@ -840,6 +840,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("pinned-plane LSH equals lshTopK fed the same generated planes") {
+    // lshTopKWithPlanes is lshTopK with the seeded generation factored
+    // out: fed the SAME plane matrices it must be bit-equal
+    val planes = (0 until 16).map(l => Similarity.planeMatrix(64, 4, 42L + 1000L * l))
+    val viaPlanes = Similarity.lshTopKWithPlanes(emb, "vec_id", "embedding",
+      col("vec_id") < 5, 10, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val trained = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaPlanes == trained)
+  }
+
   test("IVF ANN recall@10 >= 0.5 vs brute force with half the buckets probed") {
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 10)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -130,9 +130,11 @@ class PlanGuardSpec extends SparkSpec {
       // scales, one row per incoming base doc; +2: the copy-0
       // classifier-logit row sets at both scales, one row per base doc)
       "BenchScale.scala"    -> 24,
-      // similarity_ivf_pinned: the 4-row pinned-quantizer collect (the
-      // nlist-row centroid-table precedent — sketch-sized by contract)
-      "ExtensionQueries.scala" -> 1)
+      // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
+      // shared pinnedVecs helper behind every round-15 pinned-artifact
+      // row (4-vector constant reads — the nlist-row centroid-table
+      // precedent, sketch-sized by contract)
+      "ExtensionQueries.scala" -> 2)
     def scalaFiles(dir: java.io.File): Seq[java.io.File] = {
       val (dirs, files) = dir.listFiles.toSeq.partition(_.isDirectory)
       files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)

@@ -242,4 +242,32 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction"),
       s"reintroduced a per-query window sort:\n$plan")
   }
+
+  test("pinned-codebook serve equals the trained fused path (machinery parity)") {
+    // pqTopKWithCodebooks is the same encode → ADC → page machinery with
+    // training factored out: fed the TRAINED books it must be bit-equal
+    // to pqTopK, at refine=1 and through the exact re-rank
+    val pred = col("vec_id") < 5
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(rows(Pq.pqTopKWithCodebooks(emb, "vec_id", "embedding", pred, 10, cb)) ==
+      rows(Pq.pqTopK(emb, "vec_id", "embedding", pred, 10, m = 8, ksub = 16)))
+    assert(rows(Pq.pqTopKWithCodebooks(emb, "vec_id", "embedding", pred, 10, cb,
+        refine = 8)) ==
+      rows(Pq.pqTopK(emb, "vec_id", "embedding", pred, 10, m = 8, ksub = 16,
+        refine = 8)))
+  }
+
+  test("pinned-rotation serve equals the trained OPQ path under its artifacts") {
+    val pred = col("vec_id") < 5
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val (cb, r) = Pq.trainOpq(emb, "vec_id", "embedding", m = 8, ksub = 16,
+      opqIters = 4)
+    assert(rows(Pq.pqTopKWithCodebooks(emb, "vec_id", "embedding", pred, 10, cb,
+        rotation = Some(r))) ==
+      rows(Pq.pqTopKOpq(emb, "vec_id", "embedding", pred, 10, m = 8, ksub = 16,
+        opqIters = 4)))
+  }
 }

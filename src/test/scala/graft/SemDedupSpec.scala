@@ -82,6 +82,27 @@ class SemDedupSpec extends SparkSpec {
     assert(shuffled == got)
   }
 
+  test("pinned-centroid variant equals semDedup fed the same trained quantizer") {
+    // semDedupWithCentroids is the flow with training factored out: fed
+    // the TRAINED centroids it must be bit-equal to semDedup, and under
+    // ANY pinned quantizer the result still partitions the corpus
+    val cs = Similarity.trainCentroids(emb, "vec_id", "embedding", nlist, 42L)
+      .toSeq.map(_.toSeq)
+    val pinned = Similarity.semDedupWithCentroids(emb, "vec_id", "embedding",
+        threshold, cs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pinned == got)
+    // arbitrary pinned quantizer (4 data vectors): structural contracts
+    val dataCs = emb.filter(col("vec_id") >= 100 && col("vec_id") <= 103)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val kept = Similarity.semDedupWithCentroids(emb, "vec_id", "embedding",
+      threshold, dataCs)
+    val reps = kept.select(col("rep_id")).collect().map(_.getLong(0))
+    assert(reps.distinct.length == reps.length, "two kept rows share a rep_id")
+    assert(kept.agg(sum(col("n_members"))).head.getLong(0) == emb.count())
+  }
+
   test("null vectors are excluded by contract") {
     import spark.implicits._
     val withNull = emb.select(col("vec_id"), col("embedding"))

@@ -141,4 +141,25 @@ class SketchTablesSpec extends SparkSpec {
       assert(math.abs(rankOf(p95) - 0.95) <= 0.035, s"week $w p95 rank ${rankOf(p95)}")
     }
   }
+
+  test("per-group kll rollup (categorical key) lands within rank error") {
+    // the events_value_quantile_rollup_per_group contract: per-(type, day)
+    // sketches merged to per-type estimates sit within KLL rank error of
+    // each type's exact distribution
+    val probs = Seq(0.5, 0.95)
+    val daily = SketchTables.kllTable(events, Seq("event_type", "day"), "value")
+    val perType = SketchTables.kllQuantiles(
+        SketchTables.kllRollup(daily, Seq("event_type")), probs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val byType = events.select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(perType.keySet == byType.keySet)
+    perType.foreach { case (t, (p50, p95)) =>
+      val vs = byType(t)
+      def rankOf(v: Double): Double = vs.count(_ <= v).toDouble / vs.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.035, s"type $t p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.035, s"type $t p95 rank ${rankOf(p95)}")
+    }
+  }
 }

@@ -116,4 +116,30 @@ class SqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(viaPq == served)
   }
+
+  test("pinned uniform grid: exact grid geometry, clamped codes, full-refine equals brute") {
+    // geometry: gridCodebooks lays out lo + j·Δ exactly (binary-exact at
+    // lo=-2, Δ=0.25), every dimension identical
+    val cb = Sq.gridCodebooks(dim = 64, lo = -2.0, delta = 0.25, levels = 17)
+    assert(cb.m == 64 && cb.dsub == 1 && cb.ksub == 17)
+    assert(cb.centroids.forall(s => s.zipWithIndex.forall {
+      case (c, j) => c(0) == -2.0 + j * 0.25
+    }))
+    // out-of-grid values clamp to the ends (codes 0 / levels-1)
+    import spark.implicits._
+    val wild = Seq((0L, Seq.fill(64)(-9f)), (1L, Seq.fill(64)(9f)))
+      .toDF("vec_id", "embedding")
+    val codes = Sq.encode(wild, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code")).toMap
+    assert(codes(0L).forall(_ == 0) && codes(1L).forall(b => (b & 0xff) == 16))
+    // with refine·k covering the corpus, the pinned-grid serve IS brute
+    // force — pins the shortlist + exact-re-rank wiring of the pinned path
+    val pred = col("vec_id") < 5
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", pred, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val pinnedFull = Sq.sqTopKWithGrid(emb, "vec_id", "embedding", pred, 10,
+      dim = 64, lo = -2.0, delta = 0.25, levels = 17, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(pinnedFull == exact)
+  }
 }
