@@ -37,6 +37,17 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object StreamDedup {
 
+  /** Memoized persisted eval-gram sets for [[decontamGate]], keyed by
+    * (session, canonicalized eval plan, n) — structural plan equality, so
+    * two gates over the same benchmark frame share ONE MEMORY_AND_DISK
+    * cache (and one guard count) instead of accumulating copies per
+    * construction. Entries are frame-sized handles; the cached DATA obeys
+    * the maxEvalGrams bound.
+    */
+  private val evalGramCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (DataFrame, Long)]()
+
   private val nameSeq = new AtomicLong(0)
 
   /** Flag every incoming document against the reference corpus.
@@ -331,25 +342,45 @@ object StreamDedup {
     * ~32 B of md5 key each — a few hundred MB broadcast) is generous for
     * any real benchmark suite; a train-corpus-sized side blows through it
     * by orders of magnitude.
+    *
+    * NOTE: construction is EAGER — the guard runs one Spark job (a count
+    * over the eval side) at gate build, even when the returned frame is
+    * never executed; a caller constructing gates speculatively pays that
+    * count up front. The persisted eval gram set is MEMOIZED per
+    * (session, canonicalized eval plan, n), so constructing the gate
+    * repeatedly in one session (bench passes, several streaming queries
+    * over one benchmark suite) reuses a single cache — and a memo hit
+    * skips the guard job too — instead of accumulating one
+    * MEMORY_AND_DISK copy per construction. `clearCache()` drops the
+    * memo; the next construction rebuilds.
     */
   def decontamGate(eval: DataFrame, incoming: DataFrame,
                    idCol: String, textCol: String, n: Int = 8,
                    maxEvalGrams: Long = 1L << 24): DataFrame = {
     import graft.operators.NgramSpans
     require(maxEvalGrams > 0, s"maxEvalGrams must be positive, got $maxEvalGrams")
-    // persisted: the guard count below materializes the SAME cache every
+    // persisted: the guard count materializes the SAME cache every
     // micro-batch then reuses — without it each micro-batch re-derives
     // the distinct eval gram set from text (measured doubling the gate's
     // cost), and the guard count would add a third derivation. Bounded
     // by the guard itself (≤ maxEvalGrams rows); released by
     // clearCache()/session end like the other static serve-side caches
-    val evalGrams = NgramSpans.windowHashArray(eval, idCol, textCol, n)
-      .select(explode(col("__grams")).as("__gram")).distinct()
-      .withColumn("__hit", lit(true))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEval = evalGrams.count()
+    val key = (eval.sparkSession, eval.queryExecution.analyzed.canonicalized, n)
+    val (evalGrams, nEval) = evalGramCache.computeIfAbsent(key, _ => {
+      val g = NgramSpans.windowHashArray(eval, idCol, textCol, n)
+        .select(explode(col("__grams")).as("__gram")).distinct()
+        .withColumn("__hit", lit(true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (g, g.count())
+    })
+    // a clearCache() between constructions unpersists the memoized frame
+    // but leaves the entry: re-persist (no-op when already cached) and
+    // keep serving — correctness never depended on the cache
+    evalGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (nEval > maxEvalGrams) {
-      evalGrams.unpersist() // don't leak the oversized cache with the failure
+      // don't leak (or keep serving) the oversized cache with the failure
+      evalGramCache.remove(key)
+      evalGrams.unpersist()
       throw new IllegalArgumentException(
         s"decontamGate: eval window-hash set has $nEval distinct grams > " +
           s"maxEvalGrams=$maxEvalGrams — the eval side broadcasts to every " +

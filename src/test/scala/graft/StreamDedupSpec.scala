@@ -84,6 +84,24 @@ class StreamDedupSpec extends SparkSpec {
       incoming.filter(col("text").isNotNull).count())
   }
 
+  test("repeated gate constructions share ONE memoized eval-gram cache") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val eval = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val first = StreamDedup.decontamGate(eval, incoming, "doc_id", "text")
+    first.count() // materialize the persisted gram set
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // same eval plan (fresh DataFrame object — memo keys on the
+    // CANONICALIZED plan, not reference identity) must not add a cache
+    val again = StreamDedup.decontamGate(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), incoming, "doc_id", "text")
+    again.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "a second gate construction over the same eval frame added a cache copy")
+    // and the shared cache did not change answers
+    assert(again.collect().map(_.toSeq).toSet == first.collect().map(_.toSeq).toSet)
+  }
+
   test("persisted LSH index serves identically to the fused plan; params ride the index") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
