@@ -90,6 +90,7 @@ object BenchScale {
     // (the scale row is dedup_semantic's autoNlist sizing)
     "similarity_ivf_pinned", "similarity_bq_pinned", "similarity_pq_pinned",
     "similarity_sq_pinned", "similarity_opq_pinned", "similarity_lsh_pinned",
+    "similarity_ivfpq_pinned",
     // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
     "histogram_equidepth", "histogram_equidepth_per_group",
     // product analytics (user-keyed min-aggregations / cohort cells)
@@ -486,7 +487,8 @@ object BenchScale {
       // signature path lost candidates, i.e. a collision bug at scale)
       Seq("similarity_ivf_pinned", "similarity_bq_pinned",
           "similarity_pq_pinned", "similarity_sq_pinned",
-          "similarity_opq_pinned", "similarity_lsh_pinned").forall { n =>
+          "similarity_opq_pinned", "similarity_lsh_pinned",
+          "similarity_ivfpq_pinned").forall { n =>
         q(outDir, n).count() == q(srcDir, n).count()
       }
     }, "a pinned-artifact serve page changed shape with scale")

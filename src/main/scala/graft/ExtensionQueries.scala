@@ -1459,6 +1459,86 @@ object ExtensionQueries {
         ivfPqResIndexDir(s, d), 10, nprobe = 8)
     },
 
+    // ---- Composed IVF-PQ serve under the hash gate (pinned artifacts) ------
+    // The flagship ANN deployment shape oracle-green end-to-end: pinned
+    // coarse quantizer (vectors 100-103, nprobe=2) composes with pinned
+    // PQ codebooks (subvectors of 104-107) so bucket assignment, probe
+    // selection, the probed-bucket restriction, restricted ADC scoring,
+    // and the page are one deterministic replayable pass — the
+    // similarity_ivf_pinned and similarity_pq_pinned replays COMPOSED.
+    // Quality of trained artifacts stays with PqSpec's recall/pruning
+    // contracts; served≡artifact parity (disk-built index vs in-memory
+    // artifacts) is pinned in PqSpec.
+    Q("similarity_ivfpq_pinned",
+      """WITH cq AS (
+        |  SELECT CAST(vec_id - 100 AS INTEGER) AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65), i ->
+        |           (CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |         * (CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN cq c),
+        |bassign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, bucket FROM (
+        |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id < 5) WHERE r <= 2),
+        |src AS (SELECT CAST(vec_id - 104 AS INTEGER) AS j, embedding FROM embeddings
+        |        WHERE vec_id BETWEEN 104 AND 107),
+        |ss AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s),
+        |sub AS (
+        |  SELECT v.vec_id, ss.s, c.j,
+        |         list_sum(list_transform(range(1, 9), i ->
+        |           (CAST(v.embedding[ss.s*8 + i] AS DOUBLE) - CAST(c.embedding[ss.s*8 + i] AS DOUBLE))
+        |         * (CAST(v.embedding[ss.s*8 + i] AS DOUBLE) - CAST(c.embedding[ss.s*8 + i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN ss CROSS JOIN src c),
+        |assign AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS r
+        |    FROM sub) WHERE r = 1),
+        |codes AS (SELECT vec_id, list(j ORDER BY s) AS code FROM assign GROUP BY vec_id),
+        |cn AS (
+        |  SELECT list(n ORDER BY s, j) AS cn2 FROM (
+        |    SELECT ss.s, c.j,
+        |           list_sum(list_transform(range(1, 9), i ->
+        |             CAST(c.embedding[ss.s*8 + i] AS DOUBLE) * CAST(c.embedding[ss.s*8 + i] AS DOUBLE))) AS n
+        |    FROM ss CROSS JOIN src c)),
+        |lutq AS (
+        |  SELECT q_id, list(d ORDER BY s, j) AS lut, any_value(qn) AS qn FROM (
+        |    SELECT q.vec_id AS q_id, ss.s, c.j,
+        |           list_sum(list_transform(range(1, 9), i ->
+        |             CAST(q.embedding[ss.s*8 + i] AS DOUBLE) * CAST(c.embedding[ss.s*8 + i] AS DOUBLE))) AS d,
+        |           sqrt(list_sum(list_transform(range(1, 65), i ->
+        |             CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS qn
+        |    FROM embeddings q CROSS JOIN ss CROSS JOIN src c WHERE q.vec_id < 5)
+        |  GROUP BY q_id),
+        |sims AS (
+        |  SELECT l.q_id, o.vec_id AS n_id,
+        |         round(list_sum(list_transform(range(0, 8), s -> l.lut[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)]))
+        |             / (l.qn * sqrt(list_sum(list_transform(range(0, 8), s -> cn.cn2[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)])))), 6) AS asim
+        |  FROM lutq l
+        |  JOIN probe p ON p.q_id = l.q_id
+        |  JOIN bassign b ON b.bucket = p.bucket
+        |  JOIN codes o ON o.vec_id = b.vec_id
+        |  CROSS JOIN cn
+        |  WHERE l.q_id <> o.vec_id)
+        |SELECT q_id, n_id, asim, rk FROM (
+        |  SELECT q_id, n_id, asim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Pq.ivfPqTopKWithArtifacts(emb, "vec_id", "embedding",
+          col("vec_id") < 5, 10, pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq,
+          pinnedCodebooks(pinnedVecs(s, d, 104, 107)), nprobe = 2)
+      }
+    },
+
     // ---- Scalar quantization (SQ8): 4× compressed serving ------------------
     // The middle rung of the compression ladder: one byte per DIMENSION
     // on a per-dim uniform grid (brute 4 B/dim → SQ 1 B/dim → PQ 1 B per

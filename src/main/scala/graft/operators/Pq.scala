@@ -794,17 +794,64 @@ object Pq {
     val qs = collectQueries(
       queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")),
       cb.dim, maxQueryBatch)
+    serveIvfPqCodes(spark.read.parquet(s"$indexDir/codes"), cb, cs, qs,
+      nprobe, residual, k)
+  }
+
+  /** [[ivfPqTopKFromIndex]] under CALLER-SUPPLIED artifacts (index build
+    * replaced by `cs` + `cb`; codes and buckets derive on the fly) — the
+    * oracle-replayable form of the COMPOSED serve: with a pinned coarse
+    * quantizer and pinned codebooks, bucket assignment, probe selection,
+    * the probed-bucket restriction, ADC scoring, and the page are all
+    * deterministic replayable arithmetic. Catalog `similarity_ivfpq_pinned`
+    * replays the whole assign → probe → restricted-ADC → page deployment
+    * in DuckDB (the `similarity_ivf_pinned` + `similarity_pq_pinned`
+    * replays composed); quantizer/codebook QUALITY stays with the
+    * trained paths' recall/pruning contracts in PqSpec. Non-residual by
+    * construction (the pinned books quantize raw vectors).
+    */
+  def ivfPqTopKWithArtifacts(emb: DataFrame, idCol: String, vecCol: String,
+                             queryPred: Column, k: Int, cs: Seq[Seq[Double]],
+                             cb: Codebooks, nprobe: Int,
+                             maxQueryBatch: Int = 100000): DataFrame = {
+    require(Seq("bigint", "int", "smallint").contains(
+      emb.schema(idCol).dataType.simpleString),
+      s"ivfPqTopKWithArtifacts needs an integral id column, got ${emb.schema(idCol).dataType}")
+    require(cs.nonEmpty, "centroid list must be non-empty")
+    val spark = emb.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.nearestCentroids
+    val csSeq: Seq[Seq[Double]] = cs.map(_.toSeq)
+    val codes = emb.select(col(idCol).cast("long").as("n_id"),
+      encoderUdf(cb)(col(vecCol)).as("code"),
+      element_at(nearestCentroids(col(vecCol), csSeq, 1), 1).as("bucket"))
+    val qs = collectQueries(emb.filter(queryPred)
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")),
+      cb.dim, maxQueryBatch)
+    serveIvfPqCodes(codes, cb, cs.map(_.toArray).toArray, qs,
+      nprobe, residual = false, k)
+  }
+
+  /** Shared probe-restricted ADC tail of the composed serve: driver-side
+    * probe selection (ascending (distance, bucket) — the NearestCentroids
+    * order, so fused/served probes agree), probed-bucket restriction on
+    * the code scan (PartitionFilters when `codes` is a bucket-partitioned
+    * read), per-query restriction inside the kernel, bounded page.
+    */
+  private def serveIvfPqCodes(codesIn: DataFrame, cb: Codebooks,
+                              cs: Array[Array[Double]],
+                              qs: Array[(Long, Array[Double])],
+                              nprobe: Int, residual: Boolean,
+                              k: Int): DataFrame = {
+    val spark = codesIn.sparkSession
     require(nprobe >= 1 && nprobe <= cs.length,
       s"nprobe must be in [1, ${cs.length}], got $nprobe")
-    // driver-side probe: ascending (distance, bucket) — the same order the
-    // NearestCentroids expression uses, so fused/served probes agree
     val probeOf: Map[Long, Array[Int]] = qs.map { case (qid, q) =>
       qid -> cs.indices
         .map(b => (l2(q, cs(b)), b)).sorted.take(nprobe).map(_._2).toArray
     }.toMap
     val probed = probeOf.values.flatten.toSeq.distinct.sorted
-    val codes = spark.read.parquet(s"$indexDir/codes")
-      .filter(col("bucket").isin(probed.map(Int.box): _*))
+    val codes = codesIn.filter(col("bucket").isin(probed.map(Int.box): _*))
     // residual recombination tables, all sketch-sized (x̂ = c_b + ŷ):
     // |c_b|² per bucket, the (bucket, subspace, code) cross dots
     // 2·c_b·ŷ_s needs, and per-query dot(q, c_b) offsets — so the kernel

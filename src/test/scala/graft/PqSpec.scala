@@ -259,6 +259,26 @@ class PqSpec extends SparkSpec {
         refine = 8)))
   }
 
+  test("composed serve from in-memory artifacts equals the disk-built index serve") {
+    // ivfPqTopKWithArtifacts is the composed probe-and-ADC machinery with
+    // the index build factored out: fed the BUILT index's own centroids
+    // and codebooks it must reproduce ivfPqTopKFromIndex exactly (same
+    // probe order, same on-the-fly encoding as the persisted codes)
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/pq_spec/ivfpq_art"
+    Pq.buildIvfPqIndex(emb, "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    val cb = Pq.loadCodebooks(spark, dir)
+    val cs: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("bucket")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaArtifacts = rows(Pq.ivfPqTopKWithArtifacts(emb, "vec_id", "embedding",
+      col("vec_id") < 5, 10, cs, cb, nprobe = 4))
+    val served = rows(Pq.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dir, 10, nprobe = 4))
+    assert(viaArtifacts == served)
+  }
+
   test("pinned-rotation serve equals the trained OPQ path under its artifacts") {
     val pred = col("vec_id") < 5
     def rows(df: org.apache.spark.sql.DataFrame) =
