@@ -164,12 +164,15 @@ object Bench {
     // The driver's stdout capture is BOUNDED: rounds 9-12 clipped the
     // full per-query map mid-line and the round artifact's `parsed` field
     // came back null every time. So the FIRST stdout line is the compact
-    // BASELINE.md §B 12-anchor subset (~400 bytes, cannot clip) with the
-    // FULL-catalog total as the headline value — whatever end of the
-    // capture survives, a head-anchored parse sees a complete JSON line.
-    // It is ALSO re-emitted as the LAST line for tail-anchored captures.
-    // The complete 171-query map goes between the two as a SLIMMED twin
-    // (3-decimal timings, no spread map), and stays authoritative in the
+    // BASELINE.md §B 12-anchor subset (~400 bytes, cannot clip):
+    // `metric` = "anchor12_total", `value` = the SUM OF ITS OWN 12-query
+    // map (the §B comparison number), and the full-catalog total rides
+    // the SAME line under `full_total` — a head-anchored parser reads
+    // the catalog total from `full_total`, never from `value`. The line
+    // is ALSO re-emitted as the LAST line for tail-anchored captures.
+    // The complete per-query map goes between the two as a SLIMMED twin
+    // (`metric` = "total", 3-decimal timings, no spread map — the one
+    // clip-prone line, by design), and stays authoritative in the
     // DURABLE files (target/bench_latest.json + repo-root
     // BENCH_full_latest.json, full precision + spread).
     val anchors = Seq("summary_count", "basic_stats", "histogram_1d",

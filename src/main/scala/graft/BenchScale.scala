@@ -478,7 +478,9 @@ object BenchScale {
       b == s
     }, "copy-0 streaming-gate rows departed from the base corpus")
     check("pinned_serving_topk_shape_unchanged", {
-      // the six hash-green pinned-artifact serve rows share one scale
+      // the hash-green pinned-artifact serve rows (the list below — keep
+      // it in sync with the catalog's `similarity_*_pinned` family) share
+      // one scale
       // contract: quantizers are pinned to copy-0 vectors (verbatim at
       // any factor) and the query set lives in copy 0, so each page
       // stays |Q|·k rows while the scanned corpus grows factor×.

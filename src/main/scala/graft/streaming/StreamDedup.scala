@@ -43,10 +43,50 @@ object StreamDedup {
     * cache (and one guard count) instead of accumulating copies per
     * construction. Entries are frame-sized handles; the cached DATA obeys
     * the maxEvalGrams bound.
+    *
+    * Lifecycle: an entry whose persisted blocks were dropped (a
+    * `clearCache()`, explicit unpersist, or executor loss) is REBUILT on
+    * the next construction — re-derived, re-persisted, and re-counted, so
+    * the broadcast-size guard always reflects the data the gate will
+    * actually ship (an eval source that grew under the same canonicalized
+    * plan — overwritten parquet path, refreshed table — is re-guarded,
+    * not served from the stale snapshot). [[clearMemo]] evicts
+    * explicitly; entries of STOPPED sessions are swept on every
+    * construction, so a long-lived JVM cycling sessions (test suites,
+    * notebook servers) does not retain dead sessions or their plans.
     */
   private val evalGramCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
     (DataFrame, Long)]()
+
+  /** Drop every memoized eval-gram cache (unpersisting each): the next
+    * gate construction re-derives, re-persists, and re-guards. Call after
+    * mutating an eval source in place (same path/plan, new data) to force
+    * the rebuild immediately rather than at the next block drop.
+    */
+  def clearMemo(): Unit = {
+    val it = evalGramCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      try e.getValue._1.unpersist() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Entry count (test observability for the eviction contracts). */
+  private[graft] def memoSize: Int = evalGramCache.size()
+
+  /** Sweep entries whose session has been stopped — their cached blocks
+    * are gone with the session's executors, and keeping the keys would
+    * strongly retain the stopped session (and its analyzed plan) for the
+    * JVM lifetime.
+    */
+  private def sweepDeadSessions(): Unit = {
+    val it = evalGramCache.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+  }
 
   private val nameSeq = new AtomicLong(0)
 
@@ -351,32 +391,42 @@ object StreamDedup {
     * repeatedly in one session (bench passes, several streaming queries
     * over one benchmark suite) reuses a single cache — and a memo hit
     * skips the guard job too — instead of accumulating one
-    * MEMORY_AND_DISK copy per construction. `clearCache()` drops the
-    * memo; the next construction rebuilds.
+    * MEMORY_AND_DISK copy per construction. A memo entry is only served
+    * while its persisted blocks are still registered: after a
+    * `clearCache()` (or any unpersist) the next construction REBUILDS —
+    * re-deriving, re-persisting, and re-running the guard count — so an
+    * eval source that changed in place under the same canonicalized plan
+    * is re-guarded and re-snapshotted, never silently served stale.
+    * [[clearMemo]] forces that eviction immediately.
     */
   def decontamGate(eval: DataFrame, incoming: DataFrame,
                    idCol: String, textCol: String, n: Int = 8,
                    maxEvalGrams: Long = 1L << 24): DataFrame = {
     import graft.operators.NgramSpans
     require(maxEvalGrams > 0, s"maxEvalGrams must be positive, got $maxEvalGrams")
+    sweepDeadSessions()
     // persisted: the guard count materializes the SAME cache every
     // micro-batch then reuses — without it each micro-batch re-derives
     // the distinct eval gram set from text (measured doubling the gate's
     // cost), and the guard count would add a third derivation. Bounded
-    // by the guard itself (≤ maxEvalGrams rows); released by
-    // clearCache()/session end like the other static serve-side caches
+    // by the guard itself (≤ maxEvalGrams rows). `compute` (not
+    // computeIfAbsent) so an entry whose cache blocks were dropped is
+    // rebuilt atomically: persistence is the marker that the memoized
+    // nEval still describes the data — once the blocks are gone the
+    // source may have changed, and serving the old handle would both
+    // skip the size guard on the regrown data and pin a stale snapshot
     val key = (eval.sparkSession, eval.queryExecution.analyzed.canonicalized, n)
-    val (evalGrams, nEval) = evalGramCache.computeIfAbsent(key, _ => {
-      val g = NgramSpans.windowHashArray(eval, idCol, textCol, n)
-        .select(explode(col("__grams")).as("__gram")).distinct()
-        .withColumn("__hit", lit(true))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (g, g.count())
+    val (evalGrams, nEval) = evalGramCache.compute(key, (_, prev) => {
+      if (prev != null &&
+          prev._1.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
+      else {
+        val g = NgramSpans.windowHashArray(eval, idCol, textCol, n)
+          .select(explode(col("__grams")).as("__gram")).distinct()
+          .withColumn("__hit", lit(true))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (g, g.count())
+      }
     })
-    // a clearCache() between constructions unpersists the memoized frame
-    // but leaves the entry: re-persist (no-op when already cached) and
-    // keep serving — correctness never depended on the cache
-    evalGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (nEval > maxEvalGrams) {
       // don't leak (or keep serving) the oversized cache with the failure
       evalGramCache.remove(key)

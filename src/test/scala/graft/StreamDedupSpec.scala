@@ -102,6 +102,52 @@ class StreamDedupSpec extends SparkSpec {
     assert(again.collect().map(_.toSeq).toSet == first.collect().map(_.toSeq).toSet)
   }
 
+  test("decontamGate re-guards and re-snapshots once its cache blocks are dropped") {
+    import spark.implicits._
+    // an eval source that GROWS IN PLACE under the same canonicalized plan
+    // (overwritten parquet path — InMemoryFileIndex equality is by root
+    // path, so the memo key does not change) must be re-counted by the
+    // broadcast-size guard as soon as the persisted snapshot is gone; the
+    // pre-fix behavior re-persisted the stale frame and reused the
+    // first-construction count forever
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/gate_memo/eval.parquet"
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "unrelated words that never appear in the evaluation suite x"))
+      .toDF("doc_id", "text")
+    val cap = 50L
+    val g1 = StreamDedup.decontamGate(spark.read.parquet(dir), incoming,
+      "doc_id", "text", n = 8, maxEvalGrams = cap)
+    assert(g1.filter(col("is_contaminated")).count() == 1L)
+    // grow the eval side past the cap, same path/plan
+    spark.range(0, 200)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 8).map(i => concat(lit(s"w$i"), col("id"))): _*).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    // while the old snapshot's blocks are registered the gate keeps
+    // serving it (documented); clearMemo forces the rebuild immediately
+    StreamDedup.clearMemo()
+    assert(StreamDedup.memoSize == 0, "clearMemo must drop every entry")
+    val e = intercept[IllegalArgumentException] {
+      StreamDedup.decontamGate(spark.read.parquet(dir), incoming,
+        "doc_id", "text", n = 8, maxEvalGrams = cap)
+    }
+    assert(e.getMessage.contains("maxEvalGrams"), e.getMessage)
+    // a clearCache() (blocks dropped, entry left) must ALSO rebuild and
+    // re-guard on the next construction — the pre-fix stale-reuse path
+    val g2 = StreamDedup.decontamGate(spark.read.parquet(dir), incoming,
+      "doc_id", "text", n = 8, maxEvalGrams = 1L << 20)
+    assert(g2.count() == 2L)
+    spark.catalog.clearCache()
+    val e2 = intercept[IllegalArgumentException] {
+      StreamDedup.decontamGate(spark.read.parquet(dir), incoming,
+        "doc_id", "text", n = 8, maxEvalGrams = cap)
+    }
+    assert(e2.getMessage.contains("maxEvalGrams"), e2.getMessage)
+  }
+
   test("persisted LSH index serves identically to the fused plan; params ride the index") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
