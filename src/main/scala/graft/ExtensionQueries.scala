@@ -1314,6 +1314,81 @@ object ExtensionQueries {
       }
     },
 
+    // ---- Composed MMR-over-IVF serve under the hash gate -------------------
+    // The LAST composed serve path made oracle-green: the
+    // similarity_ivf_pinned probe replay (pinned quantizer 100-103,
+    // nprobe=2, page widened to the 20-candidate pool) FEEDS the
+    // similarity_mmr recursive-CTE greedy replay — one DuckDB query
+    // replays assignment, probing, candidate page, pair similarities,
+    // and every exact-DECIMAL greedy pick. Quantizer quality stays with
+    // similarity_mmr_ivf's full-probe≡brute parity.
+    Q("similarity_mmr_ivf_pinned",
+      s"""WITH RECURSIVE
+        |c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id < 5) WHERE r <= 2),
+        |sims AS (
+        |  SELECT p.q_id, s.vec_id AS n_id, ${sqlCos("a", "b")} AS sim
+        |  FROM probe p
+        |  JOIN assign s ON s.bucket = p.bucket
+        |  JOIN embeddings a ON a.vec_id = p.q_id
+        |  JOIN embeddings b ON b.vec_id = s.vec_id
+        |  WHERE p.q_id <> s.vec_id),
+        |cand AS (
+        |  SELECT q_id, n_id, CAST(sim AS DECIMAL(18, 6)) AS sim FROM (
+        |    SELECT q_id, n_id, sim,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+        |    FROM sims) WHERE rk <= 20),
+        |psim AS (
+        |  SELECT c1.q_id, c1.n_id AS a_id, c2.n_id AS b_id,
+        |         CAST(${sqlCos("a", "b")} AS DECIMAL(18, 6)) AS s
+        |  FROM cand c1 JOIN cand c2 USING (q_id), embeddings a, embeddings b
+        |  WHERE c1.n_id <> c2.n_id AND a.vec_id = c1.n_id AND b.vec_id = c2.n_id),
+        |sel AS (
+        |  SELECT q_id, CAST(1 AS BIGINT) AS rk, [n_id] AS picked, n_id,
+        |         sim AS relevance, CAST(0.7 * sim AS DECIMAL(24, 8)) AS mmr
+        |  FROM (SELECT q_id, n_id, sim,
+        |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
+        |        FROM cand) WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.q_id, s.rk + 1, list_append(s.picked, p.n_id), p.n_id, p.sim,
+        |         CAST(p.score AS DECIMAL(24, 8))
+        |  FROM sel s JOIN LATERAL (
+        |    SELECT c.n_id, c.sim,
+        |           0.7 * c.sim - 0.3 * (SELECT max(ps.s) FROM psim ps
+        |                                WHERE ps.q_id = s.q_id AND ps.a_id = c.n_id
+        |                                  AND list_contains(s.picked, ps.b_id)) AS score
+        |    FROM cand c
+        |    WHERE c.q_id = s.q_id AND NOT list_contains(s.picked, c.n_id)
+        |    ORDER BY score DESC, c.n_id LIMIT 1) p ON true
+        |  WHERE s.rk < 5)
+        |SELECT q_id, n_id, rk, CAST(relevance AS DOUBLE) AS relevance,
+        |       CAST(round(mmr, 6) AS DOUBLE) AS mmr_score
+        |FROM sel ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.mmrTopKIvfWithCentroids(emb, "vec_id", "embedding",
+          col("vec_id") < 5, k = 5, lambdaRel = 0.7, candidates = 20,
+          pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq, nprobe = 2)
+      }
+    },
+
     // ---- LSH-bucketed ANN (scale path; recall vs brute force in tests) -----
     Q.noOracle("similarity_lsh") {
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -333,10 +333,34 @@ object Similarity {
                  queryPred: Column, k: Int, lambdaRel: Double = 0.7,
                  candidates: Int = 0, nlist: Int = 16, nprobe: Int = 4,
                  seed: Long = 42L): DataFrame = {
+    // train-then-delegate (the lshTopK/lshTopKWithPlanes split): the
+    // composed serve machinery lives in ONE place, so the pinned entry
+    // point below provably runs the trained path's exact stages
+    val cs: Seq[Seq[Double]] =
+      trainCentroids(emb, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    mmrTopKIvfWithCentroids(emb, idCol, vecCol, queryPred, k, lambdaRel,
+      candidates, cs, nprobe)
+  }
+
+  /** [[mmrTopKIvf]] under a CALLER-SUPPLIED coarse quantizer — the
+    * composed MMR serve with training factored out (the
+    * [[ivfTopKWithCentroids]] convention). With PINNED centroids every
+    * stage of the composition is deterministic replayable arithmetic:
+    * squared-L2 argmin assignment, nprobe probe selection, the
+    * rounded-cosine candidate page, and the exact-decimal greedy MMR
+    * tail — so the WHOLE diversified-serve path sits under the exact
+    * oracle hash gate (catalog `similarity_mmr_ivf_pinned`), while
+    * quantizer quality stays with the trained path's recall/parity
+    * tests.
+    */
+  def mmrTopKIvfWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                              queryPred: Column, k: Int, lambdaRel: Double,
+                              candidates: Int, cs: Seq[Seq[Double]],
+                              nprobe: Int): DataFrame = {
     val c = if (candidates > 0) candidates else 4 * k
     require(c >= k, s"candidates ($c) must be >= k ($k)")
     val top = rerankTopK(
-      ivfCandidates(emb, idCol, vecCol, queryPred, nlist, nprobe, seed), c)
+      ivfCandidatesWithCentroids(emb, idCol, vecCol, queryPred, cs, nprobe), c)
     val cv = emb.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
     mmrRerank(top.select(col("q_id").cast("long").as("q_id"), col("n_id"),
       col("sim")).join(cv, Seq("n_id")), k, lambdaRel)

@@ -112,6 +112,23 @@ class MmrSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("trained MMR-over-IVF equals the pinned-centroid entry point under its own quantizer") {
+    // the composed serve machinery is ONE code path (mmrTopKIvf trains
+    // then delegates): feeding the trained centroids back through the
+    // pinned entry point must reproduce the fused result bit-for-bit —
+    // the trained≡pinned parity that lets the hash-green pinned catalog
+    // row certify the trained path's serve stages
+    val cs = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nlist = 2, seed = 42L).toSeq.map(_.toSeq)
+    val fused = Similarity.mmrTopKIvf(emb, "vec_id", "embedding",
+      col("vec_id") === 0, k = 3, lambdaRel = 0.7, candidates = 4,
+      nlist = 2, nprobe = 2).collect().toSeq
+    val pinned = Similarity.mmrTopKIvfWithCentroids(emb, "vec_id", "embedding",
+      col("vec_id") === 0, k = 3, lambdaRel = 0.7, candidates = 4,
+      cs, nprobe = 2).collect().toSeq
+    assert(pinned == fused)
+  }
+
   test("result is partitioning-invariant") {
     val a = Similarity.mmrTopK(emb, "vec_id", "embedding", col("vec_id") === 0,
       k = 3, lambdaRel = 0.7, candidates = 4).collect().toSeq
