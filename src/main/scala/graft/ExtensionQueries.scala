@@ -1230,6 +1230,94 @@ object ExtensionQueries {
         col("d1"), col("d2"))
     },
 
+    // ---- IVF-bucketed embedding near-dup under the hash gate ---------------
+    // The bucket → candidate → exact-verify MACHINERY oracle-green (the
+    // similarity_ivf_pinned quantizer): with pinned centroids 100-103
+    // every vector's nprobe=2 probe set is squared-L2 argmin arithmetic,
+    // candidates are probe-set intersections, and survivors carry the
+    // shared rounded cosine at 0.45 — one DuckDB replay end to end.
+    // Bucket recall vs nprobe stays with dedup_embedding_ivf's zero-FP /
+    // recall tests where it belongs.
+    Q("dedup_embedding_ivf_pinned",
+      s"""WITH c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |probe AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p1.vec_id AS d1, p2.vec_id AS d2
+        |  FROM probe p1 JOIN probe p2
+        |    ON p1.bucket = p2.bucket AND p1.vec_id < p2.vec_id)
+        |SELECT d1, d2, sim FROM (
+        |  SELECT cand.d1, cand.d2, ${sqlCos("a", "b")} AS sim
+        |  FROM cand
+        |  JOIN embeddings a ON a.vec_id = cand.d1
+        |  JOIN embeddings b ON b.vec_id = cand.d2)
+        |WHERE sim >= 0.45 ORDER BY d1, d2""".stripMargin) {
+      (s, d) => sortSmall(
+        Similarity.ivfDupPairsWithCentroids(t(s, d, "embeddings"), "vec_id",
+          "embedding", 0.45, pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq,
+          nprobe = 2),
+        col("d1"), col("d2"))
+    },
+
+    // ---- Embedding clusters over the PINNED bucketed pair path -------------
+    // The components twin: connectedComponents over the pinned-quantizer
+    // pair graph — the dedup_groups recursive-CTE closure seeded from the
+    // dedup_embedding_ivf_pinned pair SQL, so the whole sub-quadratic
+    // cluster flow (bucket → verify → transitive closure → min-label rep)
+    // replays in one DuckDB query.
+    Q("dedup_groups_embedding_ivf_pinned",
+      s"""WITH RECURSIVE c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |probe AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r <= 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT cand.d1, cand.d2, ${sqlCos("a", "b")} AS sim
+        |    FROM (SELECT DISTINCT p1.vec_id AS d1, p2.vec_id AS d2
+        |          FROM probe p1 JOIN probe p2
+        |            ON p1.bucket = p2.bucket AND p1.vec_id < p2.vec_id) cand
+        |    JOIN embeddings a ON a.vec_id = cand.d1
+        |    JOIN embeddings b ON b.vec_id = cand.d2)
+        |  WHERE sim >= 0.45),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS vec_id, MIN(r) AS rep_id FROM reach
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val pairs = Similarity.ivfDupPairsWithCentroids(emb, "vec_id",
+          "embedding", 0.45, pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq,
+          nprobe = 2)
+        Dedup.connectedComponents(emb, "vec_id", pairs)
+          .select(col("id").as("vec_id"), col("rep_id"))
+          .orderBy(col("vec_id"))
+      }
+    },
+
     // ---- Brute-force cosine top-k (ANN baseline) ---------------------------
     Q("similarity_topk",
       """WITH sims AS (

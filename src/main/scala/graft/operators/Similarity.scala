@@ -873,10 +873,32 @@ object Similarity {
   def ivfDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, nlist: Int = 16, nprobe: Int = 2,
                   seed: Long = 42L): DataFrame = {
-    Dedup.requireIntegralId(emb, idCol, "ivfDupPairs")
-    graft.functions.VectorExprs.register(emb.sparkSession)
+    // train-then-delegate (the mmrTopKIvf convention): the bucketing and
+    // verify machinery lives in ONE place, so the pinned entry point
+    // below provably runs the trained path's exact stages
     val cs: Seq[Seq[Double]] =
       trainCentroids(emb, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    ivfDupPairsWithCentroids(emb, idCol, vecCol, threshold, cs, nprobe)
+  }
+
+  /** [[ivfDupPairs]] under a CALLER-SUPPLIED coarse quantizer — the
+    * bucketed near-dup pass with training factored out. With PINNED
+    * centroids the whole pair pipeline is deterministic replayable
+    * arithmetic: multi-probe assignment is squared-L2 argmin over a
+    * fixed vector list (ascending (distance, index)), candidates are
+    * probe-set intersections, and the verify is the shared rounded
+    * cosine — so the output sits under the exact-oracle hash gate
+    * (catalog `dedup_embedding_ivf_pinned`, and the components twin
+    * `dedup_groups_embedding_ivf_pinned` through connectedComponents).
+    * Bucketing QUALITY (recall vs nprobe) stays with the trained path's
+    * recall/zero-FP tests.
+    */
+  def ivfDupPairsWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, cs: Seq[Seq[Double]],
+                               nprobe: Int): DataFrame = {
+    require(cs.nonEmpty, "centroid list must be non-empty")
+    Dedup.requireIntegralId(emb, idCol, "ivfDupPairsWithCentroids")
+    graft.functions.VectorExprs.register(emb.sparkSession)
     import graft.functions.VectorExprs.nearestCentroids
     bucketVerifiedPairs(
       emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
