@@ -1058,9 +1058,59 @@ object ExtensionQueries {
     },
 
     // ---- SimHash near-dup (Hamming ≤ 3, the Manku et al. web-dedup radius) --
+    // no_oracle: the shingle key is Spark's xxhash64 (not replayable in
+    // DuckDB) — the portable twin right below puts the identical sketch
+    // machinery under the hash gate
     Q.noOracle("dedup_simhash") {
       (s, d) => sortSmall(
         Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text"),
+        col("d1"), col("d2"))
+    },
+
+    // ---- SimHash under the hash gate (md5-portable shingle hashes) ---------
+    // The sign-accumulator sketch, pigeonhole bands, and exact Hamming
+    // filter replayed END TO END: md5 halves give both engines identical
+    // 64 shingle bits, the fingerprint bit b is sign(Σ ±1) over distinct
+    // shingles (strictly-positive rule), bands are the 4×16-bit split
+    // (values rebuilt as Σ bit·2^(pos−16·band) — no shifting of the
+    // possibly-negative packed long in SQL), candidates are band-value
+    // collisions, and hamming counts differing bit positions. xxhash64
+    // stays the default path (portability costs a digest per shingle).
+    Q("dedup_simhash_portable",
+      s"""WITH bg AS ($sqlBigrams),
+        |hh AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT) AS hi,
+        |         CAST(('0x' || substring(md5(sh), 9, 8)) AS BIGINT) AS lo
+        |  FROM bg),
+        |bits AS (
+        |  SELECT doc_id, g.b AS pos,
+        |         CASE WHEN SUM(CASE WHEN (CASE WHEN g.b >= 32
+        |                                       THEN (hi >> CAST(g.b - 32 AS INTEGER)) & 1
+        |                                       ELSE (lo >> CAST(g.b AS INTEGER)) & 1 END) = 1
+        |                            THEN 1 ELSE -1 END) > 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM hh CROSS JOIN UNNEST(range(0, 64)) AS g(b)
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(pos // 16 AS INTEGER) AS band,
+        |         SUM(bit * (CAST(1 AS BIGINT) << CAST(pos % 16 AS INTEGER))) AS bits
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bits = r.bits
+        |  WHERE l.doc_id < r.doc_id),
+        |ham AS (
+        |  SELECT cand.d1, cand.d2,
+        |         CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        |  FROM cand
+        |  JOIN bits ba ON ba.doc_id = cand.d1
+        |  JOIN bits bb ON bb.doc_id = cand.d2 AND bb.pos = ba.pos
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY d1, d2""".stripMargin) {
+      (s, d) => sortSmall(
+        Dedup.simHashPairsPortable(t(s, d, "documents"), "doc_id", "text"),
         col("d1"), col("d2"))
     },
 

@@ -872,6 +872,46 @@ object Dedup {
     (fp, bandCandidates(fp, idCol, "simhash", maxHamming))
   }
 
+  /** md5-derived 64-bit shingle hash — the ENGINE-PORTABLE twin of the
+    * xxhash64 shingle key (the `Sampling.uniformByHash` md5-portability
+    * precedent): the first two 8-hex-char halves of `md5(sh)` parse as
+    * exact 32-bit integers and pack `hi << 32 | lo`, so any engine with
+    * md5 re-derives the identical 64 signature bits
+    * (`CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT)` etc. in SQL).
+    * Slower than xxhash64 (cryptographic digest + hex round-trip) —
+    * that's the portability tax; the default paths keep xxhash64.
+    */
+  private def portableShingleHash(
+      sh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftleft(conv(substring(md5(sh), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(sh), 9, 8), 16, 10).cast("long"))
+
+  /** [[simHashFingerprints]] over md5-portable shingle hashes: identical
+    * sketch semantics (same aggregator, same sign rule), every bit
+    * re-derivable outside the engine.
+    */
+  def simHashFingerprintsPortable(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int = 2): DataFrame =
+    TextOps.shingleSet(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(SimHashAgg.simhash(portableShingleHash(col("sh"))).as("simhash"))
+
+  /** [[simHashPairs]] over the md5-portable fingerprints — the variant a
+    * cross-engine pipeline (or the DuckDB oracle gate) can replay
+    * bit-for-bit: portable shingle hashes feed the same sign-accumulator
+    * sketch, the same pigeonhole bands, and the same exact `bit_count`
+    * Hamming filter (catalog `dedup_simhash_portable`, hash-checked).
+    * Same radius-vs-scale contract and 1.0-recall pigeonhole argument as
+    * the xxhash64 default.
+    */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 2, maxHamming: Int = 3): DataFrame =
+    bandCandidates(simHashFingerprintsPortable(df, idCol, textCol, n),
+        idCol, "simhash", maxHamming)
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
   /** Pigeonhole band-collision candidates over ANY 64-bit fingerprint
     * column (the [[simHashPairs]] banding, factored for reuse by every
     * hamming-radius search — text simhash, image dHash, …): the

@@ -458,6 +458,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ham.size <= exactPairs.size * 3, s"too many background pairs: ${ham.size}")
   }
 
+  test("portable SimHash finds the planted pairs and agrees with its own brute-force Hamming") {
+    // same planted-recall contract as the xxhash64 path (different hash,
+    // same sketch semantics)...
+    val ham = Dedup.simHashPairsPortable(docs, "doc_id", "text", 2, 10)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(ham), s"missed planted: ${exactPairs.diff(ham)}")
+    assert(ham.size <= exactPairs.size * 3, s"too many background pairs: ${ham.size}")
+    // ...and pigeonhole exactness: banded pairs == all-pairs bit_count walk
+    // over the SAME portable fingerprints (recall 1.0, no radius cheating)
+    val fp = Dedup.simHashFingerprintsPortable(docs, "doc_id", "text")
+    val brute = fp.as("l").join(fp.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simHashPairsPortable(docs, "doc_id", "text")
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"only-banded: ${banded.diff(brute)}; only-brute: ${brute.diff(banded)}")
+  }
+
   test("SimHash default radius (3) is exactly the radius-10 result filtered to hamming <= 3") {
     // pigeonhole exactness must not depend on the banding geometry: the
     // 4x16-bit default and the 11-band radius-10 layout agree wherever
