@@ -82,7 +82,9 @@ object NgramSpans {
     * floor for any corpus rewrite.
     */
   def clean(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val toks = tokenized(df, idCol, textCol)
+    // pinned: the span derivation and the cut both start from the token
+    // frame — unpinned, the text scan and whitespace split run twice
+    val toks = graft.CacheScope.session.pin(tokenized(df, idCol, textCol))
     cutSpans(toks, spans(markedOccurrences(toks, idCol, n), idCol, n), idCol)
   }
 
@@ -127,7 +129,8 @@ object NgramSpans {
     */
   def decontamClean(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
-    val toks = tokenized(train, idCol, textCol)
+    // same double-consumption pin as [[clean]]
+    val toks = graft.CacheScope.session.pin(tokenized(train, idCol, textCol))
     cutSpans(toks, spans(evalMarked(toks, eval, idCol, textCol, n), idCol, n), idCol)
   }
 
@@ -147,7 +150,17 @@ object NgramSpans {
         coalesce(col("__hit"), lit(false)).as("__dup"))
   }
 
-  /** Cut `sp` spans out of `toks` and re-join kept tokens in order. */
+  /** Cut `sp` spans out of `toks` and re-join kept tokens in order.
+    *
+    * Kept deliberately as the token-level posexplode + range anti join +
+    * collect_list rebuild: a measured attempt to replace it with a
+    * per-document higher-order-function cut (spans collected per id,
+    * tokens filtered in place) ran 5-15% SLOWER at sf0.1 — Spark's
+    * higher-order functions are CodegenFallback, so the "cheaper" shape
+    * broke whole-stage codegen on the corpus-sized projection, while
+    * this plan (explode, broadcast-able anti join, hash aggregate) stays
+    * fully codegen'd end to end.
+    */
   private def cutSpans(toks: DataFrame, sp: DataFrame, idCol: String): DataFrame = {
     val spR = sp.withColumnRenamed(idCol, "__sid")
     val pos = toks.select(col(idCol),
@@ -235,7 +248,13 @@ object NgramSpans {
     * a planted hot-gram fixture).
     */
   private def markedOccurrences(toks: DataFrame, idCol: String, n: Int): DataFrame = {
-    val occ = windowOccurrences(toks, idCol, n)
+    // pinned: both the per-gram aggregate and the probe side consume the
+    // exploded window frame, and the two exchanges differ (partial-agg vs
+    // join shuffle) so Spark cannot reuse one — unpinned, the explode and
+    // an md5 per token position run TWICE (the lshStages shingle-array
+    // precedent; MEMORY_AND_DISK, corpus-linear, released by the harness
+    // clearCache / caller scope)
+    val occ = graft.CacheScope.session.pin(windowOccurrences(toks, idCol, n))
     // only grams that RECUR can mark an occurrence — dropping the
     // unique majority before the join shrinks the build side to the
     // duplicated vocabulary (AQE broadcasts it when small; at web scale
