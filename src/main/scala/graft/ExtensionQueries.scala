@@ -780,6 +780,34 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
     },
 
+    // ---- Streaming PERCEPTUAL dedup gate (multimodal ingest) ---------------
+    // Incoming synthetic images (real PNG encode → decode → dHash per
+    // row, the multimodal_image_dedup construction) replayed as a stream
+    // and flagged against the static corpus split by exact Hamming ≤ 3:
+    // map-side fingerprints + pigeonhole band signatures, stream-static
+    // (band, bits) join, exact bit_count verify. Closed-form oracle:
+    // corpus docs with doc_id % 20 = 1 render the PREVIOUS id's pattern,
+    // so incoming doc d matches exactly [d % 20 = 0 and d+1 exists] and
+    // the % 20 = 10 half stays novel (both outcomes planted); every
+    // other pattern pair sits ≥ Hamming 14 apart (the bijective-mix
+    // contract multimodal_image_dedup pins). Stream ≡ batch in
+    // StreamDedupSpec.
+    Q("dedup_stream_image",
+      """SELECT d.doc_id,
+        |       CAST((SELECT COUNT(*) FROM documents x
+        |             WHERE x.doc_id = d.doc_id + 1
+        |               AND d.doc_id % 20 = 0) AS BIGINT) AS n_matches,
+        |       EXISTS(SELECT 1 FROM documents x
+        |              WHERE x.doc_id = d.doc_id + 1
+        |                AND d.doc_id % 20 = 0) AS is_dup
+        |FROM documents d WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.StreamDedup.imageIngestDedup(s, d)
+          .select(col("doc_id"), col("n_matches"), col("is_dup"))
+          .orderBy(col("doc_id"))
+    },
+
     // ---- Streaming decontamination gate (window-hash stream-static join) ----
     // Incoming docs (doc_id % 10 = 0, replayed as a stream) flagged at
     // exact-substring window granularity against the static benchmark

@@ -920,19 +920,30 @@ object Dedup {
     * bucket-local equi-join collisions, never all-pairs. Returns
     * (d1, d2, h1, h2) with d1 < d2.
     */
-  private def bandCandidates(fp: DataFrame, idCol: String, hashCol: String,
-                             maxHamming: Int): DataFrame = {
+  /** The pigeonhole band-signature array for a 64-bit fingerprint column:
+    * maxHamming+1 (band, bits) structs, band b covering bit range
+    * [b·64/nb, (b+1)·64/nb). A pure per-row expression (no shuffle, no
+    * state) — exposed so STREAMING gates can compute probe signatures
+    * map-side (the `bandSigs` convention of the MinHash ingest path).
+    */
+  private[graft] def hammingBandSigs(hash: org.apache.spark.sql.Column,
+                                     maxHamming: Int): org.apache.spark.sql.Column = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val nb = maxHamming + 1
-    val bandCols = (0 until nb).map { b =>
+    array((0 until nb).map { b =>
       val lo = b * 64 / nb
       val width = (b + 1) * 64 / nb - lo
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(b).as("band"),
-        shiftrightunsigned(col(hashCol), lo).bitwiseAND(lit(mask)).as("bits"))
-    }
+        shiftrightunsigned(hash, lo).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)
+  }
+
+  private def bandCandidates(fp: DataFrame, idCol: String, hashCol: String,
+                             maxHamming: Int): DataFrame = {
     val buckets = fp
-      .select(col(idCol), col(hashCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col(hashCol),
+        explode(hammingBandSigs(col(hashCol), maxHamming)).as("bk"))
       .select(col(idCol), col(hashCol),
         col("bk.band").as("band"), col("bk.bits").as("bits"))
     buckets.as("l").join(buckets.as("r"), Seq("band", "bits"))

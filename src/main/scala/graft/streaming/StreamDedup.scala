@@ -300,6 +300,82 @@ object StreamDedup {
       "vec_id", "embedding", indexDir, nprobe = 4))
   }
 
+  /** Perceptual-fingerprint sibling of [[dedupAgainstCorpus]] — the
+    * MULTIMODAL ingest gate: incoming assets, already reduced to 64-bit
+    * perceptual fingerprints (image dHash, audio fingerprint — any
+    * `Dedup.hammingPairs` source), are near-dup-flagged against a static
+    * corpus at exact Hamming radius `maxHamming`.
+    *
+    * Plan shape (the text gate's, with fingerprints for shingles): the
+    * stream side computes its pigeonhole band signatures MAP-SIDE
+    * (`Dedup.hammingBandSigs` — pure per-row expressions, legal streaming
+    * and batch); candidates come from a stateless stream-static equi join
+    * on (band, bits); verification is the exact `bit_count` Hamming
+    * distance (recall 1.0 at the radius by the pigeonhole argument —
+    * a true pair within `maxHamming` agrees exactly on ≥ 1 band); ONE
+    * streaming aggregation folds band collisions into distinct-match
+    * counts. Incoming assets with a NULL fingerprint (undecodable
+    * payload) surface with n_matches = 0 — the `explode_outer` guard,
+    * mirroring the empty-shingle contract of the text gate. Returns one
+    * row per incoming asset: (id, n_matches, is_dup).
+    */
+  def fingerprintDedupAgainstCorpus(corpusFp: DataFrame, incomingFp: DataFrame,
+                                    idCol: String, hashCol: String,
+                                    maxHamming: Int = 3): DataFrame = {
+    val cb = corpusFp.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("c_id"), col(hashCol).as("c_hash"))
+      .select(col("c_id"), col("c_hash"),
+        explode(Dedup.hammingBandSigs(col("c_hash"), maxHamming)).as("bk"))
+      .select(col("c_id"), col("c_hash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val sb = incomingFp
+      .select(col(idCol).as("s_id"), col(hashCol).as("s_hash"))
+      .select(col("s_id"), col("s_hash"),
+        explode_outer(when(col("s_hash").isNotNull,
+          Dedup.hammingBandSigs(col("s_hash"), maxHamming))).as("bk"))
+      .select(col("s_id"), col("s_hash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    sb.join(cb, Seq("band", "bits"), "left")
+      .select(col("s_id"),
+        when(col("c_hash").isNotNull &&
+          bit_count(col("s_hash").bitwiseXOR(col("c_hash"))) <= maxHamming,
+          col("c_id")).as("m"))
+      .groupBy(col("s_id").as(idCol))
+      .agg(size(array_distinct(collect_list(col("m")))).cast("long").as("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+  }
+
+  /** The documents fixture as a synthetic IMAGE corpus (real PNG encode +
+    * decode + dHash per row, the `multimodal_image_dedup` construction),
+    * split into static corpus (doc_id % 10 ≠ 0) and a replayed incoming
+    * stream (doc_id % 10 = 0), gated through
+    * [[fingerprintDedupAgainstCorpus]] — the catalog/bench entry point.
+    * Corpus docs with doc_id % 20 = 1 render the PREVIOUS id's pattern,
+    * planting exactly one corpus near-dup for every OTHER incoming doc
+    * (those with doc_id % 20 = 0 and a successor in the table) while the
+    * % 20 = 10 half stays novel — closed-form oracle with both outcomes;
+    * all other pattern pairs sit ≥ Hamming 14 apart (the bijective-mix
+    * contract).
+    */
+  def imageIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = when(pmod(col("doc_id"), lit(20)) === 1, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val corpusFp = graft.operators.Multimodal.imageHashes(
+      graft.operators.Multimodal.synthesizePatternPng(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).select(col("doc_id")), base),
+      "doc_id", col("png"))
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "documents", docs.schema)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val incomingFp = graft.operators.Multimodal.imageHashes(
+      graft.operators.Multimodal.synthesizePatternPng(
+        incoming.select(col("doc_id")), base),
+      "doc_id", col("png"))
+    runKeyed(fingerprintDedupAgainstCorpus(corpusFp, incomingFp, "doc_id", "dhash"))
+  }
+
   /** Complete-mode memory-sink runner for a KEYED streaming aggregate
     * (same lifecycle as StreamWindows.runToResult; shared by both ingest
     * paths).

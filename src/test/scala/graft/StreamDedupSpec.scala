@@ -308,6 +308,40 @@ class StreamDedupSpec extends SparkSpec {
       s"nprobe=nlist diverged from brute force: $exact vs $brute")
   }
 
+  test("streamed image dedup gate equals the batch plan; null fingerprints survive") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = when(pmod(col("doc_id"), lit(20)) === 1, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val corpusFp = graft.operators.Multimodal.imageHashes(
+      graft.operators.Multimodal.synthesizePatternPng(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).select(col("doc_id")), base),
+      "doc_id", col("png"))
+    val incomingFp = graft.operators.Multimodal.imageHashes(
+      graft.operators.Multimodal.synthesizePatternPng(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0).select(col("doc_id")), base),
+      "doc_id", col("png"))
+    val batch = StreamDedup.fingerprintDedupAgainstCorpus(
+      corpusFp, incomingFp, "doc_id", "dhash")
+    val stream = StreamDedup.imageIngestDedup(spark, sf)
+    assert(canon(stream) == canon(batch))
+    // one row per incoming asset, and the fixture plants both outcomes
+    assert(stream.count() ==
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0).count())
+    val flags = stream.select("is_dup").collect().map(_.getBoolean(0))
+    assert(flags.contains(true) && flags.contains(false),
+      "fixture must plant both dup and novel incoming images")
+    // an undecodable payload (null fingerprint) surfaces with no matches
+    // instead of vanishing in the band explode
+    val weird = StreamDedup.fingerprintDedupAgainstCorpus(corpusFp,
+      Seq((7777L, None: Option[Long]), (10L, Some(corpusFp
+        .filter(col("doc_id") === 11L).head.getLong(1)))).toDF("doc_id", "dhash"),
+      "doc_id", "dhash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(weird(7777L) == (0L, false), s"null fingerprint row: ${weird(7777L)}")
+    assert(weird(10L)._2, s"exact-hash probe must flag: ${weird(10L)}")
+  }
+
   test("band collisions across several bands count each corpus match once") {
     import spark.implicits._
     // identical text collides in EVERY band — n_matches must still be 1
