@@ -55,6 +55,7 @@ object BenchScale {
     // sub-linear exponents) — the artifact shows why the 100 TB flow
     // routes through LSH, instead of hiding the quadratic path
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_portable",
     "dedup_subdoc", "dedup_subdoc_clean", "dedup_groups",
     "dedup_groups_lsh", "dedup_groups_star", "dedup_groups_incremental",
     "dedup_groups_incremental_fold",
@@ -85,12 +86,13 @@ object BenchScale {
     // the hash-green pinned-artifact serving rows (quantizers pinned to
     // copy-0 data vectors, which the remapping leaves verbatim): same
     // serve machinery as their trained siblings, so exponents should
-    // track them. dedup_semantic_pinned stays OUT: its pinned FOUR-list
-    // quantizer makes the within-cluster scan quadratic by construction
-    // (the scale row is dedup_semantic's autoNlist sizing)
+    // track them. dedup_semantic_pinned and the dedup_embedding_ivf
+    // pinned pair stay OUT: a pinned FOUR-list quantizer makes their
+    // within-bucket PAIR scans quadratic by construction (the scale rows
+    // are dedup_semantic / dedup_embedding_ivf with autoNlist sizing)
     "similarity_ivf_pinned", "similarity_bq_pinned", "similarity_pq_pinned",
     "similarity_sq_pinned", "similarity_opq_pinned", "similarity_lsh_pinned",
-    "similarity_ivfpq_pinned",
+    "similarity_ivfpq_pinned", "similarity_mmr_ivf_pinned",
     // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
     "histogram_equidepth", "histogram_equidepth_per_group",
     // product analytics (user-keyed min-aggregations / cohort cells)
@@ -99,6 +101,7 @@ object BenchScale {
     // sketch-table set algebra / quantile rollups (linear build, sketch-
     // sized serve side)
     "events_user_overlap_theta", "events_value_quantile_rollup",
+    "events_value_quantile_rollup_per_group",
     // mixing + export + the flagship composition (CC ∘ LSH inside)
     "sample_temperature_tokens", "pipeline_export_jsonl",
     // DSIR selection (two linear model passes + map-side scoring)
@@ -110,6 +113,9 @@ object BenchScale {
     // streaming decontamination gate (micro-batch replay of the same
     // broadcast-eval window join — stream-side constant factors at scale)
     "pipeline_stream_decontam",
+    // streaming perceptual image gate (map-side PNG decode + dHash +
+    // pigeonhole bands on the stream, stream-static band join)
+    "dedup_stream_image",
     // MMR diversified top-k (copy-0 query set; candidate stage is the
     // brute kernel / the nprobe-pruned IVF pool, greedy tail is
     // per-query constant work)
@@ -354,6 +360,22 @@ object BenchScale {
           math.abs(s95 - b95) <= 0.15 * math.abs(b95) + 1.0
       }
     }, "weekly KLL quantiles moved with scale (distribution is invariant)")
+    check("kll_rollup_per_group_quantiles_stable", {
+      // the per-group sibling of the weekly check: event values repeat
+      // verbatim per copy and event_type never remaps, so every type's
+      // true distribution — and therefore its true quantiles — is
+      // unchanged at any scale; both runs' KLL estimates sit within rank
+      // error of the same per-type CDF
+      val b = q(srcDir, "events_value_quantile_rollup_per_group").collect()
+        .map(r => r.get(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+      val s = q(outDir, "events_value_quantile_rollup_per_group").collect()
+        .map(r => r.get(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+      s.keySet == b.keySet && b.forall { case (g, (b50, b95)) =>
+        val (s50, s95) = s(g)
+        math.abs(s50 - b50) <= 0.15 * math.abs(b50) + 1.0 &&
+          math.abs(s95 - b95) <= 0.15 * math.abs(b95) + 1.0
+      }
+    }, "per-group KLL quantiles moved with scale (distribution is invariant)")
     check("clean_corpus_scales_linearly", {
       // quality filter, exact dedup, and the near-dup component graph all
       // replicate per copy; LSH banding re-rolls per copy (salted
@@ -490,10 +512,33 @@ object BenchScale {
       Seq("similarity_ivf_pinned", "similarity_bq_pinned",
           "similarity_pq_pinned", "similarity_sq_pinned",
           "similarity_opq_pinned", "similarity_lsh_pinned",
-          "similarity_ivfpq_pinned").forall { n =>
+          "similarity_ivfpq_pinned", "similarity_mmr_ivf_pinned").forall { n =>
         q(outDir, n).count() == q(srcDir, n).count()
       }
     }, "a pinned-artifact serve page changed shape with scale")
+    check("stream_image_gate_copy0_exact_and_linear", {
+      // the copy offset is a multiple of 20, so the %20 pattern planting
+      // replicates verbatim per copy and dHash codes stay ≥ Hamming 14
+      // apart across copies (bijective mix of distinct shifted ids):
+      // copy-0 gate rows are byte-identical to the base corpus's and the
+      // flagged-dup total scales exactly by the factor
+      val bdf = q(srcDir, "dedup_stream_image")
+      val b = bdf.collect().map(_.toSeq).toSet
+      val s = q(outDir, "dedup_stream_image")
+      b == s.filter(col("doc_id") < 100000000L).collect().map(_.toSeq).toSet &&
+        s.filter(col("is_dup")).count() ==
+          factor * bdf.filter(col("is_dup")).count()
+    }, "streaming image gate departed from the per-copy planting contract")
+    check("simhash_portable_copy0_exact", {
+      // token salting re-rolls every md5 shingle hash per copy, so copy-c
+      // fingerprints are pseudo-random vs copy 0 and a cross-copy pair
+      // surviving exact Hamming ≤ 3 is probabilistically impossible:
+      // copy-0 pair rows are byte-identical to the base corpus's
+      val b = q(srcDir, "dedup_simhash_portable").collect().map(_.toSeq).toSet
+      val s = q(outDir, "dedup_simhash_portable")
+        .filter(col("d2") < 100000000L).collect().map(_.toSeq).toSet
+      b == s
+    }, "copy-0 portable-simhash pairs departed from the base corpus")
     check("sq_topk_size_unchanged", {
       // copy-0 query set, same shape contract as the PQ rows; the SQ8
       // grid retrains its per-dim min/max on the bigger corpus
