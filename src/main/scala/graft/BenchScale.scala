@@ -86,10 +86,11 @@ object BenchScale {
     // the hash-green pinned-artifact serving rows (quantizers pinned to
     // copy-0 data vectors, which the remapping leaves verbatim): same
     // serve machinery as their trained siblings, so exponents should
-    // track them. dedup_semantic_pinned and the dedup_embedding_ivf
-    // pinned pair stay OUT: a pinned FOUR-list quantizer makes their
-    // within-bucket PAIR scans quadratic by construction (the scale rows
-    // are dedup_semantic / dedup_embedding_ivf with autoNlist sizing)
+    // track them. dedup_semantic_pinned, the dedup_embedding_ivf pinned
+    // pair, and dedup_stream_embedding_pinned stay OUT: a pinned
+    // FOUR-list quantizer makes their within-bucket scans quadratic by
+    // construction (the autoNlist-sized trained siblings are the scale
+    // evidence for those code paths)
     "similarity_ivf_pinned", "similarity_bq_pinned", "similarity_pq_pinned",
     "similarity_sq_pinned", "similarity_opq_pinned", "similarity_lsh_pinned",
     "similarity_ivfpq_pinned", "similarity_mmr_ivf_pinned",

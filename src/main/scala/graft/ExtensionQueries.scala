@@ -879,6 +879,52 @@ object ExtensionQueries {
           .orderBy(col("vec_id"))
     },
 
+    // ---- Streaming embedding gate under the hash gate (pinned quantizer) ---
+    // The last serve machinery outside the gate: with centroids pinned
+    // to vectors 100-103 the STREAMED result replays exactly — corpus
+    // assignment is 1-nearest L2 argmin, incoming probes are the 2
+    // nearest lists, the verify is the shared rounded cosine at 0.45,
+    // and the fold counts distinct matching corpus vectors. Recall vs
+    // nprobe stays with the trained rows' zero-FP/exactness tests.
+    Q("dedup_stream_embedding_pinned",
+      s"""WITH c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |cassign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id % 10 <> 0) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id % 10 = 0) WHERE r <= 2),
+        |m AS (
+        |  SELECT p.vec_id AS sid, COUNT(DISTINCT s.vec_id) AS n
+        |  FROM probe p
+        |  JOIN cassign s ON s.bucket = p.bucket
+        |  JOIN embeddings a ON a.vec_id = p.vec_id
+        |  JOIN embeddings b ON b.vec_id = s.vec_id
+        |  WHERE ${sqlCos("a", "b")} >= 0.45
+        |  GROUP BY 1)
+        |SELECT e.vec_id, COALESCE(m.n, 0) AS n_matches,
+        |       COALESCE(m.n, 0) > 0 AS is_dup
+        |FROM embeddings e LEFT JOIN m ON m.sid = e.vec_id
+        |WHERE e.vec_id % 10 = 0 ORDER BY e.vec_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.StreamDedup.embeddingIngestDedupPinned(s, d,
+            pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq,
+            nprobe = 2, threshold = 0.45)
+          .orderBy(col("vec_id"))
+    },
+
     // ---- Deterministic dataset split (train/val/test) ----------------------
     // Export-side: keyed-md5 bucket split, 0.8/0.1/0.1 quantized to
     // 1/256 — the assignment is a pure per-row expression both engines

@@ -213,10 +213,30 @@ object StreamDedup {
                                   nlist: Int = 16, nprobe: Int = 4,
                                   threshold: Double = 0.45,
                                   seed: Long = 42L): DataFrame = {
-    graft.functions.VectorExprs.register(corpus.sparkSession)
-    import graft.functions.VectorExprs.nearestCentroids
+    // train-then-delegate (the ivfDupPairs convention): the gate
+    // machinery lives in ONE place, shared with the pinned entry point
     val cs: Seq[Seq[Double]] =
       Similarity.trainCentroids(corpus, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    embeddingDedupWithCentroids(corpus, incoming, idCol, vecCol, cs, nprobe, threshold)
+  }
+
+  /** [[embeddingDedupAgainstCorpus]] under a CALLER-SUPPLIED coarse
+    * quantizer — the streaming embedding gate with training factored out
+    * (the `ivfDupPairsWithCentroids` convention). With PINNED centroids
+    * the whole gate is deterministic replayable arithmetic — corpus
+    * assignment, map-side probe selection, the rounded-cosine verify,
+    * the distinct-match fold — so the streamed result sits under the
+    * exact oracle hash gate (catalog `dedup_stream_embedding_pinned`);
+    * quantizer quality stays with the trained rows' recall/zero-FP
+    * tests.
+    */
+  def embeddingDedupWithCentroids(corpus: DataFrame, incoming: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  cs: Seq[Seq[Double]], nprobe: Int,
+                                  threshold: Double): DataFrame = {
+    require(cs.nonEmpty, "centroid list must be non-empty")
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    import graft.functions.VectorExprs.nearestCentroids
     val cbuckets = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", element_at(nearestCentroids(col("c_vec"), cs, 1), 1))
@@ -261,8 +281,12 @@ object StreamDedup {
       .withColumn("bucket", explode(nearestCentroids(col("s_vec"), cs, nprobe)))
     probes.join(cbuckets, Seq("bucket"), "left")
       .select(col("s_id"),
+        // rounded to 6 dp BEFORE the threshold compare — the batch
+        // embedding-dedup family's shared contract (bucketVerifiedPairs,
+        // cosineDupPairs), which also makes the pinned gate row exactly
+        // replayable at the threshold boundary
         when(col("c_id").isNotNull,
-          Similarity.cosine(col("s_vec"), col("c_vec"))).as("sim"),
+          round(Similarity.cosine(col("s_vec"), col("c_vec")), 6)).as("sim"),
         col("c_id"))
       .groupBy(col("s_id").as("vec_id"))
       .agg(size(array_distinct(collect_list(
@@ -284,6 +308,22 @@ object StreamDedup {
     val flagged = embeddingDedupAgainstCorpus(corpus, incoming,
       "vec_id", "embedding", nlist = nlist, nprobe = 4)
     runKeyed(flagged)
+  }
+
+  /** Pinned-quantizer sibling of [[embeddingIngestDedup]] — same split
+    * and output through [[embeddingDedupWithCentroids]], the entry the
+    * hash-gated catalog row drives.
+    */
+  def embeddingIngestDedupPinned(spark: SparkSession, sfDir: String,
+                                 cs: Seq[Seq[Double]], nprobe: Int,
+                                 threshold: Double): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "embeddings", emb.schema)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+    runKeyed(embeddingDedupWithCentroids(corpus, incoming,
+      "vec_id", "embedding", cs, nprobe, threshold))
   }
 
   /** Index-served sibling of [[embeddingIngestDedup]]: same split and

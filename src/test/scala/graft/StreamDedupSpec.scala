@@ -306,6 +306,16 @@ class StreamDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact.filter(_._2 > 0) == brute.filter(_._2 > 0),
       s"nprobe=nlist diverged from brute force: $exact vs $brute")
+
+    // trained ≡ pinned-entry parity under the trained path's own
+    // centroids (the gate machinery is one code path — the delegation
+    // that lets the hash-green pinned row certify the trained serve)
+    val cs = graft.operators.Similarity.trainCentroids(corpus, "vec_id",
+      "embedding", nlist = graft.operators.Similarity.autoNlist(corpus.count()),
+      seed = 42L).toSeq.map(_.toSeq)
+    val pinnedEntry = StreamDedup.embeddingDedupWithCentroids(corpus, incoming,
+      "vec_id", "embedding", cs, nprobe = 4, threshold = 0.45)
+    assert(canon(pinnedEntry) == canon(batch))
   }
 
   test("streamed image dedup gate equals the batch plan; null fingerprints survive") {
