@@ -1168,7 +1168,7 @@ object ExtensionQueries {
         |  GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, CAST(pos // 16 AS INTEGER) AS band,
-        |         SUM(bit * (CAST(1 AS BIGINT) << CAST(pos % 16 AS INTEGER))) AS bits
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(pos % 16 AS INTEGER))) AS BIGINT) AS bits
         |  FROM bits GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2

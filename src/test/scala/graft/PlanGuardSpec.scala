@@ -128,8 +128,12 @@ class PlanGuardSpec extends SparkSpec {
       // per-(group, bucket) equi-depth grids at both scales, groups·k
       // rows each; +2: the copy-0 streaming-gate row sets at both
       // scales, one row per incoming base doc; +2: the copy-0
-      // classifier-logit row sets at both scales, one row per base doc)
-      "BenchScale.scala"    -> 24,
+      // classifier-logit row sets at both scales, one row per base doc;
+      // +2: the per-group KLL quantile maps at both scales, one row per
+      // event_type; +2: the copy-0 image-gate row sets at both scales,
+      // one row per incoming base doc; +2: the copy-0 portable-simhash
+      // pair sets at both scales, fixture-pair-sized)
+      "BenchScale.scala"    -> 30,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table
