@@ -94,6 +94,7 @@ object BenchScale {
     "similarity_ivf_pinned", "similarity_bq_pinned", "similarity_pq_pinned",
     "similarity_sq_pinned", "similarity_opq_pinned", "similarity_lsh_pinned",
     "similarity_ivfpq_pinned", "similarity_mmr_ivf_pinned",
+    "similarity_pq_refined_pinned", "similarity_ivfpq_residual_pinned",
     // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
     "histogram_equidepth", "histogram_equidepth_per_group",
     // product analytics (user-keyed min-aggregations / cohort cells)
@@ -117,6 +118,8 @@ object BenchScale {
     // streaming perceptual image gate (map-side PNG decode + dHash +
     // pigeonhole bands on the stream, stream-static band join)
     "dedup_stream_image",
+    // audio sibling (WAV decode + gain-invariant fingerprint, same join)
+    "dedup_stream_audio",
     // MMR diversified top-k (copy-0 query set; candidate stage is the
     // brute kernel / the nprobe-pruned IVF pool, greedy tail is
     // per-query constant work)
@@ -513,7 +516,9 @@ object BenchScale {
       Seq("similarity_ivf_pinned", "similarity_bq_pinned",
           "similarity_pq_pinned", "similarity_sq_pinned",
           "similarity_opq_pinned", "similarity_lsh_pinned",
-          "similarity_ivfpq_pinned", "similarity_mmr_ivf_pinned").forall { n =>
+          "similarity_ivfpq_pinned", "similarity_mmr_ivf_pinned",
+          "similarity_pq_refined_pinned",
+          "similarity_ivfpq_residual_pinned").forall { n =>
         q(outDir, n).count() == q(srcDir, n).count()
       }
     }, "a pinned-artifact serve page changed shape with scale")
@@ -530,6 +535,19 @@ object BenchScale {
         s.filter(col("is_dup")).count() ==
           factor * bdf.filter(col("is_dup")).count()
     }, "streaming image gate departed from the per-copy planting contract")
+    check("stream_audio_gate_copy0_exact_and_linear", {
+      // same per-copy %20 planting as the image gate, fingerprints from
+      // the gain-invariant audio hash instead of dHash (distinct pattern
+      // codes land ≥ Hamming 4 apart — the multimodal_audio_dedup
+      // separation the audio_dedup_pairs invariant re-proves per copy):
+      // copy-0 gate rows byte-identical, dup total exactly factor×
+      val bdf = q(srcDir, "dedup_stream_audio")
+      val b = bdf.collect().map(_.toSeq).toSet
+      val s = q(outDir, "dedup_stream_audio")
+      b == s.filter(col("doc_id") < 100000000L).collect().map(_.toSeq).toSet &&
+        s.filter(col("is_dup")).count() ==
+          factor * bdf.filter(col("is_dup")).count()
+    }, "streaming audio gate departed from the per-copy planting contract")
     check("simhash_portable_copy0_exact", {
       // token salting re-rolls every md5 shingle hash per copy, so copy-c
       // fingerprints are pseudo-random vs copy 0 and a cross-copy pair

@@ -302,9 +302,14 @@ object ExtensionQueries {
     * code), score each (query, row) with the 2m-lookup ADC cosine — the
     * lookup tables flattened to `(s·ksub + j)`-indexed lists so the
     * subspace sum replays in the kernel's exact order — and page by
-    * (round-6 score DESC, id ASC).
+    * (round-6 score DESC, id ASC). `refine > 1` replays the two-stage
+    * deployment instead: the ADC page becomes a `refine·k` SHORTLIST
+    * (same rounded-score/id order — membership is decided on the rounded
+    * ADC score, exactly the kernel's page contract) and the exact
+    * rounded-cosine re-rank over the original vectors pages the final k
+    * (the `similarity_pq_refined_pinned` oracle).
     */
-  private def sqlPinnedAdcTopK(rotated: Boolean): String = {
+  private def sqlPinnedAdcTopK(rotated: Boolean, refine: Int = 1): String = {
     val pre =
       if (!rotated) ""
       else
@@ -354,11 +359,31 @@ object ExtensionQueries {
        |         round(list_sum(list_transform(range(0, 8), s -> l.lut[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)]))
        |             / (l.qn * sqrt(list_sum(list_transform(range(0, 8), s -> cn.cn2[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)])))), 6) AS asim
        |  FROM lutq l CROSS JOIN codes o CROSS JOIN cn
-       |  WHERE l.q_id <> o.vec_id)
-       |SELECT q_id, n_id, asim, rk FROM (
-       |  SELECT q_id, n_id, asim,
-       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS BIGINT) AS rk
-       |  FROM sims)
+       |  WHERE l.q_id <> o.vec_id)${
+      if (refine <= 1) ""
+      else
+        s""",
+           |short AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS r
+           |    FROM sims) WHERE r <= ${10 * refine}),
+           |ex AS (
+           |  SELECT s.q_id, s.n_id, ${sqlCos("a", "b")} AS sim
+           |  FROM short s
+           |  JOIN embeddings a ON a.vec_id = s.q_id
+           |  JOIN embeddings b ON b.vec_id = s.n_id)""".stripMargin}
+       |${
+      if (refine <= 1)
+        """SELECT q_id, n_id, asim, rk FROM (
+          |  SELECT q_id, n_id, asim,
+          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS BIGINT) AS rk
+          |  FROM sims)""".stripMargin
+      else
+        """SELECT q_id, n_id, sim, rk FROM (
+          |  SELECT q_id, n_id, sim,
+          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+          |  FROM ex)""".stripMargin}
        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
   }
 
@@ -804,6 +829,32 @@ object ExtensionQueries {
         |ORDER BY d.doc_id""".stripMargin) {
       (s, d) =>
         graft.streaming.StreamDedup.imageIngestDedup(s, d)
+          .select(col("doc_id"), col("n_matches"), col("is_dup"))
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Streaming perceptual dedup gate, AUDIO side -----------------------
+    // The image gate's audio sibling (real WAV encode → decode →
+    // gain-invariant fingerprint, the multimodal_audio_dedup
+    // construction): planted corpus near-dups (% 20 = 1 docs render the
+    // PREVIOUS id's pattern) play at GAIN 2, so the gate must match them
+    // through the fingerprint's volume invariance — byte-distinct
+    // payloads, bit-identical fingerprints. Same closed-form oracle and
+    // split as dedup_stream_image; distinct patterns stay ≥ Hamming 4
+    // apart (the bijective-mix contract multimodal_audio_dedup pins).
+    // Stream ≡ batch in StreamDedupSpec.
+    Q("dedup_stream_audio",
+      """SELECT d.doc_id,
+        |       CAST((SELECT COUNT(*) FROM documents x
+        |             WHERE x.doc_id = d.doc_id + 1
+        |               AND d.doc_id % 20 = 0) AS BIGINT) AS n_matches,
+        |       EXISTS(SELECT 1 FROM documents x
+        |              WHERE x.doc_id = d.doc_id + 1
+        |                AND d.doc_id % 20 = 0) AS is_dup
+        |FROM documents d WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) =>
+        graft.streaming.StreamDedup.audioIngestDedup(s, d)
           .select(col("doc_id"), col("n_matches"), col("is_dup"))
           .orderBy(col("doc_id"))
     },
@@ -1826,6 +1877,117 @@ object ExtensionQueries {
       }
     },
 
+    // ---- Residual IVFADC serve under the hash gate (pinned artifacts) ------
+    // The FAISS-default refinement's serve path oracle-green: under the
+    // SAME pinned coarse quantizer (100-103) and codebooks (subvectors of
+    // 104-107), codes quantize the RESIDUAL v − c_bucket and the kernel
+    // recombines x̂ = c_b + ŷ from sketch-sized tables — dot(q, x̂) folds
+    // [dot(q, c_b), lut_0..lut_7] and |x̂|² folds [|c_b|², (2·c_b·ŷ_s +
+    // |ŷ_s|²)_s], both replayed in the kernel's exact add order
+    // (list_sum is a left fold; the similarity_ivfpq_pinned precedent).
+    // Residual-codebook QUALITY (tighter reconstruction on clustered
+    // corpora) stays with PqSpec's residual-MSE contract.
+    Q("similarity_ivfpq_residual_pinned",
+      """WITH cq AS (
+        |  SELECT CAST(vec_id - 100 AS INTEGER) AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65), i ->
+        |           (CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |         * (CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN cq c),
+        |bassign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, bucket FROM (
+        |    SELECT vec_id, bucket, row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id < 5) WHERE r <= 2),
+        |res AS (
+        |  SELECT v.vec_id, b.bucket,
+        |         list_transform(range(1, 65), i ->
+        |           CAST(v.embedding[CAST(i AS INTEGER)] AS DOUBLE) - CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS rv
+        |  FROM embeddings v
+        |  JOIN bassign b ON b.vec_id = v.vec_id
+        |  JOIN cq c ON c.bucket = b.bucket),
+        |src AS (SELECT CAST(vec_id - 104 AS INTEGER) AS j, embedding FROM embeddings
+        |        WHERE vec_id BETWEEN 104 AND 107),
+        |ss AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS s),
+        |sub AS (
+        |  SELECT v.vec_id, ss.s, c.j,
+        |         list_sum(list_transform(range(1, 9), i ->
+        |           (v.rv[CAST(ss.s*8 + i AS INTEGER)] - CAST(c.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE))
+        |         * (v.rv[CAST(ss.s*8 + i AS INTEGER)] - CAST(c.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE)))) AS dist
+        |  FROM res v CROSS JOIN ss CROSS JOIN src c),
+        |assign AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS r
+        |    FROM sub) WHERE r = 1),
+        |codes AS (SELECT vec_id, list(j ORDER BY s) AS code FROM assign GROUP BY vec_id),
+        |cn AS (
+        |  SELECT list(n ORDER BY s, j) AS cn2 FROM (
+        |    SELECT ss.s, c.j,
+        |           list_sum(list_transform(range(1, 9), i ->
+        |             CAST(c.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE))) AS n
+        |    FROM ss CROSS JOIN src c)),
+        |cbn AS (
+        |  SELECT bucket, list_sum(list_transform(range(1, 65), i ->
+        |           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))) AS cb2
+        |  FROM cq),
+        |crs AS (
+        |  SELECT bucket, list(x ORDER BY s, j) AS crx FROM (
+        |    SELECT cq.bucket, ss.s, c.j,
+        |           list_sum(list_transform(range(1, 9), i ->
+        |             CAST(cq.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE))) AS x
+        |    FROM cq CROSS JOIN ss CROSS JOIN src c)
+        |  GROUP BY bucket),
+        |qcb AS (
+        |  SELECT q.vec_id AS q_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65), i ->
+        |           CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE))) AS qc
+        |  FROM embeddings q CROSS JOIN cq c WHERE q.vec_id < 5),
+        |lutq AS (
+        |  SELECT q_id, list(d ORDER BY s, j) AS lut, any_value(qn) AS qn FROM (
+        |    SELECT q.vec_id AS q_id, ss.s, c.j,
+        |           list_sum(list_transform(range(1, 9), i ->
+        |             CAST(q.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(ss.s*8 + i AS INTEGER)] AS DOUBLE))) AS d,
+        |           sqrt(list_sum(list_transform(range(1, 65), i ->
+        |             CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS qn
+        |    FROM embeddings q CROSS JOIN ss CROSS JOIN src c WHERE q.vec_id < 5)
+        |  GROUP BY q_id),
+        |sims AS (
+        |  SELECT l.q_id, o.vec_id AS n_id,
+        |         round(list_sum(list_concat([w.qc], list_transform(range(0, 8), s ->
+        |                 l.lut[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)])))
+        |             / (l.qn * sqrt(greatest(
+        |                 list_sum(list_concat([n2.cb2], list_transform(range(0, 8), s ->
+        |                   2.0 * x.crx[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)]
+        |                   + cn.cn2[CAST(s*4 + o.code[s+1] + 1 AS INTEGER)]))), 0.0))), 6) AS asim
+        |  FROM lutq l
+        |  JOIN probe p ON p.q_id = l.q_id
+        |  JOIN bassign b ON b.bucket = p.bucket
+        |  JOIN codes o ON o.vec_id = b.vec_id
+        |  JOIN qcb w ON w.q_id = l.q_id AND w.bucket = b.bucket
+        |  JOIN cbn n2 ON n2.bucket = b.bucket
+        |  JOIN crs x ON x.bucket = b.bucket
+        |  CROSS JOIN cn
+        |  WHERE l.q_id <> o.vec_id)
+        |SELECT q_id, n_id, asim, rk FROM (
+        |  SELECT q_id, n_id, asim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Pq.ivfPqTopKWithArtifacts(emb, "vec_id", "embedding",
+          col("vec_id") < 5, 10, pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq,
+          pinnedCodebooks(pinnedVecs(s, d, 104, 107)), nprobe = 2,
+          residual = true)
+      }
+    },
+
     // ---- Scalar quantization (SQ8): 4× compressed serving ------------------
     // The middle rung of the compression ladder: one byte per DIMENSION
     // on a per-dim uniform grid (brute 4 B/dim → SQ 1 B/dim → PQ 1 B per
@@ -1899,6 +2061,23 @@ object ExtensionQueries {
         val emb = t(s, d, "embeddings")
         Pq.pqTopKWithCodebooks(emb, "vec_id", "embedding",
           col("vec_id") < 5, 10, pinnedCodebooks(pinnedVecs(s, d, 100, 103)))
+      }
+    },
+
+    // ---- Two-stage PQ serve under the hash gate (ADC shortlist + refine) ---
+    // The standard PQ DEPLOYMENT shape (shortlist on compressed codes,
+    // exact re-rank on refine·k full vectors — similarity_pq_refined's
+    // machinery) oracle-green: shortlist membership is the rounded-ADC
+    // page at rank ≤ 80, and the finisher is the hash-checked rounded-
+    // cosine page the whole family shares. Completes the pinned-twin
+    // program for the ADC family's LAST un-replayed stage (the refine
+    // join); codebook QUALITY stays with PqSpec's recall/MSE contracts.
+    Q("similarity_pq_refined_pinned", sqlPinnedAdcTopK(rotated = false, refine = 8)) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Pq.pqTopKWithCodebooks(emb, "vec_id", "embedding",
+          col("vec_id") < 5, 10, pinnedCodebooks(pinnedVecs(s, d, 100, 103)),
+          refine = 8)
       }
     },
 

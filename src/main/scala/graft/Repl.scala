@@ -101,9 +101,12 @@ object Repl {
       |  pqsearch <view> <id> <k> <dir>         ADC top-k cosine neighbours of row <id>
       |                                         served from a pqindex — codes only, the
       |                                         original vectors are never read
-      |  ivfpqindex <view> <dir> [nlist]        build the composed IVF-PQ index: coarse
+      |  ivfpqindex <view> <dir> [nlist] [--residual]
+      |                                         build the composed IVF-PQ index: coarse
       |                                         centroids + codes Hive-partitioned by
-      |                                         bucket (default nlist 16)
+      |                                         bucket (default nlist 16); --residual
+      |                                         quantizes v - c_bucket (IVFADC) and the
+      |                                         search verb auto-detects the marker
       |  ivfpqsearch <view> <id> <k> <dir> [nprobe]
       |                                         partition-pruned ADC top-k from an
       |                                         ivfpqindex: reads nprobe/nlist of the
@@ -435,10 +438,14 @@ object Repl {
         render(graft.operators.Pq.pqTopKFromIndex(
           df(vid).filter(col("vec_id") === lit(id.toLong)),
           "vec_id", "embedding", dir, k.toInt))
-      case "ivfpqindex" :: vid :: dir :: rest if rest.size <= 1 =>
+      case "ivfpqindex" :: vid :: dir :: rest if rest.size <= 2 =>
+        val residual = rest.contains("--residual")
+        val nlistArg = rest.filterNot(_ == "--residual")
         graft.operators.Pq.buildIvfPqIndex(df(vid), "vec_id", "embedding", dir,
-          nlist = rest.headOption.map(_.toInt).getOrElse(16))
-        s"ivfpq index (centroids + codebooks + bucket-partitioned codes) at $dir"
+          nlist = nlistArg.headOption.map(_.toInt).getOrElse(16),
+          residual = residual)
+        val kind = if (residual) "residual IVFADC codes" else "codes"
+        s"ivfpq index (centroids + codebooks + bucket-partitioned $kind) at $dir"
       case "ivfpqsearch" :: vid :: id :: k :: dir :: rest if rest.size <= 1 =>
         render(graft.operators.Pq.ivfPqTopKFromIndex(
           df(vid).filter(col("vec_id") === lit(id.toLong)),

@@ -807,13 +807,22 @@ object Pq {
     * replays the whole assign → probe → restricted-ADC → page deployment
     * in DuckDB (the `similarity_ivf_pinned` + `similarity_pq_pinned`
     * replays composed); quantizer/codebook QUALITY stays with the
-    * trained paths' recall/pruning contracts in PqSpec. Non-residual by
-    * construction (the pinned books quantize raw vectors).
+    * trained paths' recall/pruning contracts in PqSpec.
+    *
+    * `residual = true` serves the IVFADC shape under the same pinned
+    * artifacts: codes quantize `v − c_bucket(v)` (the [[buildIvfPqIndex]]
+    * residual encoding, derived on the fly) and the kernel recombines
+    * `x̂ = c_b + ŷ` from the sketch-sized tables — still deterministic
+    * replayable arithmetic, because the residual subtraction, the
+    * per-subspace argmin over residuals, and the recombination dot/norm
+    * folds are all exact-order double sums a SQL engine can replay
+    * (catalog `similarity_ivfpq_residual_pinned`).
     */
   def ivfPqTopKWithArtifacts(emb: DataFrame, idCol: String, vecCol: String,
                              queryPred: Column, k: Int, cs: Seq[Seq[Double]],
                              cb: Codebooks, nprobe: Int,
-                             maxQueryBatch: Int = 100000): DataFrame = {
+                             maxQueryBatch: Int = 100000,
+                             residual: Boolean = false): DataFrame = {
     require(Seq("bigint", "int", "smallint").contains(
       emb.schema(idCol).dataType.simpleString),
       s"ivfPqTopKWithArtifacts needs an integral id column, got ${emb.schema(idCol).dataType}")
@@ -822,14 +831,32 @@ object Pq {
     graft.functions.VectorExprs.register(spark)
     import graft.functions.VectorExprs.nearestCentroids
     val csSeq: Seq[Seq[Double]] = cs.map(_.toSeq)
-    val codes = emb.select(col(idCol).cast("long").as("n_id"),
-      encoderUdf(cb)(col(vecCol)).as("code"),
-      element_at(nearestCentroids(col(vecCol), csSeq, 1), 1).as("bucket"))
+    val bucketCol = element_at(nearestCentroids(col(vecCol), csSeq, 1), 1)
+      .as("bucket")
+    val codes =
+      if (!residual)
+        emb.select(col(idCol).cast("long").as("n_id"),
+          encoderUdf(cb)(col(vecCol)).as("code"), bucketCol)
+      else {
+        // the buildIvfPqIndex residual encoding, on the fly: closure-
+        // broadcast centroids (nlist·dim doubles — sketch-sized)
+        val bcCs = cs.map(_.toArray).toArray
+        val resEncoder = udf { (v: Seq[Float], b: Int) =>
+          if (v == null || v.length != cb.dim) null
+          else {
+            val c = bcCs(b)
+            encodeVec(cb, Array.tabulate(v.length)(i => v(i) - c(i)))
+          }
+        }
+        emb.select(col(idCol).cast("long").as("n_id"), col(vecCol), bucketCol)
+          .select(col("n_id"),
+            resEncoder(col(vecCol), col("bucket")).as("code"), col("bucket"))
+      }
     val qs = collectQueries(emb.filter(queryPred)
       .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec")),
       cb.dim, maxQueryBatch)
     serveIvfPqCodes(codes, cb, cs.map(_.toArray).toArray, qs,
-      nprobe, residual = false, k)
+      nprobe, residual, k)
   }
 
   /** Shared probe-restricted ADC tail of the composed serve: driver-side

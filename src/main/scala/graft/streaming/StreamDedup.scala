@@ -416,6 +416,38 @@ object StreamDedup {
     runKeyed(fingerprintDedupAgainstCorpus(corpusFp, incomingFp, "doc_id", "dhash"))
   }
 
+  /** Audio sibling of [[imageIngestDedup]]: the documents fixture as a
+    * synthetic WAV corpus (real RIFF encode + decode + gain-invariant
+    * fingerprint per row, the `multimodal_audio_dedup` construction),
+    * split static/stream on doc_id % 10 and gated through
+    * [[fingerprintDedupAgainstCorpus]]. The planted corpus near-dups
+    * (% 20 = 1 docs render the PREVIOUS id's pattern) play at GAIN 2 —
+    * the gate must match them through the fingerprint's gain invariance,
+    * exactly the robustness `multimodal_audio_dedup` pins batch-side.
+    * Same closed-form oracle as the image gate: incoming doc d matches
+    * iff d % 20 = 0 and d+1 exists; the % 20 = 10 half stays novel.
+    */
+  def audioIngestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isCopy = pmod(col("doc_id"), lit(20)) === 1
+    val base = when(isCopy, col("doc_id") - 1).otherwise(col("doc_id"))
+    val gain = when(isCopy, lit(2)).otherwise(lit(1))
+    val corpusFp = graft.operators.Multimodal.audioHashes(
+      graft.operators.Multimodal.synthesizePatternWav(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).select(col("doc_id")),
+        base, gain),
+      "doc_id", col("wav"))
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "documents", docs.schema)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val incomingFp = graft.operators.Multimodal.audioHashes(
+      graft.operators.Multimodal.synthesizePatternWav(
+        incoming.select(col("doc_id")), base, gain),
+      "doc_id", col("wav"))
+    runKeyed(fingerprintDedupAgainstCorpus(corpusFp, incomingFp, "doc_id", "afp"))
+  }
+
   /** Complete-mode memory-sink runner for a KEYED streaming aggregate
     * (same lifecycle as StreamWindows.runToResult; shared by both ingest
     * paths).

@@ -279,6 +279,28 @@ class PqSpec extends SparkSpec {
     assert(viaArtifacts == served)
   }
 
+  test("residual serve from in-memory artifacts equals the residual disk index") {
+    // the residual=true artifact serve (the similarity_ivfpq_residual_pinned
+    // machinery) must reproduce the persisted IVFADC index serve exactly
+    // when fed the built index's own centroids and residual codebooks:
+    // same on-the-fly v − c_bucket encoding as the stored codes, same
+    // x̂ = c_b + ŷ recombination kernel
+    val dir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/pq_spec/ivfpq_res_art"
+    Pq.buildIvfPqIndex(emb, "vec_id", "embedding", dir, nlist = 8, m = 8,
+      ksub = 16, residual = true)
+    val cb = Pq.loadCodebooks(spark, dir)
+    val cs: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("bucket")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaArtifacts = rows(Pq.ivfPqTopKWithArtifacts(emb, "vec_id", "embedding",
+      col("vec_id") < 5, 10, cs, cb, nprobe = 4, residual = true))
+    val served = rows(Pq.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dir, 10, nprobe = 4))
+    assert(viaArtifacts == served)
+  }
+
   test("pinned-rotation serve equals the trained OPQ path under its artifacts") {
     val pred = col("vec_id") < 5
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -256,14 +256,21 @@ class ReplSpec extends SparkSpec {
       val p = java.nio.file.Files.createTempDirectory(s"graft_repl_$leaf")
       p.toFile.deleteOnExit(); p.toString
     }
-    val pqDir = tmp("pq"); val ivfDir = tmp("ivfpq")
+    val pqDir = tmp("pq"); val ivfDir = tmp("ivfpq"); val resDir = tmp("ivfpq_res")
     val out = script(
       "open embeddings",
       s"pqindex embeddings-1 $pqDir",
       s"pqsearch embeddings-1 3 5 $pqDir",
       s"ivfpqindex embeddings-1 $ivfDir 8",
       s"ivfpqsearch embeddings-1 3 5 $ivfDir 4",
+      s"ivfpqindex embeddings-1 $resDir 8 --residual",
+      s"ivfpqsearch embeddings-1 3 5 $resDir 4",
       "quit")
+    // the residual build self-describes via the marker; the SAME search
+    // verb serves it (auto-detected IVFADC recombination)
+    assert(out.contains("residual IVFADC codes"), out)
+    assert(new java.io.File(s"$resDir/_RESIDUAL").exists(),
+      "--residual must write the marker the serve path auto-detects")
     assert(out.contains(s"pq index (codebooks + codes) at $pqDir"), out)
     assert(new java.io.File(s"$pqDir/codebooks").exists() &&
       new java.io.File(s"$pqDir/codes").exists(),
@@ -277,7 +284,7 @@ class ReplSpec extends SparkSpec {
     // both searches render a (q_id, n_id, asim, rk) page of k rows for q_id 3
     val pages = out.linesIterator.zipWithIndex
       .filter(_._1.startsWith("q_id\tn_id\tasim\trk")).map(_._2).toSeq
-    assert(pages.size == 2, s"two served pages expected:\n$out")
+    assert(pages.size == 3, s"three served pages expected:\n$out")
     val lines = out.linesIterator.toSeq
     pages.foreach { h =>
       val rows = lines.drop(h + 1).takeWhile(_.contains("\t")).take(5)

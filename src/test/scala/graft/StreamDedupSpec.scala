@@ -352,6 +352,33 @@ class StreamDedupSpec extends SparkSpec {
     assert(weird(10L)._2, s"exact-hash probe must flag: ${weird(10L)}")
   }
 
+  test("streamed audio dedup gate equals the batch plan and sees through gain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val isCopy = pmod(col("doc_id"), lit(20)) === 1
+    val base = when(isCopy, col("doc_id") - 1).otherwise(col("doc_id"))
+    val gain = when(isCopy, lit(2)).otherwise(lit(1))
+    val corpusFp = graft.operators.Multimodal.audioHashes(
+      graft.operators.Multimodal.synthesizePatternWav(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).select(col("doc_id")),
+        base, gain),
+      "doc_id", col("wav"))
+    val incomingFp = graft.operators.Multimodal.audioHashes(
+      graft.operators.Multimodal.synthesizePatternWav(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0).select(col("doc_id")),
+        base, gain),
+      "doc_id", col("wav"))
+    val batch = StreamDedup.fingerprintDedupAgainstCorpus(
+      corpusFp, incomingFp, "doc_id", "afp")
+    val stream = StreamDedup.audioIngestDedup(spark, sf)
+    assert(canon(stream) == canon(batch))
+    // the planted near-dups play at GAIN 2 — a match proves the gate
+    // flags through the fingerprint's volume invariance, not byte
+    // equality of the payloads
+    val flags = stream.select("is_dup").collect().map(_.getBoolean(0))
+    assert(flags.contains(true) && flags.contains(false),
+      "fixture must plant both dup and novel incoming audio")
+  }
+
   test("band collisions across several bands count each corpus match once") {
     import spark.implicits._
     // identical text collides in EVERY band — n_matches must still be 1
