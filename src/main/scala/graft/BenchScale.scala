@@ -95,6 +95,12 @@ object BenchScale {
     "similarity_sq_pinned", "similarity_opq_pinned", "similarity_lsh_pinned",
     "similarity_ivfpq_pinned", "similarity_mmr_ivf_pinned",
     "similarity_pq_refined_pinned", "similarity_ivfpq_residual_pinned",
+    // hard-negative mining: the brute band baseline (linear in N at the
+    // fixed 10-query set) and its probed scale path. Page shape is NOT
+    // factor-invariant by design — cross-copy cosines are random-level
+    // and can land in the band — so these carry their own band invariant
+    // instead of joining the pinned page-shape check
+    "similarity_hard_negatives", "similarity_hard_negatives_ivf_pinned",
     // equi-depth histogram (rank-quantile boundaries + one bucketing pass)
     "histogram_equidepth", "histogram_equidepth_per_group",
     // product analytics (user-keyed min-aggregations / cohort cells)
@@ -522,6 +528,26 @@ object BenchScale {
         q(outDir, n).count() == q(srcDir, n).count()
       }
     }, "a pinned-artifact serve page changed shape with scale")
+    check("hard_negatives_band_respected", {
+      // the operator's CONTRACT at any scale: every mined negative's
+      // similarity sits inside [0.25, 0.45) and pages stay ≤ k. Counts
+      // are deliberately NOT factor-pinned: cross-copy cosines are
+      // random-level and the band legitimately gains members as the
+      // corpus grows (probe-vs-brute semantics are pinned at fixture
+      // scale in HardNegativesSpec's full-probe exactness test).
+      Seq("similarity_hard_negatives", "similarity_hard_negatives_ivf_pinned")
+        .forall { n =>
+          val df = q(outDir, n).cache()
+          try {
+            val bounds = df.agg(min(col("sim")), max(col("sim"))).head()
+            val okBand = df.isEmpty ||
+              (bounds.getDouble(0) >= 0.25 && bounds.getDouble(1) < 0.45)
+            val okPage = df.groupBy(col("q_id")).count()
+              .agg(max(col("count"))).head().getLong(0) <= 10
+            okBand && okPage
+          } finally df.unpersist()
+        }
+    }, "hard-negative band contract broken at scale")
     check("stream_image_gate_copy0_exact_and_linear", {
       // the copy offset is a multiple of 20, so the %20 pattern planting
       // replicates verbatim per copy and dHash codes stay ≥ Hamming 14

@@ -1514,6 +1514,80 @@ object ExtensionQueries {
         col("vec_id") < 5, 10)
     },
 
+    // ---- Hard-negative mining (contrastive-training data) ------------------
+    // Per query: the k most-similar rows INSIDE the band [0.25, 0.45) —
+    // informative negatives strictly below the corpus's near-dup
+    // threshold (0.45, the dedup_embedding contract), so a mined
+    // negative can never be a latent positive. The fixture plants the
+    // semantics: query 7's global top hit (vec 340, sim 0.4928) is a
+    // near-dup the band must EXCLUDE. Band and order on the rounded
+    // cosine; queries with no in-band neighbor are absent by contract.
+    Q("similarity_hard_negatives",
+      """WITH sims AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        |SELECT q_id, n_id, sim, rk FROM (
+        |  SELECT q_id, n_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims WHERE sim >= 0.25 AND sim < 0.45)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => Similarity.hardNegatives(t(s, d, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 10, 10, loSim = 0.25, hiSim = 0.45)
+    },
+
+    // ---- Hard negatives over the pinned IVF probe (the scale path) ---------
+    // The same band re-rank fed by the probed-bucket candidate stage
+    // under the pinned quantizer (vectors 100-103, nprobe 2) — the
+    // similarity_ivf_pinned replay with the band predicate between the
+    // cosine and the page. Negative mining at 100 TB runs THIS shape:
+    // the band only ever sees nprobe/nlist of the corpus.
+    Q("similarity_hard_negatives_ivf_pinned",
+      s"""WITH c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id < 10) WHERE r <= 2),
+        |sims AS (
+        |  SELECT p.q_id, s.vec_id AS n_id, ${sqlCos("a", "b")} AS sim
+        |  FROM probe p
+        |  JOIN assign s ON s.bucket = p.bucket
+        |  JOIN embeddings a ON a.vec_id = p.q_id
+        |  JOIN embeddings b ON b.vec_id = s.vec_id
+        |  WHERE p.q_id <> s.vec_id)
+        |SELECT q_id, n_id, sim, rk FROM (
+        |  SELECT q_id, n_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        |  FROM sims WHERE sim >= 0.25 AND sim < 0.45)
+        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) {
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegativesIvfWithCentroids(emb, "vec_id", "embedding",
+          col("vec_id") < 10, 10, loSim = 0.25, hiSim = 0.45,
+          pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq, nprobe = 2)
+      }
+    },
+
     // ---- MMR diversified top-k (greedy re-rank over brute candidates) ------
     // The oracle replays the greedy trace exactly: top-20 candidates by
     // rounded cosine, then a recursive CTE carrying the picked list,

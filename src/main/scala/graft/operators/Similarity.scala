@@ -153,11 +153,16 @@ object Similarity {
     * window parity and the flat shuffle bound are pinned in
     * ExtensionOpsSpec/ScalingSpec.
     */
-  private[graft] def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
+  private[graft] def rerankTopK(cand: DataFrame, k: Int): DataFrame =
+    pageBySim(roundedSims(cand), k)
+
+  private def roundedSims(cand: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(cand.sparkSession)
-    val sims = cand
-      .select(col("q_id"), col("n_id"),
-        round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
+    cand.select(col("q_id"), col("n_id"),
+      round(cosineNative(col("q_vec"), col("n_vec")), 6).as("sim"))
+  }
+
+  private def pageBySim(sims: DataFrame, k: Int): DataFrame = {
     // keys are distinct per group by construction ((q_id, n_id) unique in
     // every candidate path), so the page's dedup counts are all 1 and the
     // page IS the row_number sequence
@@ -169,6 +174,70 @@ object Similarity {
       .select(col("q_id"), col("e.key.n_id").as("n_id"), col("e.key.sim").as("sim"),
         (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Hard-negative mining — the contrastive-training data op: per query,
+    * the k MOST similar corpus rows whose similarity falls in
+    * `[loSim, hiSim)` — similar enough to be informative negatives,
+    * strictly below the near-dup bar that would make them FALSE
+    * negatives (pair `hiSim` with the corpus's dedup threshold, e.g.
+    * [[cosineDupPairs]]'s). Band and order apply to the 6-dp ROUNDED
+    * cosine (the family's shared portability contract), so membership at
+    * the boundary is deterministic and the whole pass sits under the
+    * exact-oracle hash gate (catalog `similarity_hard_negatives`).
+    * Queries with NO in-band neighbor are absent from the output (the
+    * page group never forms — callers needing a row per query outer-join
+    * the query set back). Brute-force candidate stage, the [[cosineTopK]]
+    * cost shape; [[hardNegativesIvf]] is the probe-pruned scale path.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int,
+                    loSim: Double, hiSim: Double): DataFrame = {
+    require(loSim < hiSim, s"band must be non-empty, got [$loSim, $hiSim)")
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = emb.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    pageBySim(
+      roundedSims(q.crossJoin(c).filter(col("q_id") =!= col("n_id")))
+        .filter(col("sim") >= loSim && col("sim") < hiSim), k)
+  }
+
+  /** [[hardNegatives]] over the IVF candidate stage (train, then delegate
+    * to [[hardNegativesIvfWithCentroids]]): the band re-rank only sees
+    * probed-bucket candidates, so the scan is nprobe/nlist of the corpus
+    * — the [[ivfTopK]] scale lever applied to negative mining. In-band
+    * neighbors in unprobed buckets are missed by the probe contract
+    * (recall tests bound it); at nprobe = nlist the result equals
+    * [[hardNegatives]] exactly (pinned in HardNegativesSpec).
+    */
+  def hardNegativesIvf(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int,
+                       loSim: Double, hiSim: Double,
+                       nlist: Int = 16, nprobe: Int = 4,
+                       seed: Long = 42L): DataFrame = {
+    val cs = trainCentroids(emb, idCol, vecCol, nlist, seed).toSeq.map(_.toSeq)
+    hardNegativesIvfWithCentroids(emb, idCol, vecCol, queryPred, k,
+      loSim, hiSim, cs, nprobe)
+  }
+
+  /** [[hardNegativesIvf]] under a CALLER-SUPPLIED quantizer — the
+    * oracle-replayable form (the `similarity_ivf_pinned` convention):
+    * with pinned centroids, assignment, probing, the rounded-cosine
+    * band, and the page are all deterministic replayable arithmetic
+    * (catalog `similarity_hard_negatives_ivf_pinned`); quantizer QUALITY
+    * stays with the trained path's recall contracts.
+    */
+  def hardNegativesIvfWithCentroids(emb: DataFrame, idCol: String,
+                                    vecCol: String, queryPred: Column, k: Int,
+                                    loSim: Double, hiSim: Double,
+                                    cs: Seq[Seq[Double]],
+                                    nprobe: Int): DataFrame = {
+    require(loSim < hiSim, s"band must be non-empty, got [$loSim, $hiSim)")
+    pageBySim(
+      roundedSims(ivfCandidatesWithCentroids(emb, idCol, vecCol, queryPred,
+          cs, nprobe))
+        .filter(col("sim") >= loSim && col("sim") < hiSim), k)
   }
 
   /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein,

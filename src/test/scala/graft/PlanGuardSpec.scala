@@ -24,8 +24,14 @@ class PlanGuardSpec extends SparkSpec {
     * tail adds no join — compose mmrRerank over an ANN candidate frame
     * for the sub-quadratic path.
     */
+  /** similarity_hard_negatives: the brute band-mining contrast baseline
+    * (|Q| = 10 by the catalog predicate; hardNegatives documents the
+    * cosineTopK cost shape) — the scale path is the probed
+    * similarity_hard_negatives_ivf_pinned row, which is NOT exempt.
+    */
   private val allPairsBaselines =
-    Set("similarity_topk", "similarity_mmr", "events_user_overlap_theta")
+    Set("similarity_topk", "similarity_mmr", "events_user_overlap_theta",
+      "similarity_hard_negatives")
   private val scalarBroadcasts = Set("heavy_hitters_relative", "set_ops_counts")
 
   test("no catalog query plans a cartesian or nested-loop join (beyond the documented baselines)") {
@@ -132,8 +138,10 @@ class PlanGuardSpec extends SparkSpec {
       // +2: the per-group KLL quantile maps at both scales, one row per
       // event_type; +2: the copy-0 image-gate row sets at both scales,
       // one row per incoming base doc; +2: the copy-0 portable-simhash
-      // pair sets at both scales, fixture-pair-sized)
-      "BenchScale.scala"    -> 30,
+      // pair sets at both scales, fixture-pair-sized; +2: the copy-0
+      // audio-gate row sets at both scales, one row per incoming base
+      // doc)
+      "BenchScale.scala"    -> 32,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table
