@@ -78,6 +78,9 @@ object BenchScale {
     "multimodal_image_dedup", "multimodal_audio_dedup",
     // BM25 search (map-side term filter + TakeOrderedAndProject)
     "text_bm25_topk",
+    // hybrid sparse+dense fusion (two page-sized lists join after a
+    // map-side term filter and a probe-pruned dense scan)
+    "search_hybrid_rrf",
     // ANN / embedding dedup (sub-quadratic paths)
     "similarity_topk", "similarity_ivf", "dedup_embedding_ivf",
     "similarity_pq", "similarity_pq_refined", "similarity_ivfpq_index",
@@ -548,6 +551,15 @@ object BenchScale {
           } finally df.unpersist()
         }
     }, "hard-negative band contract broken at scale")
+    check("hybrid_rrf_page_shape_unchanged", {
+      // both input pages stay 15 rows at any factor (bigger corpora,
+      // same page), so the fused page holds exactly k rows with dense
+      // ranks and every doc came from 1 or 2 lists
+      val s = q(outDir, "search_hybrid_rrf").collect()
+      s.length == q(srcDir, "search_hybrid_rrf").count().toInt &&
+        s.map(_.getLong(3)).toSeq == (1L to s.length).toSeq &&
+        s.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 2L)
+    }, "hybrid RRF page departed from the fusion contract at scale")
     check("stream_image_gate_copy0_exact_and_linear", {
       // the copy offset is a multiple of 20, so the %20 pattern planting
       // replicates verbatim per copy and dHash codes stay ≥ Hamming 14

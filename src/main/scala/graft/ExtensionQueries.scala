@@ -2687,6 +2687,87 @@ object ExtensionQueries {
           query = Seq("spark", "join"), k = 15)
     },
 
+    // ---- Hybrid retrieval: BM25 + dense fused by RRF -----------------------
+    // Reciprocal Rank Fusion (Cormack et al. SIGIR'09, k0 = 60) of the
+    // sparse BM25 page and the PINNED-IVF dense page over the same
+    // corpus (embeddings row i embeds document i) — the standard hybrid
+    // search shape, 100 TB-ready end to end: one map-side term filter,
+    // one probe-pruned dense scan, and a join of two page-sized lists.
+    // Every RRF contribution is an exact integer-division double and the
+    // two-term sum is commutative, so the fused page replays exactly.
+    Q("search_hybrid_rrf",
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+        |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |         SELECT doc_id, UNNEST(toks) AS w FROM tk)
+        |       WHERE w IN ('spark', 'join') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(SUM(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+        |             * (t.tf * (1.2 + 1)) /
+        |             (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / (st.sdl * 1.0 / st.n)))) AS DOUBLE) AS score
+        |       FROM tf t JOIN dfq d USING (term) JOIN dl l ON t.doc_id = l.doc_id
+        |       CROSS JOIN st GROUP BY 1),
+        |sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank
+        |       FROM (SELECT doc_id, score FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 15)),
+        |c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id = 0) WHERE r <= 2),
+        |dsims AS (
+        |  SELECT p.q_id, s.vec_id AS n_id, ${sqlCos("a", "b")} AS sim
+        |  FROM probe p
+        |  JOIN assign s ON s.bucket = p.bucket
+        |  JOIN embeddings a ON a.vec_id = p.q_id
+        |  JOIN embeddings b ON b.vec_id = s.vec_id
+        |  WHERE p.q_id <> s.vec_id),
+        |dn AS (
+        |  SELECT n_id, rk FROM (
+        |    SELECT n_id, CAST(row_number() OVER (ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rk
+        |    FROM dsims) WHERE rk <= 15),
+        |fused AS (
+        |  SELECT COALESCE(sp.doc_id, dn.n_id) AS id,
+        |         round(COALESCE(1.0/(60 + sp.rank), 0) + COALESCE(1.0/(60 + dn.rk), 0), 6) AS rrf,
+        |         CAST((CASE WHEN sp.doc_id IS NULL THEN 0 ELSE 1 END)
+        |            + (CASE WHEN dn.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
+        |  FROM sp FULL JOIN dn ON dn.n_id = sp.doc_id)
+        |SELECT id AS doc_id, rrf, n_lists, rk FROM (
+        |  SELECT id, rrf, n_lists,
+        |         CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rk
+        |  FROM fused)
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin) {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val sparse = TextOps.bm25Ranked(docs, "doc_id", "text",
+            query = Seq("spark", "join"), k = 15)
+          .select(col("doc_id").as("id"), col("rank"))
+        val dense = Similarity.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+            col("vec_id") === 0, 15,
+            pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq, nprobe = 2)
+          .select(col("n_id").as("id"), col("rk").as("rank"))
+        TextOps.rrfFuse(Seq(sparse, dense), k = 10)
+          .select(col("id").as("doc_id"), col("rrf"), col("n_lists"), col("rk"))
+          .orderBy(col("rk"))
+      }
+    },
+
     // ---- Bigram-LM cross-entropy quality score -----------------------------
     // CCNet-style: the add-k bigram LM trains on the 90% reference split
     // and scores the held-out 10% (same split as the ingest-dedup rows),

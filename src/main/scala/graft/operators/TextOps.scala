@@ -182,6 +182,59 @@ object TextOps {
       .limit(k)
   }
 
+  /** [[bm25TopK]] with an explicit dense rank column — the sparse side of
+    * a hybrid-retrieval fusion. The rank is row_number in the page's own
+    * order (round-6 score DESC, id ASC); the window sorts only the
+    * already-limited `k`-row page, so it is bounded by construction
+    * (never the corpus — the general window-sort prohibition does not
+    * apply to a page-sized frame).
+    */
+  def bm25Ranked(df: DataFrame, idCol: String, textCol: String,
+                 query: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    bm25TopK(df, idCol, textCol, query, k, k1, b)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the hybrid-retrieval combiner: fuse N ranked lists (id, rank) of
+    * the same corpus into one list by `rrf(d) = Σ_lists 1/(k0 + rank)`,
+    * `k0 = 60` per the paper. Docs absent from a list contribute
+    * nothing for it; `n_lists` reports how many lists carried the doc.
+    * Every contribution is one exact double division of integers, so
+    * two-list fusion (the sparse+dense catalog shape) is order-exact
+    * under the commutative two-term sum and the round-6 page replays in
+    * SQL; at N > 2 the sum order is partition-dependent and round-6
+    * absorbs the last-ulp association drift. Inputs are top-k PAGES
+    * (bounded by construction), so the fused frame is ≤ Σ|pages| rows —
+    * the final window sort is page-sized, never corpus-sized.
+    *
+    * Catalog `search_hybrid_rrf` fuses [[bm25Ranked]] with the
+    * pinned-IVF dense page — sparse scan is one map-side term filter,
+    * dense scan probes nprobe/nlist of the corpus, fusion joins two
+    * page-sized lists: the whole hybrid query is 100 TB-shaped.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking required")
+    require(k > 0, s"k must be > 0, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    val contribs = rankings
+      .map(_.select(col("id"), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .select(col("id"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank"))).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("id"))
+    contribs.groupBy(col("id"))
+      .agg(round(sum(col("c")), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("rk"))
+  }
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 
   /** Quality heuristics: token count, stopword ratio, mean token length,

@@ -140,8 +140,8 @@ class PlanGuardSpec extends SparkSpec {
       // one row per incoming base doc; +2: the copy-0 portable-simhash
       // pair sets at both scales, fixture-pair-sized; +2: the copy-0
       // audio-gate row sets at both scales, one row per incoming base
-      // doc)
-      "BenchScale.scala"    -> 32,
+      // doc; +1: the scaled hybrid-RRF page, k rows)
+      "BenchScale.scala"    -> 33,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table
