@@ -541,10 +541,12 @@ object BenchScale {
       Seq("similarity_hard_negatives", "similarity_hard_negatives_ivf_pinned")
         .forall { n =>
           val df = q(outDir, n).cache()
-          try {
+          // an empty mined band is a PASS (nothing in band ⇒ nothing to
+          // violate) — short-circuit before the aggs, whose single null
+          // row would otherwise NPE the getters and record a failure
+          try df.isEmpty || {
             val bounds = df.agg(min(col("sim")), max(col("sim"))).head()
-            val okBand = df.isEmpty ||
-              (bounds.getDouble(0) >= 0.25 && bounds.getDouble(1) < 0.45)
+            val okBand = bounds.getDouble(0) >= 0.25 && bounds.getDouble(1) < 0.45
             val okPage = df.groupBy(col("q_id")).count()
               .agg(max(col("count"))).head().getLong(0) <= 10
             okBand && okPage

@@ -11,7 +11,114 @@ import graft.QueryDefs._
   */
 object RelationalQueries {
 
+  // ---- Correlated-subquery TPC-H class (q4/q17/q21/q22-lite) --------------
+  // The everyday relational shapes Catalyst DECORRELATES: EXISTS /
+  // NOT EXISTS rewrite to left-semi / left-anti joins
+  // (RewritePredicateSubquery), correlated scalar aggregates to a grouped
+  // aggregate joined back on the correlation key
+  // (RewriteCorrelatedScalarSubquery). Every query is written ONCE in the
+  // shared ANSI dialect and executed verbatim by BOTH engines — the Spark
+  // side is spark.sql over the registered table views, so the plans under
+  // test are exactly what a SQL user gets. Decorrelated-plan shapes
+  // (semi/anti joins present, no nested-loop join) are pinned in
+  // SubquerySpec. All arithmetic in the correlated predicates is integer /
+  // exact-decimal, so the oracle rows are hash-EXACT:
+  //  - q17/q22 avoid the classic `x < 0.2*AVG(y)` float threshold by the
+  //    equivalent cross-multiplied integer form `5*x*COUNT(y) < SUM(y)`
+  //    (quantities are integral; acctbal compares as DECIMAL(18,6), whose
+  //    product with COUNT stays inside both engines' 38-digit width).
+  private val sqlQ4 =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 1200 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  private val sqlQ17 =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       COUNT(*) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#4' AND p.p_size <= 10
+      |  AND 5 * CAST(l.l_quantity AS BIGINT)
+      |        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |      < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+      |         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  private val sqlQ21 =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+
+  private val sqlQ22 =
+    """SELECT cntrycode, COUNT(*) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal, c_custkey FROM customer
+      |      WHERE CAST(c_acctbal AS DECIMAL(18,6))
+      |              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      |            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+      |               FROM customer WHERE c_acctbal > 0)) c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000)
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
+  /** The shared-dialect SQL of each correlated-subquery row (exposed for
+    * SubquerySpec's plan asserts).
+    */
+  val subquerySql: Map[String, String] = Map(
+    "q4_order_priority" -> sqlQ4,
+    "q17_small_quantity" -> sqlQ17,
+    "q21_waiting_supplier" -> sqlQ21,
+    "q22_idle_balance" -> sqlQ22)
+
+  private def sqlQuery(name: String, sql: String): Q =
+    Q(name, sql) { (s, d) =>
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+
   val all: Seq[Q] = Seq(
+
+    // TPC-H Q4: late-order priority count — correlated EXISTS with a
+    // NON-EQUI outer reference (l_shipdate > o_orderdate + 1200 days)
+    // riding the l_orderkey equality; Catalyst plans a left-semi join
+    // with the date predicate as join residual.
+    sqlQuery("q4_order_priority", sqlQ4),
+
+    // TPC-H Q17: small-quantity revenue — TWO correlated scalar
+    // aggregates over the same correlation key (COUNT and SUM per
+    // partkey), the cross-multiplied exact-integer form of
+    // `quantity < 0.2 * AVG(quantity)`. Catalyst decorrelates each to a
+    // per-partkey aggregate joined back (and MergeScalarSubqueries can
+    // fuse the twin scans).
+    sqlQuery("q17_small_quantity", sqlQ17),
+
+    // TPC-H Q21: suppliers who were the SOLE late shipper of a
+    // multi-supplier order — EXISTS + NOT EXISTS on the same fact table,
+    // both correlated on l_orderkey with `<>` and date residuals:
+    // one left-semi and one left-anti join over the decorrelated scans.
+    sqlQuery("q21_waiting_supplier", sqlQ21),
+
+    // TPC-H Q22: positive-balance customers above the average with no
+    // big-ticket orders — an UNCORRELATED scalar subquery pair (the
+    // average, cross-multiplied to exact decimals) feeding a correlated
+    // NOT EXISTS (left-anti against orders).
+    sqlQuery("q22_idle_balance", sqlQ22),
 
     // ---- TPC-H Q1-style pricing summary (general groupBy+agg) --------------
     Q("q1_pricing_summary",

@@ -441,6 +441,15 @@ object Repl {
       case "ivfpqindex" :: vid :: dir :: rest if rest.size <= 2 =>
         val residual = rest.contains("--residual")
         val nlistArg = rest.filterNot(_ == "--residual")
+        // loud arg errors: an unknown --flag must not be parsed as nlist
+        // (a typo'd --residuall would reach toInt), and a stray extra
+        // positional must not be silently dropped
+        nlistArg.find(_.startsWith("--")).foreach { f =>
+          throw new IllegalArgumentException(
+            s"ivfpqindex: unknown flag '$f' (supported: --residual)")
+        }
+        require(nlistArg.size <= 1,
+          s"ivfpqindex: expected at most one nlist arg, got: ${nlistArg.mkString(" ")}")
         graft.operators.Pq.buildIvfPqIndex(df(vid), "vec_id", "embedding", dir,
           nlist = nlistArg.headOption.map(_.toInt).getOrElse(16),
           residual = residual)

@@ -220,6 +220,18 @@ object TextOps {
     require(rankings.nonEmpty, "rrfFuse: at least one ranking required")
     require(k > 0, s"k must be > 0, got $k")
     require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    // operator-level schema contract (not a deep-plan AnalysisException):
+    // each list is (id, rank). Per-list id UNIQUENESS is assumed, not
+    // scanned for — duplicate ids in one list would inflate both rrf and
+    // n_lists; producers (bm25Ranked, the ANN pages) emit row_number'd
+    // pages where ids are unique by construction.
+    rankings.zipWithIndex.foreach { case (r, i) =>
+      Seq("id", "rank").foreach { c =>
+        require(r.columns.contains(c),
+          s"rrfFuse: ranking #$i lacks required column '$c' " +
+            s"(has: ${r.columns.mkString(", ")})")
+      }
+    }
     val contribs = rankings
       .map(_.select(col("id"), col("rank").cast("long").as("rank")))
       .reduce(_ unionByName _)

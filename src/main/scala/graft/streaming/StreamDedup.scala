@@ -69,7 +69,8 @@ object StreamDedup {
     while (it.hasNext) {
       val e = it.next()
       it.remove()
-      try e.getValue._1.unpersist() catch { case _: Throwable => () }
+      try e.getValue._1.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
