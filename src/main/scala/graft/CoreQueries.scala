@@ -582,6 +582,71 @@ object CoreQueries {
       }
     },
 
+    // ---- Portable temperature mixing (keyed-md5; hash-EXACT twins) ---------
+    // The oracle replays the WHOLE mix: per-lang counts, share weights
+    // √n (temperature 2 — sqrt is IEEE-correctly-rounded, so the shares
+    // are bit-identical cross-engine, unlike libm pow), clamped fractions,
+    // round-half-up thresholds on the 2^52 hash grid, and the per-row
+    // keyed-md5 inclusion. lang is the skewed stratum (en dominates);
+    // targetRows = 400 of 500 drives the smallest lang's fraction past 1,
+    // exercising the clamp. Aggregated per lang: count + exact char sum +
+    // id extremes pin the selected set.
+    Q("sample_temperature_hash",
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, SQRT(CAST(n AS DOUBLE)) AS p FROM cnt WHERE n > 0),
+        |z AS (SELECT SUM(p) AS z FROM w),
+        |thr AS (SELECT w.lang,
+        |        CAST(FLOOR(LEAST(1.0, ((400.0 * w.p) / z.z) / CAST(w.n AS DOUBLE))
+        |             * 4503599627370496.0 + 0.5) AS BIGINT) AS t
+        |        FROM w, z),
+        |s AS (SELECT d.lang, d.doc_id, d.n_chars
+        |      FROM documents d JOIN thr ON d.lang = thr.lang
+        |      WHERE CAST(('0x' || substring(md5(d.doc_id || ':42'), 1, 13)) AS BIGINT) < thr.t)
+        |SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        Sampling.temperatureMixByHash(t(s, d, "documents"), "lang", "doc_id",
+            temperature = 2.0, targetRows = 400L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+    },
+
+    // ---- Portable token-weighted temperature mixing (the budgeted form) ----
+    // Same machinery with source weight = total chars (the token-budget
+    // proxy already materialized on the table): shares ∝ √W, expected
+    // output weight 120k of ~149k — the lightest lang clamps at keeping
+    // every row, the heaviest samples at ~0.57.
+    Q("sample_temperature_tokens_hash",
+      """WITH wt AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS w
+        |            FROM documents GROUP BY 1),
+        |w AS (SELECT lang, w, SQRT(CAST(w AS DOUBLE)) AS p FROM wt WHERE w > 0),
+        |z AS (SELECT SUM(p) AS z FROM w),
+        |thr AS (SELECT w.lang,
+        |        CAST(FLOOR(LEAST(1.0, ((120000.0 * w.p) / z.z) / CAST(w.w AS DOUBLE))
+        |             * 4503599627370496.0 + 0.5) AS BIGINT) AS t
+        |        FROM w, z),
+        |s AS (SELECT d.lang, d.doc_id, d.n_chars
+        |      FROM documents d JOIN thr ON d.lang = thr.lang
+        |      WHERE CAST(('0x' || substring(md5(d.doc_id || ':42'), 1, 13)) AS BIGINT) < thr.t)
+        |SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        Sampling.temperatureMixTokensByHash(t(s, d, "documents"), "lang",
+            "doc_id", "n_chars", temperature = 2.0, targetWeight = 120000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+    },
+
     // ---- DSIR importance selection toward a target domain ------------------
     // Odd-id docs play the target corpus ("distributed like Wikipedia"),
     // even-id docs the raw pool; the 50 most target-like raw docs by the

@@ -122,6 +122,94 @@ object Sampling {
     df.stat.sampleBy(df(sourceCol), fractions, seed)
   }
 
+  /** Engine-portable share weight x^invT for the temperature-mix hash
+    * twins: IEEE 754 requires sqrt and multiplication to be CORRECTLY
+    * ROUNDED, so invT = 0.5 (temperature 2, the flattening default) and
+    * small integral invT (computed by repeated multiplication) reproduce
+    * bit-for-bit in any compliant engine — unlike libm `pow`, whose
+    * last-ulp is implementation-defined. Non-portable exponents fall back
+    * to `math.pow` (the mix is still deterministic per JVM, just not
+    * oracle-replayable).
+    */
+  private def portablePow(x: Double, invT: Double): Double = {
+    val k = math.rint(invT)
+    if (invT == 0.5) math.sqrt(x)
+    else if (invT == k && k >= 0 && k <= 8) {
+      var r = 1.0; var i = 0
+      while (i < k.toInt) { r *= x; i += 1 }
+      r
+    } else math.pow(x, invT)
+  }
+
+  /** Shared tail of the portable temperature mixers: weights (one row per
+    * source, sorted by key so the z fold is deterministic) → clamped
+    * per-source fractions ∝ w^(1/T)/w → literal hash thresholds → one
+    * map-side keyed-md5 filter (the [[stratifiedByHash]] plan: no
+    * shuffle, no RNG, reproducible anywhere md5 exists). Sources with
+    * non-positive weight drop (null threshold → filtered), mirroring
+    * temperatureMixTokens' missing-stratum contract.
+    */
+  private def mixByHash(df: DataFrame, sourceCol: String, idCol: String,
+                        weights: Seq[(Any, Long)], temperature: Double,
+                        target: Long, seed: Long): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    require(target > 0, s"target must be > 0, got $target")
+    val invT = 1.0 / temperature
+    val scaled = weights.filter(_._2 > 0)
+      .sortBy(_._1.toString)
+      .map { case (k, w) => (k, w, portablePow(w.toDouble, invT)) }
+    require(scaled.nonEmpty, "mixByHash: no source with positive weight")
+    // left-to-right over the sorted keys — the ONE order-sensitive step
+    // (z is a sum of inexact doubles for fractional invT); an engine
+    // summing in another order can drift z by 1 ulp, which moves a
+    // threshold by ≤ 1 unit of 2^-52 — a row flips only if its 52-bit
+    // hash equals that exact boundary value
+    val z = scaled.map(_._3).sum
+    val thr = scaled.foldLeft(lit(null).cast("long")) { case (rest, (k, w, p)) =>
+      val f = math.min(1.0, target * p / z / w.toDouble)
+      when(col(sourceCol) === lit(k), lit(hashThreshold(f))).otherwise(rest)
+    }
+    df.filter(hashKey(idCol, seed) < thr)
+  }
+
+  /** Portable (keyed-md5) twin of [[temperatureMix]]: the same
+    * share-∝-n^(1/T) rebalancing, but every inclusion decision is the
+    * pure hash expression of the portable sampling family, so the
+    * selected subset re-derives in any engine — and the catalog row is
+    * oracle-EXACT (hash-checked), not rows-only. Portability of the
+    * SHARES needs a correctly-rounded weight function: use temperature 2
+    * (sqrt) or integral 1/T; see [[portablePow]]. One sketch-sized count
+    * collect, then a map-side filter — no shuffle beyond the counts.
+    */
+  def temperatureMixByHash(df: DataFrame, sourceCol: String, idCol: String,
+                           temperature: Double, targetRows: Long,
+                           seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(sourceCol).count()
+      .collect() // one row per SOURCE — sketch-sized by contract
+      .map(r => r.get(0) -> r.getLong(1)).toSeq
+    require(counts.forall(_._1 != null),
+      s"temperatureMixByHash: null $sourceCol key — every row needs a source")
+    mixByHash(df, sourceCol, idCol, counts, temperature, targetRows, seed)
+  }
+
+  /** Portable twin of [[temperatureMixTokens]] — the budgeted
+    * (token-weighted) form under the keyed-md5 hash: source shares
+    * ∝ W^(1/T) with W the source's total `weightCol`, expected output
+    * weight `targetWeight`, per-row inclusion a pure hash expression.
+    */
+  def temperatureMixTokensByHash(df: DataFrame, sourceCol: String,
+                                 idCol: String, weightCol: String,
+                                 temperature: Double, targetWeight: Long,
+                                 seed: Long = 42L): DataFrame = {
+    val weights = df.groupBy(sourceCol)
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect() // one row per SOURCE — sketch-sized by contract
+      .map(r => r.get(0) -> r.getLong(1)).toSeq
+    require(weights.forall(_._1 != null),
+      s"temperatureMixTokensByHash: null $sourceCol key — every row needs a source")
+    mixByHash(df, sourceCol, idCol, weights, temperature, targetWeight, seed)
+  }
+
   /** Exactly-k uniform sample PER GROUP — the "n examples per language /
     * source / quality tier" primitive `sampleBy` cannot express (a
     * fraction yields a binomial count, not exactly k; tiny strata come

@@ -153,6 +153,67 @@ class HashSamplingSpec extends SparkSpec {
     assert(re == big)
   }
 
+  test("temperatureMixByHash: flattening shares, clamp branch, determinism") {
+    val docs = Tables.open(spark, sf, "documents").cache()
+    try {
+      val natural = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mixed = Sampling.temperatureMixByHash(docs, "lang", "doc_id",
+        temperature = 2.0, targetRows = 450L)
+      val got = mixed.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // T=2 flattens: each lang's KEPT FRACTION rises as its natural
+      // count falls (share ∝ √n ⇒ rate ∝ 1/√n); compare the extremes
+      val biggest = natural.maxBy(_._2)._1
+      val smallest = natural.minBy(_._2)._1
+      val rate = (l: String) => got(l).toDouble / natural(l)
+      assert(rate(smallest) > rate(biggest),
+        s"flattening violated: $got vs natural $natural")
+      // at 450 every non-dominant lang's fraction clamps at 1 — all its
+      // rows survive (the LEAST(1.0, ·) branch the catalog row pins in SQL)
+      assert(got(smallest) == natural(smallest))
+      // pure per-row membership: identical set under any partitioning
+      val ids1 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+      val ids2 = Sampling.temperatureMixByHash(
+        docs.repartition(13, col("source")), "lang", "doc_id", 2.0, 450L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids1 == ids2)
+      // temperature 1 preserves natural shares exactly: rate = target/N
+      // for every source, i.e. ONE uniform threshold — equals uniformByHash
+      val t1 = Sampling.temperatureMixByHash(docs, "lang", "doc_id", 1.0, 400L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val uni = Sampling.uniformByHash(docs, "doc_id", 400.0 / docs.count())
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(t1 == uni)
+    } finally { docs.unpersist(); () }
+  }
+
+  test("temperatureMixTokensByHash: weight-budgeted shares track √W") {
+    val docs = Tables.open(spark, sf, "documents").cache()
+    try {
+      val w = docs.groupBy("lang").agg(sum(col("n_chars")).as("w")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mixed = Sampling.temperatureMixTokensByHash(docs, "lang", "doc_id",
+        "n_chars", temperature = 2.0, targetWeight = 60000L)
+      val got = mixed.groupBy("lang").agg(sum(col("n_chars")).as("w")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // expected kept weight per lang = target·√W_l/Σ√W — realized weight
+      // is a sum of ~rate·n_l independent inclusions; allow wide noise
+      val z = w.values.map(v => math.sqrt(v.toDouble)).sum
+      w.foreach { case (l, wl) =>
+        val exp = 60000L * math.sqrt(wl.toDouble) / z
+        assert(math.abs(got.getOrElse(l, 0L) - exp) < 0.5 * exp + 2000,
+          s"$l: kept ${got.get(l)} chars, expected ~$exp")
+      }
+      // degenerate stratum contract: all-null source key fails loudly
+      intercept[IllegalArgumentException] {
+        Sampling.temperatureMixTokensByHash(
+          docs.withColumn("lang", lit(null).cast("string")),
+          "lang", "doc_id", "n_chars", 2.0, 1000L)
+      }
+    } finally { docs.unpersist(); () }
+  }
+
   test("hashThreshold quantization is the shared oracle constant") {
     // the SQL literals in the catalog oracles interpolate hashThreshold —
     // pin the quantization rule (round-half-up on f·2^52) so a change
