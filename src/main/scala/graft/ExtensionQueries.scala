@@ -253,10 +253,15 @@ object ExtensionQueries {
     */
   private def pinnedVecs(s: org.apache.spark.sql.SparkSession, d: String,
                          lo: Int, hi: Int): Array[Array[Double]] =
+    // sort the handful of pinned rows on the DRIVER: a distributed
+    // orderBy plans a range exchange whose bounds-sampling job executes
+    // the filtered scan a second time — measurable fixed cost on every
+    // pinned catalog row for a ≤ 16-row collect
     t(s, d, "embeddings")
       .filter(col("vec_id") >= lo && col("vec_id") <= hi)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
   /** The pinned 3-4-5 Givens rotation (0.6/0.8 entries in 2×2 blocks down
     * the diagonal): orthogonal up to one ulp, and — decisively for the

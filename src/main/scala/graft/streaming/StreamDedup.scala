@@ -234,14 +234,44 @@ object StreamDedup {
   def embeddingDedupWithCentroids(corpus: DataFrame, incoming: DataFrame,
                                   idCol: String, vecCol: String,
                                   cs: Seq[Seq[Double]], nprobe: Int,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double): DataFrame =
+    embeddingDedupWithAssignments(
+      assignCentroids(corpus, idCol, vecCol, cs),
+      incoming, idCol, vecCol, cs, nprobe, threshold)
+
+  /** The corpus side of the embedding gate: each vector's 1-nearest
+    * centroid assignment, as the (c_id, c_vec, bucket) frame the
+    * candidate join consumes — the same shape `Similarity.buildIvfIndex`
+    * persists. Deterministic replayable arithmetic under pinned
+    * centroids; factored out so a long-lived gate can derive it ONCE and
+    * persist it instead of paying the full corpus assignment in every
+    * micro-batch's re-planned static side.
+    */
+  def assignCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      cs: Seq[Seq[Double]]): DataFrame = {
     require(cs.nonEmpty, "centroid list must be non-empty")
     graft.functions.VectorExprs.register(corpus.sparkSession)
     import graft.functions.VectorExprs.nearestCentroids
-    val cbuckets = corpus
+    corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", element_at(nearestCentroids(col("c_vec"), cs, 1), 1))
-    flagEmbedding(cbuckets, incoming, idCol, vecCol, cs, nprobe, threshold)
+  }
+
+  /** [[embeddingDedupWithCentroids]] with the corpus ASSIGNMENT side
+    * precomputed (an [[assignCentroids]] frame, typically read back from
+    * a batch job's parquet): the streaming query re-plans its static side
+    * per trigger, so serving from the stored assignment times each
+    * micro-batch by the batch, not the corpus. Output is identical to the
+    * fused form for an assignment derived from the same centroids (the
+    * 1-nearest argmin is deterministic; parity test-pinned).
+    */
+  def embeddingDedupWithAssignments(assignments: DataFrame, incoming: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    cs: Seq[Seq[Double]], nprobe: Int,
+                                    threshold: Double): DataFrame = {
+    require(cs.nonEmpty, "centroid list must be non-empty")
+    graft.functions.VectorExprs.register(incoming.sparkSession)
+    flagEmbedding(assignments, incoming, idCol, vecCol, cs, nprobe, threshold)
   }
 
   /** Serve-side twin of [[embeddingDedupAgainstCorpus]] probing a
@@ -312,8 +342,14 @@ object StreamDedup {
   }
 
   /** Pinned-quantizer sibling of [[embeddingIngestDedup]] — same split
-    * and output through [[embeddingDedupWithCentroids]], the entry the
-    * hash-gated catalog row drives.
+    * and output, the entry the hash-gated catalog row drives. Serve-cost
+    * hygiene: the corpus assignment is derived ONCE and persisted to
+    * scratch parquet, then the gate runs through
+    * [[embeddingDedupWithAssignments]] — without this the streaming
+    * query's re-planned static side re-assigned the WHOLE corpus on
+    * every micro-batch (a production gate would pay it every trigger).
+    * Assignment under pinned centroids is deterministic, so the result —
+    * and the catalog row's oracle hash — is unchanged.
     */
   def embeddingIngestDedupPinned(spark: SparkSession, sfDir: String,
                                  cs: Seq[Seq[Double]], nprobe: Int,
@@ -323,7 +359,14 @@ object StreamDedup {
     val incoming = graft.sources.Tables
       .streamTable(spark, sfDir, "embeddings", emb.schema)
       .filter(pmod(col("vec_id"), lit(10)) === 0)
-    runKeyed(embeddingDedupWithCentroids(corpus, incoming,
+    val dir = graft.QueryDefs.ioDir(sfDir, "stream_embed_pinned_assign")
+    // flat layout: the bucket-partitioned (pruning) deployment is the
+    // index-served row's job (buildIvfIndex already stores assignments
+    // bucket-partitioned); at gate scale the partitioned write/discovery
+    // overhead exceeds the pruning it buys (measured)
+    assignCentroids(corpus, "vec_id", "embedding", cs)
+      .write.mode("overwrite").parquet(dir)
+    runKeyed(embeddingDedupWithAssignments(spark.read.parquet(dir), incoming,
       "vec_id", "embedding", cs, nprobe, threshold))
   }
 

@@ -316,6 +316,18 @@ class StreamDedupSpec extends SparkSpec {
     val pinnedEntry = StreamDedup.embeddingDedupWithCentroids(corpus, incoming,
       "vec_id", "embedding", cs, nprobe = 4, threshold = 0.45)
     assert(canon(pinnedEntry) == canon(batch))
+
+    // assignment-served ≡ fused: the serve-cost form (corpus assignment
+    // persisted once, read back per trigger) must reproduce the fused
+    // plan exactly — the parity that keeps the catalog row hash-green
+    // after the static-side recompute fix
+    val assignDir = s"/tmp/graft_io/p${ProcessHandle.current().pid()}/lsh_spec/embed_assign"
+    StreamDedup.assignCentroids(corpus, "vec_id", "embedding", cs)
+      .write.mode("overwrite").parquet(assignDir)
+    val servedAssign = StreamDedup.embeddingDedupWithAssignments(
+      spark.read.parquet(assignDir), incoming,
+      "vec_id", "embedding", cs, nprobe = 4, threshold = 0.45)
+    assert(canon(servedAssign) == canon(pinnedEntry))
   }
 
   test("streamed image dedup gate equals the batch plan; null fingerprints survive") {
