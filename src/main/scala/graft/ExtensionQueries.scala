@@ -251,6 +251,52 @@ object ExtensionQueries {
     * centroid convention: data-derived so both engines read the SAME
     * floats, never literals that could drift between the two parsers).
     */
+  /** The sf0.01-trained 12-merge head, pinned as literals for the
+    * hash-exact encode twin (`text_bpe_tokens_pinned`). Rank order is
+    * the list order; includes a composed merge (p+ar) and end-mark
+    * merges so the SQL replay exercises multi-char and `</w>` symbols.
+    */
+  private val bpePinnedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r</w>", "o" -> "w</w>", "t" -> "o", "a" -> "t",
+    "l" -> "u", "a" -> "s", "i" -> "n", "e" -> "r",
+    "o" -> "r", "a" -> "r", "p" -> "ar", "i" -> "n</w>")
+
+  /** DuckDB replay of `Bpe.encode` under [[bpePinnedMerges]]: per word,
+    * the initial symbol string is chr(31)-wrapped chars with `</w>`
+    * fused onto the last; each merge is one REPLACE in rank order; the
+    * final string collapses to space-joined tokens. Per doc: ordered
+    * token concatenation + token count (0/'' for wordless docs, matching
+    * encode's empty-array row).
+    */
+  private val bpePinnedSql: String = {
+    val sep = "chr(31)"
+    val wrapped0 = s"$sep || array_to_string(" +
+      s"list_transform(range(1, len(w)), i -> w[i]) || [w[len(w)] || '</w>']" +
+      s", $sep || $sep) || $sep"
+    val replayed = bpePinnedMerges.foldLeft(wrapped0) { case (e, (a, b)) =>
+      s"replace($e, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
+    }
+    s"""WITH w0 AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |                             x -> x <> '') AS a
+       |  FROM documents WHERE text IS NOT NULL),
+       |words AS (
+       |  SELECT doc_id, UNNEST(range(1, len(a)+1)) AS pos, UNNEST(a) AS w
+       |  FROM w0 WHERE len(a) > 0),
+       |enc AS (
+       |  SELECT doc_id, pos,
+       |         replace(replace($replayed, $sep || $sep, ' '), $sep, '') AS ts
+       |  FROM words),
+       |perdoc AS (
+       |  SELECT doc_id, string_agg(ts, ' ' ORDER BY pos) AS toks,
+       |         CAST(SUM(len(string_split(ts, ' '))) AS BIGINT) AS n_bpe
+       |  FROM enc GROUP BY 1)
+       |SELECT w0.doc_id, COALESCE(p.toks, '') AS toks,
+       |       CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM w0 LEFT JOIN perdoc p ON p.doc_id = w0.doc_id
+       |ORDER BY w0.doc_id""".stripMargin
+  }
+
   private def pinnedVecs(s: org.apache.spark.sql.SparkSession, d: String,
                          lo: Int, hi: Int): Array[Array[Double]] =
     // sort the handful of pinned rows on the DRIVER: a distributed
@@ -2263,6 +2309,29 @@ object ExtensionQueries {
           .select(col("doc_id"), col("n_bpe"))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // ---- BPE ENCODE under a pinned merge list (hash-EXACT twin) ------------
+    // Training stays no_oracle (iterative global argmax); ENCODING under a
+    // pinned merge list is deterministic greedy arithmetic, replayed in
+    // SQL via a separator-wrapped string encoding of the symbol sequence:
+    // each symbol rides as chr(31)||sym||chr(31), a rank-r merge (a,b) is
+    // one left-to-right non-overlapping REPLACE of ␟a␟␟b␟ with ␟ab␟ —
+    // exactly encodeWord's per-merge pass (REPLACE resumes after the
+    // inserted text, and the delimiter structure makes a mid-symbol or
+    // cross-boundary match impossible; the fixture alphabet is a-z, so
+    // neither chr(31) nor '</w>' can collide with word content). The
+    // merge list is the sf0.01-trained 12-merge head, pinned as literals
+    // in BOTH the Spark call and the interpolated oracle — it includes a
+    // composed merge (p+ar) and end-mark merges (e+r</w>), so the replay
+    // covers multi-char and marker symbols. Output joins each doc's full
+    // segmentation to one string: the oracle pins every token boundary.
+    Q("text_bpe_tokens_pinned", bpePinnedSql) {
+      (s, d) =>
+        Bpe.encode(t(s, d, "documents"), "doc_id", "text", bpePinnedMerges)
+          .select(col("doc_id"),
+            array_join(col("bpe_tokens"), " ").as("toks"), col("n_bpe"))
+          .orderBy(col("doc_id"))
     },
 
     Q("text_token_count",

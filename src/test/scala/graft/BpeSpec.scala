@@ -83,6 +83,19 @@ class BpeSpec extends SparkSpec {
       assert(TextOps.jvmWords(t).toList == sql(i.toLong), s"input ${i}: '$t'")
   }
 
+  test("composed and end-mark merges segment in rank order (pinned-twin shape)") {
+    // the two symbol shapes the hash-gated oracle replay must get right:
+    // a merge whose right side is itself a fused symbol, and a merge
+    // carrying the end marker
+    assert(Bpe.encodeWord("part", Seq("a" -> "r", "p" -> "ar")) ==
+      IndexedSeq("par", "t</w>"))
+    assert(Bpe.encodeWord("win", Seq("i" -> "n</w>", "w" -> "in</w>")) ==
+      IndexedSeq("win</w>"))
+    // overlapping candidates fuse left-to-right, non-overlapping
+    assert(Bpe.encodeWord("aaa", Seq("a" -> "a")) ==
+      IndexedSeq("aa", "a</w>"))
+  }
+
   test("encoding never exceeds character count and compresses the fixture") {
     val m = Bpe.trainMerges(corpus, "text", 4)
     val enc = Bpe.encode(corpus, "doc_id", "text", m)
