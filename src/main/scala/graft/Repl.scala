@@ -123,6 +123,13 @@ object Repl {
       |                                         Hamming-shortlist top-k from a bqindex,
       |                                         exact re-rank of refine*k candidates
       |                                         (default refine 8)
+      |  hardneg <view> <id> <k> <lo> <hi>      IVF-probed hard negatives for row <id>:
+      |                                         k most-similar rows with rounded cosine
+      |                                         in [lo, hi) — contrastive-training fuel
+      |  rrf <docview> <embview> <id> <k> <term...>
+      |                                         hybrid page: BM25 over <term...> fused
+      |                                         (reciprocal-rank) with the dense page
+      |                                         around embedding row <id>
       |  semdedup <view> <threshold> [idCol vecCol]
       |                                         SemDeDup kept set: k-means clusters,
       |                                         in-cluster cosine groups, least-
@@ -254,6 +261,25 @@ object Repl {
         // interactive sketches
         render(s.sketch(ViewId(vid), s"search:$k:${terms.mkString(",")}")(d =>
           graft.operators.TextOps.bm25TopK(d, "doc_id", "text", terms, k.toInt)))
+      case "hardneg" :: vid :: id :: k :: lo :: hi :: Nil =>
+        // probed (IVF) mining — the scale path; the band rides the
+        // rounded cosine, so a mined negative is never a latent positive
+        render(graft.operators.Similarity.hardNegativesIvf(
+          df(vid), "vec_id", "embedding",
+          col("vec_id") === lit(id.toLong), k.toInt, lo.toDouble, hi.toDouble))
+      case "rrf" :: dvid :: evid :: id :: k :: terms if terms.nonEmpty =>
+        // hybrid retrieval: BM25 page over the document view + probed
+        // dense page around row <id> of the embedding view, RRF-fused —
+        // both inputs are top-k PAGES, so the fusion is sketch-sized
+        val kk = k.toInt
+        val sparse = graft.operators.TextOps
+          .bm25Ranked(df(dvid), "doc_id", "text", terms, kk * 2)
+          .select(col("doc_id").as("id"), col("rank"))
+        val dense = graft.operators.Similarity
+          .ivfTopK(df(evid), "vec_id", "embedding",
+            col("vec_id") === lit(id.toLong), kk * 2)
+          .select(col("n_id").as("id"), col("rk").as("rank"))
+        render(graft.operators.TextOps.rrfFuse(Seq(sparse, dense), kk))
       // chunk/contaminate outputs are corpus-LINEAR, not sketch-sized, so
       // they must NOT go through the sketch memo (which collects fully);
       // render's limit over orderBy plans as TakeOrderedAndProject — one

@@ -75,6 +75,8 @@ class ReplSpec extends SparkSpec {
       "pack documents-1 64 16 512",
       "mix documents-1 source 2.0 200",
       "search documents-1 5 spark join",
+      "hardneg embeddings-2 0 5 0.25 0.45",
+      "rrf documents-1 embeddings-2 0 5 spark join",
       "subdoc documents-1 10 1",
       "subdocclean documents-1 10 1",
       "lmscore filter-4 filter-3",
@@ -112,6 +114,22 @@ class ReplSpec extends SparkSpec {
       .map(_.split("\t")(1).toDouble).toSeq
     assert(searchScores.nonEmpty && searchScores == searchScores.sorted.reverse,
       s"search scores must render non-increasing:\n$out")
+    // hardneg: (q_id, n_id, sim, rk) page, every sim inside the band
+    val hnHeader = out.linesIterator.indexWhere(_.startsWith("q_id\tn_id\tsim"))
+    assert(hnHeader >= 0, s"hardneg must render a q_id/n_id/sim table:\n$out")
+    val hnSims = out.linesIterator.drop(hnHeader + 1)
+      .takeWhile(l => l.contains("\t") && l.split("\t")(0).forall(_.isDigit))
+      .map(_.split("\t")(2).toDouble).toSeq
+    assert(hnSims.forall(v => v >= 0.25 && v < 0.45),
+      s"mined negative outside the band:\n$out")
+    // rrf: fused (id, rrf, n_lists, rk) page with dense ranks from 1
+    val rrfHeader = out.linesIterator.indexWhere(_.startsWith("id\trrf"))
+    assert(rrfHeader >= 0, s"rrf must render an id/rrf table:\n$out")
+    val rrfRows = out.linesIterator.drop(rrfHeader + 1)
+      .takeWhile(l => l.contains("\t") && l.split("\t")(0).forall(_.isDigit)).toSeq
+    assert(rrfRows.nonEmpty &&
+      rrfRows.map(_.split("\t")(3).toLong) == (1L to rrfRows.length).toSeq,
+      s"rrf ranks must be dense from 1:\n$out")
     // mix: per-source kept counts, each a (source, kept) pair
     val mixHeader = out.linesIterator.indexWhere(_.startsWith("source\tkept"))
     assert(mixHeader >= 0, s"mix must render a source/kept table:\n$out")
