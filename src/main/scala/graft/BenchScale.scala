@@ -43,6 +43,11 @@ object BenchScale {
     "filter_count", "join_q3lite", "window_rank", "events_time_window",
     // relational stress
     "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",
+    // correlated-subquery class (decorrelated semi/anti joins + joined-
+    // back scalar aggregates — the everyday SQL shapes; copies are
+    // self-contained under the key shift, so results scale structurally)
+    "q4_order_priority", "q17_small_quantity", "q21_waiting_supplier",
+    "q22_idle_balance",
     // keyless interval join (grid-bucketed cell equi join)
     "join_range_bucketed",
     // gap-filled resample (one data pass + calendar-sized grid)
@@ -115,6 +120,9 @@ object BenchScale {
     "events_value_quantile_rollup_per_group",
     // mixing + export + the flagship composition (CC ∘ LSH inside)
     "sample_temperature_tokens", "pipeline_export_jsonl",
+    // portable temperature mixing (one sketch-sized count collect + a
+    // map-side keyed-md5 filter — exponent should be ~linear)
+    "sample_temperature_hash", "sample_temperature_tokens_hash",
     // DSIR selection (two linear model passes + map-side scoring)
     "pipeline_dsir_topk",
     // exact-substring dedup (window explode + 2 hash-keyed linear shuffles)
@@ -141,6 +149,8 @@ object BenchScale {
     "pipeline_quality_classifier_score",
     // BPE training (one linear word count + capped driver loop) + encode
     "text_bpe_tokens",
+    // BPE encode under the pinned merge list (map-side, memoized words)
+    "text_bpe_tokens_pinned",
     "pipeline_clean_corpus")
 
   private def remapped(spark: SparkSession, srcDir: String, table: String,
@@ -293,6 +303,54 @@ object BenchScale {
       // group keys are low-cardinality flags: same 6 groups at any scale
       q(outDir, "q1_pricing_summary").count() == q(srcDir, "q1_pricing_summary").count()
     }, "q1 group count changed with scale")
+    check("subquery_class_scales_exactly", {
+      // copies are self-contained under the key shift: q4's per-priority
+      // EXISTS counts and q21's per-name sole-late counts replicate per
+      // copy (s_name strings repeat across copies, so the groupBy merges
+      // them to exactly factor× the base); q17/q22's correlated
+      // thresholds are scale-INVARIANT — the cross-multiplied forms
+      // scale both comparison sides by the same factor — so their
+      // qualifying sets replicate too (q17's avg_yearly is a sum/7, so
+      // it scales ×factor up to double rounding)
+      val b4 = q(srcDir, "q4_order_priority").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val s4 = q(outDir, "q4_order_priority").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val q4ok = s4 == b4.map { case (k, v) => k -> (factor * v) }
+      val b21 = q(srcDir, "q21_waiting_supplier").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val s21 = q(outDir, "q21_waiting_supplier").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val q21ok = s21 == b21.map { case (k, v) => (k, factor * v) }
+      val b17 = q(srcDir, "q17_small_quantity").head
+      val s17 = q(outDir, "q17_small_quantity").head
+      val q17ok = s17.getLong(1) == factor * b17.getLong(1) &&
+        math.abs(s17.getDouble(0) - factor * b17.getDouble(0)) <=
+          1e-9 * math.abs(factor * b17.getDouble(0))
+      val b22 = q(srcDir, "q22_idle_balance").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val s22 = q(outDir, "q22_idle_balance").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val q22ok = s22 == b22.map { case (k, v) => k -> (factor * v) }
+      q4ok && q21ok && q17ok && q22ok
+    }, "correlated-subquery results departed from per-copy replication")
+    check("temperature_hash_budget_holds", {
+      // the portable mix keeps targetRows EXPECTED rows at ANY corpus
+      // size (fractions rescale as counts grow; at factor ≥ 3 no lang
+      // clamps, so the expectation is exactly the budget) — binomial
+      // envelope around 400 rows / 120k chars
+      import org.apache.spark.sql.functions.sum
+      val rows = q(outDir, "sample_temperature_hash")
+        .agg(sum("n_rows")).head.getLong(0)
+      val chars = q(outDir, "sample_temperature_tokens_hash")
+        .agg(sum("sum_chars")).head.getLong(0)
+      math.abs(rows - 400L) <= 100 && math.abs(chars - 120000L) <= 30000
+    }, "portable temperature mix departed from its row/weight budget")
+    check("bpe_pinned_encode_scales_exactly", {
+      // one output row per doc at any factor; copy-0 docs verbatim
+      q(outDir, "text_bpe_tokens_pinned").count() ==
+        factor * q(srcDir, "text_bpe_tokens_pinned").count()
+    }, "pinned BPE encode row count not factor x base")
     check("topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: identical |Q|
       // and k at both scales
