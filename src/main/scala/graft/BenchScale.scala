@@ -48,6 +48,12 @@ object BenchScale {
     // self-contained under the key shift, so results scale structurally)
     "q4_order_priority", "q17_small_quantity", "q21_waiting_supplier",
     "q22_idle_balance",
+    // TPC-H -lite extension pack (outer-join distribution, disjunctive
+    // pushdown, CTE-max, nested IN chains, CASE aggregation, nation-pair
+    // volume, grouped top-k)
+    "q7_nation_volume", "q10_returned_items", "q12_priority_lines",
+    "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
+    "q19_disjunctive", "q20_part_suppliers",
     // keyless interval join (grid-bucketed cell equi join)
     "join_range_bucketed",
     // gap-filled resample (one data pass + calendar-sized grid)

@@ -594,7 +594,7 @@ object CoreQueries {
     Q("sample_temperature_hash",
       """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, SQRT(CAST(n AS DOUBLE)) AS p FROM cnt WHERE n > 0),
-        |z AS (SELECT SUM(p) AS z FROM w),
+        |z AS (SELECT CAST(SUM(p) AS DOUBLE) AS z FROM w),
         |thr AS (SELECT w.lang,
         |        CAST(FLOOR(LEAST(1.0, ((400.0 * w.p) / z.z) / CAST(w.n AS DOUBLE))
         |             * 4503599627370496.0 + 0.5) AS BIGINT) AS t
@@ -625,7 +625,7 @@ object CoreQueries {
       """WITH wt AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS w
         |            FROM documents GROUP BY 1),
         |w AS (SELECT lang, w, SQRT(CAST(w AS DOUBLE)) AS p FROM wt WHERE w > 0),
-        |z AS (SELECT SUM(p) AS z FROM w),
+        |z AS (SELECT CAST(SUM(p) AS DOUBLE) AS z FROM w),
         |thr AS (SELECT w.lang,
         |        CAST(FLOOR(LEAST(1.0, ((120000.0 * w.p) / z.z) / CAST(w.w AS DOUBLE))
         |             * 4503599627370496.0 + 0.5) AS BIGINT) AS t

@@ -77,14 +77,128 @@ object RelationalQueries {
       |                    AND o.o_totalprice > 300000)
       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
-  /** The shared-dialect SQL of each correlated-subquery row (exposed for
-    * SubquerySpec's plan asserts).
+  // ---- TPC-H -lite extension pack (q7/q10/q12/q13/q14/q15/q19/q20) --------
+  // The remaining everyday relational shapes, same shared-dialect + exact-
+  // arithmetic conventions as the correlated class above: left-OUTER join
+  // aggregation (q13 — the one outer-join shape the catalog lacked),
+  // disjunctive predicate pushdown (q19 — OR-of-conjunctions referencing
+  // both join sides rides the partkey equi join as a residual), a scalar
+  // max over a CTE'd aggregate (q15), nested IN-subquery chains with an
+  // above-average HAVING (q20 — two stacked left-semi joins + an exact
+  // cross-multiplied scalar pair), CASE-conditional aggregation over a
+  // fact join (q12, q14), a two-sided nation-pair filter (q7), and
+  // group-then-top-k revenue (q10).
+  private val sqlQ7 =
+    s"""SELECT supp_nation, cust_nation, l_year, revenue FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |         ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue
+       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1, 2, 3)
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val sqlQ10 =
+    s"""SELECT c_custkey, c_name, n_name, revenue FROM (
+       |  SELECT c_custkey, c_name, n_name,
+       |         ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue
+       |  FROM customer, orders, lineitem, nation
+       |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |  GROUP BY 1, 2, 3)
+       |ORDER BY revenue DESC NULLS LAST, c_custkey ASC LIMIT 20""".stripMargin
+
+  private val sqlQ12 =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val sqlQ13 =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val sqlQ14 =
+    """SELECT (100.0 * promo) / total AS promo_revenue FROM (
+      |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                       THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))
+      |                       ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS promo,
+      |         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey
+      |    AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin
+
+  private val sqlQ15 =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |         ${sqlDsum("l_extendedprice*(1-l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  private val sqlQ19 =
+    s"""SELECT ${sqlDsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       |       COUNT(*) AS n_lines
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey AND (
+       |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  private val sqlQ20 =
+    """WITH blue AS (
+      |  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+      |  GROUP BY 1)
+      |SELECT s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM blue
+      |  WHERE qty * (SELECT COUNT(*) FROM blue) > (SELECT SUM(qty) FROM blue))
+      |ORDER BY s_name""".stripMargin
+
+  /** The shared-dialect SQL of each correlated-subquery / extension-pack
+    * row (exposed for SubquerySpec's plan asserts).
     */
   val subquerySql: Map[String, String] = Map(
     "q4_order_priority" -> sqlQ4,
     "q17_small_quantity" -> sqlQ17,
     "q21_waiting_supplier" -> sqlQ21,
-    "q22_idle_balance" -> sqlQ22)
+    "q22_idle_balance" -> sqlQ22,
+    "q7_nation_volume" -> sqlQ7,
+    "q10_returned_items" -> sqlQ10,
+    "q12_priority_lines" -> sqlQ12,
+    "q13_order_distribution" -> sqlQ13,
+    "q14_promo_share" -> sqlQ14,
+    "q15_top_supplier" -> sqlQ15,
+    "q19_disjunctive" -> sqlQ19,
+    "q20_part_suppliers" -> sqlQ20)
 
   private def sqlQuery(name: String, sql: String): Q =
     Q(name, sql) { (s, d) =>
@@ -119,6 +233,44 @@ object RelationalQueries {
     // average, cross-multiplied to exact decimals) feeding a correlated
     // NOT EXISTS (left-anti against orders).
     sqlQuery("q22_idle_balance", sqlQ22),
+
+    // TPC-H Q7: shipping volume between a nation pair by year — the
+    // two-sided disjunctive nation filter rides the broadcast nation
+    // joins as a residual; one fact-fact shuffle.
+    sqlQuery("q7_nation_volume", sqlQ7),
+
+    // TPC-H Q10: returned-item revenue top 20 — group-then-top-k with a
+    // broadcast nation dim.
+    sqlQuery("q10_returned_items", sqlQ10),
+
+    // TPC-H Q12: late-line priority counts — CASE-conditional aggregation
+    // over the orders⋈lineitem join with a correlated-date residual.
+    sqlQuery("q12_priority_lines", sqlQ12),
+
+    // TPC-H Q13: customer order-count distribution — the catalog's one
+    // LEFT OUTER join aggregation (null-extended rows become c_count = 0)
+    // followed by a second-level distribution groupBy.
+    sqlQuery("q13_order_distribution", sqlQ13),
+
+    // TPC-H Q14: promo revenue share — two exact-decimal conditional sums
+    // in one pass, double division only at the surface.
+    sqlQuery("q14_promo_share", sqlQ14),
+
+    // TPC-H Q15: top supplier by windowed revenue — a scalar MAX over the
+    // CTE'd aggregate equi-selects the argmax rows (exact-decimal sums
+    // make the double equality engine-stable).
+    sqlQuery("q15_top_supplier", sqlQ15),
+
+    // TPC-H Q19: disjunctive brand/size/quantity predicates — the
+    // OR-of-conjunctions references BOTH join sides, so Catalyst keeps
+    // the partkey equi join and evaluates the disjunction as a residual
+    // (never a nested loop).
+    sqlQuery("q19_disjunctive", sqlQ19),
+
+    // TPC-H Q20: above-average part suppliers — nested IN chains (two
+    // stacked left-semi joins) with an exact cross-multiplied
+    // above-average HAVING over the CTE'd per-supplier quantities.
+    sqlQuery("q20_part_suppliers", sqlQ20),
 
     // ---- TPC-H Q1-style pricing summary (general groupBy+agg) --------------
     Q("q1_pricing_summary",

@@ -101,10 +101,12 @@ class PlanGuardSpec extends SparkSpec {
       "Quantiles.scala"     -> 3,
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       "Histograms.scala"    -> 1,  // equiDepth: k-1 boundary rows (the sketch)
-      // temperatureMix + temperatureMixTokens: one row per source each;
-      // selectByBudget: the (group, bin) histogram, ≤ maxHistRows by the
-      // guarded contract; bucketLogProbs (DSIR): one buckets-sized model
-      "Sampling.scala"      -> 4,
+      // temperatureMix + temperatureMixTokens and their portable hash
+      // twins (temperatureMixByHash + temperatureMixTokensByHash): one
+      // row per source each; selectByBudget: the (group, bin) histogram,
+      // ≤ maxHistRows by the guarded contract; bucketLogProbs (DSIR):
+      // one buckets-sized model
+      "Sampling.scala"      -> 6,
       // bm25TopK: per-query-term document frequencies (≤ |query| rows)
       "TextOps.scala"       -> 1,
       // train: the deterministic codebook sample (sampleSize rows, the
@@ -140,8 +142,11 @@ class PlanGuardSpec extends SparkSpec {
       // one row per incoming base doc; +2: the copy-0 portable-simhash
       // pair sets at both scales, fixture-pair-sized; +2: the copy-0
       // audio-gate row sets at both scales, one row per incoming base
-      // doc; +1: the scaled hybrid-RRF page, k rows)
-      "BenchScale.scala"    -> 33,
+      // doc; +1: the scaled hybrid-RRF page, k rows; +6: the
+      // correlated-subquery per-copy replication checks — q4/q21/q17/q22
+      // result sets at both scales, each ≤ 20 rows by their GROUP BY /
+      // LIMIT shapes)
+      "BenchScale.scala"    -> 39,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table

@@ -76,4 +76,72 @@ class SubquerySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q22 decorrelation fell back to nested loop:\n$p")
   }
+
+  // ---- TPC-H -lite extension pack -----------------------------------------
+
+  test("q7: nation-pair volume by year — values") {
+    val rows = run("q7_nation_volume").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(rows === Seq(
+      ("NATION_3", "NATION_7", 1996, 137444.2596),
+      ("NATION_3", "NATION_7", 1997, 114305.5872)))
+  }
+
+  test("q10: returned-item top 20 — page head and size") {
+    val rows = run("q10_returned_items").collect()
+    assert(rows.length === 20)
+    assert(rows.take(3).map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
+      Seq((54L, 425472.8761), (45L, 346137.4167), (70L, 281875.4238)))
+  }
+
+  test("q12: CASE-conditional priority counts — values") {
+    val rows = run("q12_priority_lines").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("A", 26L, 47L), ("N", 29L, 32L), ("R", 22L, 48L)))
+  }
+
+  test("q13: left-outer order-count distribution — values and plan") {
+    val rows = run("q13_order_distribution").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq(7L -> 26L, 9L -> 19L, 10L -> 17L, 8L -> 17L,
+      5L -> 12L, 4L -> 11L, 12L -> 10L, 11L -> 10L, 6L -> 10L,
+      14L -> 4L, 13L -> 4L, 3L -> 4L, 2L -> 3L, 17L -> 1L, 16L -> 1L,
+      15L -> 1L))
+    // the distribution must cover every customer exactly once
+    assert(rows.map(_._2).sum === 150L)
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"), s"q13 lost its left-outer join:\n$p")
+  }
+
+  test("q14: promo revenue share — value") {
+    assert(run("q14_promo_share").head().getDouble(0) === 23.11738184733367)
+  }
+
+  test("q15: scalar max over the CTE'd aggregate — values") {
+    val rows = run("q15_top_supplier").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((9L, "Supplier#000000009", 1419420.6503)))
+  }
+
+  test("q19: disjunctive predicates stay on the equi join — values and plan") {
+    val r = run("q19_disjunctive").head()
+    assert(r.getDouble(0) === 5175935.989 && r.getLong(1) === 89L)
+    val p = plan("q19_disjunctive")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q19's OR-of-conjunctions fell off the partkey equi join:\n$p")
+  }
+
+  test("q20: nested IN chains — values and two semi joins") {
+    val rows = run("q20_part_suppliers").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows === Seq(
+      ("Supplier#000000001", 3235.99), ("Supplier#000000002", 6035.19),
+      ("Supplier#000000005", 4256.65), ("Supplier#000000007", 1558.27),
+      ("Supplier#000000008", 3042.63), ("Supplier#000000009", 3030.32)))
+    val p = plan("q20_part_suppliers")
+    assert(p.split("LeftSemi").length >= 3,
+      s"q20 must stack two left-semi joins (supplier IN ..., partkey IN ...):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q20 fell back to nested loop:\n$p")
+  }
 }
