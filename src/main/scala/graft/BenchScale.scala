@@ -54,6 +54,9 @@ object BenchScale {
     "q7_nation_volume", "q10_returned_items", "q12_priority_lines",
     "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
     "q19_disjunctive", "q20_part_suppliers",
+    // window-frame family (per-key windows — partition-parallel at scale;
+    // the filtered frames stay fixture-sized, ntile is corpus-wide)
+    "window_ntile", "window_moving_sum", "window_range_band",
     // keyless interval join (grid-bucketed cell equi join)
     "join_range_bucketed",
     // gap-filled resample (one data pass + calendar-sized grid)

@@ -655,6 +655,97 @@ object RelationalQueries {
             col("l_extendedprice"))
     },
 
+    // ---- n-tile cohorts: price quartiles per priority ----------------------
+    // ntile's standard assignment (contiguous tiles, earlier tiles one
+    // larger on remainders) is identical in both engines and
+    // deterministic under the (price, orderkey) total order; the rollup
+    // pins every tile boundary via the exact-decimal per-tile sums.
+    Q("window_ntile",
+      """SELECT o_orderpriority, tile, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS tile
+        |  FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        Windows.withNtile(t(s, d, "orders"), Seq("o_orderpriority"),
+            Seq(SortKey("o_totalprice"), SortKey("o_orderkey")), 4, "tile")
+          .groupBy(col("o_orderpriority"), col("tile"))
+          .agg(count(lit(1)).as("cnt"),
+            Det.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderpriority"), col("tile"))
+    },
+
+    // ---- Sliding rows frame: trailing-4-order spend per customer -----------
+    Q("window_moving_sum",
+      """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, order_ts, o_orderkey""".stripMargin) {
+      (s, d) =>
+        Windows.movingSum(t(s, d, "orders").filter(col("o_custkey") <= 50),
+            Seq("o_custkey"), Seq(SortKey("o_orderdate"), SortKey("o_orderkey")),
+            "o_totalprice", lookback = 3)
+          .select(col("o_custkey"), Det.fmtTs(col("o_orderdate")).as("order_ts"),
+            col("o_orderkey"), col("moving_sum"))
+          .orderBy(col("o_custkey"), col("order_ts"), col("o_orderkey"))
+    },
+
+    // ---- first/last value frames per supplier ------------------------------
+    // The running-frame forms (NOT the default-frame last_value trap —
+    // that frame ends at the current row and returns the current value).
+    Q("window_first_last",
+      """SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+        |l_orderkey, l_linenumber, l_extendedprice,
+        |first_value(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_val,
+        |last_value(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_val
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, ship_ts, l_orderkey, l_linenumber, l_extendedprice""".stripMargin) {
+      (s, d) =>
+        Windows.withFirstLast(t(s, d, "lineitem").filter(col("l_suppkey") <= 5),
+            Seq("l_suppkey"),
+            Seq(SortKey("l_shipdate"), SortKey("l_orderkey"),
+              SortKey("l_linenumber"), SortKey("l_extendedprice")),
+            "l_extendedprice")
+          .select(col("l_suppkey"), Det.fmtTs(col("l_shipdate")).as("ship_ts"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+            col("first_val"), col("last_val"))
+          .orderBy(col("l_suppkey"), col("ship_ts"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
+    },
+
+    // ---- VALUE-range frame: same-priority orders within a $1000 band -------
+    // RANGE (not ROWS): the frame is value-defined, so ties see the same
+    // frame and the count needs no tiebreaker; the integer cents key
+    // keeps the frame bounds exact in both engines.
+    Q("window_range_band",
+      """SELECT o_orderpriority, price_cents, o_orderkey, n_in_range FROM (
+        |  SELECT o_orderpriority, price_cents, o_orderkey,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY price_cents
+        |           RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING) AS n_in_range
+        |  FROM (SELECT o_orderpriority, o_orderkey,
+        |               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |        FROM orders WHERE o_custkey <= 30))
+        |ORDER BY o_orderpriority, price_cents, o_orderkey""".stripMargin) {
+      (s, d) =>
+        val base = t(s, d, "orders").filter(col("o_custkey") <= 30)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        Windows.rangeCount(base, Seq("o_orderpriority"), "price_cents",
+            below = 100000L, above = 100000L, outCol = "n_in_range")
+          .select(col("o_orderpriority"), col("price_cents"), col("o_orderkey"),
+            col("n_in_range"))
+          .orderBy(col("o_orderpriority"), col("price_cents"), col("o_orderkey"))
+    },
+
     // ---- Frame window: running total per customer --------------------------
     Q("window_running_sum",
       """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts, o_orderkey,

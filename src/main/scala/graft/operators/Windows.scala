@@ -51,6 +51,62 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(outCol, Det.dsumOver(col(valueCol), w))
   }
+
+  /** n-tile bucketing per partition: rows split into `n` contiguous tiles
+    * of sizes differing by at most one (earlier tiles larger) in the
+    * window order — the quantile-cohort primitive. Deterministic when
+    * `orderBy` is a total order; the assignment rule is the standard one
+    * both engines implement identically.
+    */
+  def withNtile(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[SortKey],
+                n: Int, outCol: String = "tile"): DataFrame = {
+    require(n > 0, s"ntile n must be > 0, got $n")
+    df.withColumn(outCol, ntile(n).over(spec(partitionBy, orderBy)))
+  }
+
+  /** Moving (sliding rows-frame) total of the `lookback` preceding rows
+    * plus the current one — the fixed-depth trailing aggregate. Exact
+    * decimal sum → double (Det.dsumOver), so the oracle replays it.
+    */
+  def movingSum(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[SortKey],
+                valueCol: String, lookback: Int,
+                outCol: String = "moving_sum"): DataFrame = {
+    require(lookback >= 0, s"lookback must be >= 0, got $lookback")
+    val w = spec(partitionBy, orderBy).rowsBetween(-lookback, Window.currentRow)
+    df.withColumn(outCol, Det.dsumOver(col(valueCol), w))
+  }
+
+  /** Per-partition first and last value in the window order, as running
+    * frames: first over (unbounded preceding → current), last over
+    * (current → unbounded following) — deterministic under a total
+    * order, unlike the default-frame `last_value` trap (whose frame ends
+    * at the current row and so returns the current value).
+    */
+  def withFirstLast(df: DataFrame, partitionBy: Seq[String],
+                    orderBy: Seq[SortKey], valueCol: String,
+                    firstCol: String = "first_val",
+                    lastCol: String = "last_val"): DataFrame = {
+    val s = spec(partitionBy, orderBy)
+    df.withColumn(firstCol, first(col(valueCol)).over(
+        s.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(lastCol, last(col(valueCol)).over(
+        s.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+  }
+
+  /** VALUE-range frame aggregate: count of partition rows whose single
+    * numeric order key lies within [key - below, key + above] of the
+    * current row's — the "neighbors within a band" primitive (RANGE,
+    * not ROWS: the frame is defined by values, so ties all see the same
+    * frame and no tiebreaker is needed for determinism).
+    */
+  def rangeCount(df: DataFrame, partitionBy: Seq[String], orderKey: String,
+                 below: Long, above: Long,
+                 outCol: String = "n_in_range"): DataFrame = {
+    val base = if (partitionBy.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partitionBy.map(col).toIndexedSeq: _*)
+    val w = base.orderBy(col(orderKey)).rangeBetween(-below, above)
+    df.withColumn(outCol, count(lit(1)).over(w))
+  }
 }
 
 /** Event-time windows over a timestamp column (batch form; the streaming
