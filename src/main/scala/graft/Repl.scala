@@ -123,6 +123,9 @@ object Repl {
       |                                         Hamming-shortlist top-k from a bqindex,
       |                                         exact re-rank of refine*k candidates
       |                                         (default refine 8)
+      |  sql <query>                            run raw SQL over the fixture tables
+      |                                         (joins, subqueries, windows — first
+      |                                         50 rows rendered)
       |  hardneg <view> <id> <k> <lo> <hi>      IVF-probed hard negatives for row <id>:
       |                                         k most-similar rows with rounded cosine
       |                                         in [lo, hi) — contrastive-training fuel
@@ -187,6 +190,13 @@ object Repl {
       case "help" :: Nil => help
       case "open" :: table :: Nil =>
         s"view ${s.open(table, Tables.open(spark, sfDir, table)).value}"
+      case "sql" :: rest if rest.nonEmpty =>
+        // raw SQL over the registered fixture tables (the full analytics
+        // surface — joins, subqueries, windows; Catalyst optimizes).
+        // render() plans limit(50) before its collect, so an unbounded
+        // SELECT neither floods the terminal nor the driver
+        Tables.registerAll(spark, sfDir)
+        render(spark.sql(cmd.split("\\s+", 2)(1)))
       case "filter" :: vid :: rest if rest.nonEmpty =>
         s"view ${s.child(ViewId(vid), "filter")(_.filter(expr(raw3(2)))).value}"
       case "project" :: vid :: cols :: Nil =>

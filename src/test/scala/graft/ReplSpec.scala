@@ -75,6 +75,8 @@ class ReplSpec extends SparkSpec {
       "pack documents-1 64 16 512",
       "mix documents-1 source 2.0 200",
       "search documents-1 5 spark join",
+      "sql SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
+      "sql SELECT c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY 1",
       "hardneg embeddings-2 0 5 0.25 0.45",
       "rrf documents-1 embeddings-2 0 5 spark join",
       "subdoc documents-1 10 1",
@@ -114,6 +116,15 @@ class ReplSpec extends SparkSpec {
       .map(_.split("\t")(1).toDouble).toSeq
     assert(searchScores.nonEmpty && searchScores == searchScores.sorted.reverse,
       s"search scores must render non-increasing:\n$out")
+    // sql: raw SQL renders a grouped table (3 returnflag rows) and the
+    // correlated NOT EXISTS parses — header + at least one data line
+    val sqlHeader = out.linesIterator.indexWhere(_.startsWith("l_returnflag\tcnt"))
+    assert(sqlHeader >= 0, s"sql verb must render the grouped table:\n$out")
+    val sqlRows = out.linesIterator.drop(sqlHeader + 1)
+      .takeWhile(l => l.contains("\t") && l.split("\t")(1).forall(_.isDigit)).toSeq
+    assert(sqlRows.map(_.split("\t")(0)).sorted == Seq("A", "N", "R"),
+      s"sql verb must render all three returnflag groups:\n$out")
+    assert(out.contains("c_name"), s"sql NOT EXISTS form must render a header:\n$out")
     // hardneg: (q_id, n_id, sim, rk) page, every sim inside the band
     val hnHeader = out.linesIterator.indexWhere(_.startsWith("q_id\tn_id\tsim"))
     assert(hnHeader >= 0, s"hardneg must render a q_id/n_id/sim table:\n$out")
