@@ -1051,6 +1051,74 @@ object ExtensionQueries {
           .orderBy(col("split"))
     },
 
+    // ---- LEAKAGE-SAFE split: near-dup clusters stay in one split -----------
+    // splitByHash keyed by each doc's near-dup COMPONENT representative:
+    // a train doc's near-copy can never land in eval. The oracle replays
+    // the whole flow — exact pair graph, recursive-CTE components,
+    // min-id representative, md5 bucket of the REP — and pins every
+    // doc's split; singleton assignments equal the plain hash split of
+    // their own id by construction.
+    Q("pipeline_split_leakage_safe",
+      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
+         |b AS (SELECT id AS doc_id,
+         |        CAST(('0x' || substring(md5(rep || ':42'), 1, 2)) AS BIGINT) AS bucket
+         |      FROM comp)
+         |SELECT doc_id, CASE WHEN bucket < 205 THEN 'train'
+         |                    WHEN bucket < 230 THEN 'val'
+         |                    ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+        Export.splitByComponents(docs, "doc_id", pairs,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- Cluster-balanced sample: exactly-k per latent topic ---------------
+    // Latent-topic rebalancing of the embedded corpus: 1-nearest
+    // assignment to the pinned quantizer, then the portable bottom-k-md5
+    // rank keeps exactly 8 per cluster — dominant clusters cap, rare
+    // clusters keep everything. Whole selection replayed in SQL
+    // (assignment argmin + md5 rank), every kept (bucket, vec_id) pinned.
+    Q("pipeline_cluster_balance",
+      """WITH c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |cassign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad) WHERE r = 1),
+        |rk AS (
+        |  SELECT bucket, vec_id,
+        |         row_number() OVER (PARTITION BY bucket
+        |                            ORDER BY md5(vec_id || ':42'), vec_id) AS rn
+        |  FROM cassign)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, vec_id FROM rk WHERE rn <= 8
+        |ORDER BY bucket, vec_id""".stripMargin) {
+      (s, d) =>
+        Similarity.clusterBalancedSample(t(s, d, "embeddings"), "vec_id",
+            "embedding", pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq, k = 8)
+          .select(col("bucket").cast("long").as("bucket"), col("vec_id"))
+          .orderBy(col("bucket"), col("vec_id"))
+    },
+
     // ---- Shuffled shard layout (deterministic global shuffle) --------------
     // Export-side: every doc gets (shard, pos) from its keyed hash —
     // random order w.r.t. any content attribute, reproducible anywhere

@@ -46,6 +46,32 @@ object Export {
     df.withColumn("split", label)
   }
 
+  /** LEAKAGE-SAFE split: [[splitByHash]] keyed by each row's near-dup
+    * COMPONENT representative instead of its own id, so every member of
+    * a duplicate cluster lands in the SAME split — the assignment that
+    * keeps a train document's near-copy out of eval (hash-splitting raw
+    * ids leaks: a cluster of k near-dups crosses the train/eval boundary
+    * with probability ≈ 1-(0.8^k + 0.1^k + 0.1^k)). `pairs` is any
+    * (d1, d2) near-dup pair frame (exact, MinHash-LSH, embedding —
+    * whatever the corpus's dedup pass already computed); singletons are
+    * their own representative, so their assignment EQUALS the plain
+    * [[splitByHash]] of their id. Deterministic and growth-stable like
+    * the plain form — as long as a component's min-id member stays in
+    * the corpus, its split never moves.
+    *
+    * Scale shape: the component labels are [[Dedup.connectedComponents]]
+    * (the audited iterative label propagation), one equi join back to
+    * the corpus, then the map-side hash label — no new shuffle class.
+    */
+  def splitByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                        fractions: Seq[(String, Double)],
+                        seed: Long = 42L): DataFrame = {
+    val comp = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as("__cid"), col("rep_id").as("__rep"))
+    val joined = df.join(comp, df(idCol).cast("long") === col("__cid"))
+    splitByHash(joined, "__rep", fractions, seed).drop("__cid", "__rep")
+  }
+
   /** Materialize a shuffled-shard layout as JSONL shard files — the
     * wire format training corpora actually ship in: one directory per
     * call, one `part-*` JSON-lines file per shard (Hive-partitioned by

@@ -240,6 +240,31 @@ object Similarity {
         .filter(col("sim") >= loSim && col("sim") < hiSim), k)
   }
 
+  /** CLUSTER-BALANCED sampling — the topic-rebalancing primitive of an
+    * embedded corpus: assign every vector to its nearest centroid
+    * (1-nearest L2, map-side with the centroid table riding the plan as
+    * a literal) and keep exactly `k` per cluster by the PORTABLE
+    * bottom-k-md5 rank ([[Sampling.uniformPerGroupByHash]]'s bounded
+    * page aggregate — only `partitions·nlist·k` rows shuffle). Where
+    * temperature mixing rebalances DECLARED sources, this rebalances
+    * LATENT topics: dominant clusters are capped at k, rare clusters
+    * keep everything they have. Under pinned centroids the whole
+    * selection is deterministic replayable arithmetic (hash-gated
+    * catalog row); trained-quantizer callers pass
+    * [[trainCentroids]]'s output.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            cs: Seq[Seq[Double]], k: Int,
+                            seed: Long = 42L): DataFrame = {
+    require(cs.nonEmpty, "centroid list must be non-empty")
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    import graft.functions.VectorExprs.nearestCentroids
+    val assigned = emb.select(col(idCol), col(vecCol))
+      .withColumn("bucket", element_at(nearestCentroids(col(vecCol), cs, 1), 1))
+      .select(col("bucket"), col(idCol))
+    Sampling.uniformPerGroupByHash(assigned, "bucket", idCol, k, seed)
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein,
     * SIGIR 1998): greedy selection maximizing
     * `λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)` — the

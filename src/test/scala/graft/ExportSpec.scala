@@ -87,4 +87,57 @@ class ExportSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(back == want)
   }
+
+  test("splitByComponents: near-dup clusters never straddle a split boundary") {
+    import graft.operators.Dedup
+    val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+    val split = Export.splitByComponents(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    try {
+      val byId = split.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // every row keeps an assignment
+      assert(byId.size == docs.count())
+      // THE leakage contract: both members of every near-dup pair share
+      // a split (the fixture plants real near-dup pairs)
+      val ps = pairs.select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(ps.nonEmpty, "fixture must plant near-dup pairs")
+      ps.foreach { case (a, b) =>
+        assert(byId(a) == byId(b), s"pair ($a, $b) straddles splits")
+      }
+      // singletons (docs in no pair) get EXACTLY their plain hash split
+      val inPair = ps.flatMap(p => Seq(p._1, p._2)).toSet
+      val plain = Export.splitByHash(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      byId.filterNot { case (id, _) => inPair(id) }.foreach { case (id, sp) =>
+        assert(sp == plain(id), s"singleton $id moved: $sp vs ${plain(id)}")
+      }
+    } finally { split.unpersist(); () }
+  }
+
+  test("clusterBalancedSample: exactly-k caps per cluster, partition invariance") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cs = emb.filter(col("vec_id") >= 100 && col("vec_id") <= 103)
+      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val k = 8
+    val got = Similarity.clusterBalancedSample(emb, "vec_id", "embedding", cs, k)
+    val sizes = got.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every kept size is min(k, cluster size); total ≤ nlist·k
+    assert(sizes.values.forall(_ <= k), sizes.toString)
+    assert(sizes.values.sum <= 4L * k)
+    // a cluster with ≥ k members keeps exactly k (the fixture's four
+    // clusters each hold ~125 vectors, so all four cap)
+    assert(sizes.values.forall(_ == k), s"all clusters should cap at $k: $sizes")
+    // pure hash rank: identical selection under any partitioning
+    val re = Similarity.clusterBalancedSample(
+      emb.repartition(13, col("label")), "vec_id", "embedding", cs, k)
+    assert(re.select("bucket", "vec_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      got.select("bucket", "vec_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+  }
 }
