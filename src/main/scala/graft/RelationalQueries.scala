@@ -746,6 +746,28 @@ object RelationalQueries {
           .orderBy(col("o_orderpriority"), col("price_cents"), col("o_orderkey"))
     },
 
+    // ---- Relative position: percent_rank + cume_dist per supplier ----------
+    // Both are one small-integer division (correctly rounded ⇒
+    // bit-identical cross-engine), so the row is hash-exact UNROUNDED —
+    // percent_rank is also the reference UI's scroll-position mapping.
+    Q("window_percent_rank",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM lineitem WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_suppkey, pr, l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        Windows.withPercentiles(t(s, d, "lineitem").filter(col("l_suppkey") <= 3),
+            Seq("l_suppkey"),
+            Seq(SortKey("l_extendedprice"), SortKey("l_orderkey"),
+              SortKey("l_linenumber")))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("pr"), col("cd"))
+          .orderBy(col("l_suppkey"), col("pr"), col("l_orderkey"),
+            col("l_linenumber"))
+    },
+
     // ---- Frame window: running total per customer --------------------------
     Q("window_running_sum",
       """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts, o_orderkey,

@@ -93,6 +93,20 @@ object Windows {
         s.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
   }
 
+  /** Relative-position analytics per partition: percent_rank
+    * ((rank-1)/(n-1) — the reference UI's scroll-position mapping) and
+    * cume_dist (rank_with_ties/n). Both are single divisions of small
+    * integers — correctly rounded, hence bit-identical cross-engine
+    * without any explicit rounding.
+    */
+  def withPercentiles(df: DataFrame, partitionBy: Seq[String],
+                      orderBy: Seq[SortKey],
+                      prCol: String = "pr", cdCol: String = "cd"): DataFrame = {
+    val s = spec(partitionBy, orderBy)
+    df.withColumn(prCol, percent_rank().over(s))
+      .withColumn(cdCol, cume_dist().over(s))
+  }
+
   /** VALUE-range frame aggregate: count of partition rows whose single
     * numeric order key lies within [key - below, key + above] of the
     * current row's — the "neighbors within a band" primitive (RANGE,
