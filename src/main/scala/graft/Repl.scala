@@ -126,6 +126,8 @@ object Repl {
       |  sql <query>                            run raw SQL over the fixture tables
       |                                         (joins, subqueries, windows — first
       |                                         50 rows rendered)
+      |  explain <view> | explain sql <query>   physical plan (pushdown/broadcast/
+      |                                         codegen audit)
       |  hardneg <view> <id> <k> <lo> <hi>      IVF-probed hard negatives for row <id>:
       |                                         k most-similar rows with rounded cosine
       |                                         in [lo, hi) — contrastive-training fuel
@@ -190,6 +192,13 @@ object Repl {
       case "help" :: Nil => help
       case "open" :: table :: Nil =>
         s"view ${s.open(table, Tables.open(spark, sfDir, table)).value}"
+      case "explain" :: "sql" :: rest if rest.nonEmpty =>
+        // physical plan of a raw SQL statement — how a user audits
+        // pushdown/broadcast/codegen shapes interactively
+        Tables.registerAll(spark, sfDir)
+        spark.sql(cmd.split("\\s+", 3)(2)).queryExecution.executedPlan.toString
+      case "explain" :: vid :: Nil =>
+        df(vid).queryExecution.executedPlan.toString
       case "sql" :: rest if rest.nonEmpty =>
         // raw SQL over the registered fixture tables (the full analytics
         // surface — joins, subqueries, windows; Catalyst optimizes).

@@ -77,6 +77,8 @@ class ReplSpec extends SparkSpec {
       "search documents-1 5 spark join",
       "sql SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
       "sql SELECT c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY 1",
+      "explain documents-1",
+      "explain sql SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
       "hardneg embeddings-2 0 5 0.25 0.45",
       "rrf documents-1 embeddings-2 0 5 spark join",
       "subdoc documents-1 10 1",
@@ -125,6 +127,9 @@ class ReplSpec extends SparkSpec {
     assert(sqlRows.map(_.split("\t")(0)).sorted == Seq("A", "N", "R"),
       s"sql verb must render all three returnflag groups:\n$out")
     assert(out.contains("c_name"), s"sql NOT EXISTS form must render a header:\n$out")
+    // explain: view plan shows the parquet scan; sql plan shows the join
+    assert(out.contains("FileScan parquet"), s"explain must print a physical plan:\n$out")
+    assert(out.contains("Join"), s"explain sql must show the join operator:\n$out")
     // hardneg: (q_id, n_id, sim, rk) page, every sim inside the band
     val hnHeader = out.linesIterator.indexWhere(_.startsWith("q_id\tn_id\tsim"))
     assert(hnHeader >= 0, s"hardneg must render a q_id/n_id/sim table:\n$out")
