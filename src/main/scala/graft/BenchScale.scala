@@ -43,6 +43,9 @@ object BenchScale {
     "filter_count", "join_q3lite", "window_rank", "events_time_window",
     // relational stress
     "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",
+    // FULL OUTER join (two map-side partial aggs + a 25-row join) and
+    // the PIVOT reshape (one conditional aggregation pass)
+    "join_full_outer", "pivot_status_matrix",
     // correlated-subquery class (decorrelated semi/anti joins + joined-
     // back scalar aggregates — the everyday SQL shapes; copies are
     // self-contained under the key shift, so results scale structurally)
@@ -55,8 +58,16 @@ object BenchScale {
     "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
     "q19_disjunctive", "q20_part_suppliers",
     // window-frame family (per-key windows — partition-parallel at scale;
-    // the filtered frames stay fixture-sized, ntile is corpus-wide)
-    "window_ntile", "window_moving_sum", "window_range_band",
+    // the filtered frames stay fixture-sized, ntile is corpus-wide).
+    // window_ntile is the SQL window-sort form (its parallelism ceiling
+    // is the ~5-key cardinality — the measured CONTRAST);
+    // window_ntile_scalable is the histogram-cut map-side plan, and the
+    // ntile_scalable_equals_window invariant pins them equal at scale.
+    // window_first_last / window_percent_rank are fixture-bounded
+    // (copy-0 filters), so their sweep evidence is the copy-0-exact
+    // invariant plus ~flat absolute time.
+    "window_ntile", "window_ntile_scalable", "window_moving_sum",
+    "window_range_band", "window_first_last", "window_percent_rank",
     // keyless interval join (grid-bucketed cell equi join)
     "join_range_bucketed",
     // gap-filled resample (one data pass + calendar-sized grid)
@@ -86,6 +97,14 @@ object BenchScale {
     "text_lm_score",
     // export side (map-side pure expressions — the exponent should be ~I/O)
     "pipeline_split_counts", "pipeline_shuffle_shards",
+    // leakage-safe split: dense-pair CC + rep-keyed hash. Its pair
+    // source is the quadratic-by-contract dense walk (the dedup_groups
+    // contrast argument — the 100 TB flow keys the SAME splitByComponents
+    // off LSH pairs), so its exponent documents the contract; the
+    // invariant below pins copy-0 assignments and the train fraction
+    "pipeline_split_leakage_safe",
+    // cluster-balanced sample: map-side argmin + bounded page aggregate
+    "pipeline_cluster_balance",
     // budget/cap curation (histogram cut + bounded page aggregate)
     "pipeline_token_budget", "pipeline_source_cap", "pipeline_quality_tiers",
     // perceptual image/audio dedup (map-side hash + pigeonhole banding)
@@ -104,7 +123,7 @@ object BenchScale {
     // copy-0 data vectors, which the remapping leaves verbatim): same
     // serve machinery as their trained siblings, so exponents should
     // track them. dedup_semantic_pinned, the dedup_embedding_ivf pinned
-    // pair, and dedup_stream_embedding_pinned stay OUT: a pinned
+    // pair, and dedup_stream_embedding_pinned/_served stay OUT: a pinned
     // FOUR-list quantizer makes their within-bucket scans quadratic by
     // construction (the autoNlist-sized trained siblings are the scale
     // evidence for those code paths)
@@ -360,6 +379,105 @@ object BenchScale {
       q(outDir, "text_bpe_tokens_pinned").count() ==
         factor * q(srcDir, "text_bpe_tokens_pinned").count()
     }, "pinned BPE encode row count not factor x base")
+    check("ntile_counts_scale_structurally", {
+      // o_orderpriority strings repeat across copies, so each priority's
+      // group grows to exactly factor×n_g rows of values that repeat
+      // verbatim — the tile COUNTS are therefore fully determined by
+      // ntile's size rule applied to factor×n_g (n = 4q + m ⇒ the first
+      // m tiles hold q+1, the rest q). Tile MEMBERSHIP legitimately
+      // reshuffles (copies interleave in the value order), so sums are
+      // not pinned — the equality invariant below pins those via the
+      // scalable twin.
+      val b = q(srcDir, "window_ntile").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(_._2).sum }
+      val s = q(outDir, "window_ntile").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      b.forall { case (g, ng) =>
+        val n = factor * ng
+        val qsz = n / 4
+        val m = n % 4
+        (1 to 4).forall(i => s.getOrElse((g, i), 0L) ==
+          (if (i <= m) qsz + 1 else qsz))
+      }
+    }, "scaled per-(priority, tile) counts departed from ntile's size rule")
+    check("ntile_scalable_equals_window", {
+      // the two plans implement ONE assignment rule — at scale (where
+      // the map-side boundaries genuinely matter) the rollups must be
+      // row-identical, sums included (same membership ⇒ same
+      // exact-decimal sums ⇒ same doubles)
+      q(outDir, "window_ntile_scalable").collect().map(_.toSeq).toSet ==
+        q(outDir, "window_ntile").collect().map(_.toSeq).toSet
+    }, "histogram-cut ntile departed from the window form at scale")
+    check("window_frames_copy0_exact", {
+      // first/last and percent_rank rows are confined to copy 0 by their
+      // l_suppkey filters (copy offsets shift l_suppkey far above the
+      // bound), so the scaled results are byte-identical to the base
+      Seq("window_first_last", "window_percent_rank").forall { n =>
+        q(srcDir, n).collect().map(_.toSeq).toSet ==
+          q(outDir, n).collect().map(_.toSeq).toSet
+      }
+    }, "a fixture-bounded window row departed from its copy-0 contract")
+    check("leakage_split_copy0_exact_and_fraction", {
+      // token salting keeps every copy's exact pair graph internal, so
+      // copy-0 components — and their min-id reps, and therefore their
+      // md5 split — are verbatim the base corpus's; row count is exactly
+      // factor× (every doc gets one assignment); and the train share
+      // stays inside the binomial window around 205/256
+      val bdf = q(srcDir, "pipeline_split_leakage_safe")
+      val b = bdf.collect().map(_.toSeq).toSet
+      val s = q(outDir, "pipeline_split_leakage_safe").cache()
+      try {
+        val total = s.count()
+        val train = s.filter(col("split") === "train").count()
+        total == factor.toLong * b.size &&
+          s.filter(col("doc_id") < 100000000L).collect().map(_.toSeq).toSet == b &&
+          math.abs(train.toDouble / total - 205.0 / 256) <= 0.03
+      } finally s.unpersist()
+    }, "leakage-safe split broke the copy-0/fraction contract at scale")
+    check("cluster_balance_page_shape", {
+      // the pinned 4-list quantizer caps every cluster at k = 8 kept
+      // rows; at any factor each bucket holds ≥ 8 members, so the page
+      // is exactly 4×8 rows with no bucket over k
+      val s = q(outDir, "pipeline_cluster_balance").cache()
+      try {
+        s.count() == 32L &&
+          s.groupBy(col("bucket")).count()
+            .agg(max(col("count"))).head().getLong(0) <= 8L
+      } finally s.unpersist()
+    }, "cluster-balanced page departed from the 4×8 shape at scale")
+    check("full_outer_scales_exactly", {
+      // nation keys and acctbal values repeat verbatim per copy (only
+      // cust/supp keys shift), so the nation grid is unchanged and every
+      // count is exactly factor×; the decimal sums scale exactly too
+      // (factor× a DECIMAL sum), compared with an ulp tolerance after
+      // the final cast to double
+      val b = q(srcDir, "join_full_outer").collect()
+        .map(r => r.getInt(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2)),
+          (if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      val s = q(outDir, "join_full_outer").collect()
+        .map(r => r.getInt(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2)),
+          (if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      s.keySet == b.keySet && b.forall { case (k, (nc, bal, ns)) =>
+        val (snc, sbal, sns) = s(k)
+        snc == (if (nc < 0) -1L else factor * nc) &&
+          sns == (if (ns < 0) -1L else factor * ns) &&
+          (bal.isNaN && sbal.isNaN ||
+            math.abs(sbal - factor * bal) <= 1e-9 * math.abs(factor * bal))
+      }
+    }, "full-outer nation grid departed from the exact scale contract")
+    check("pivot_matrix_scales_exactly", {
+      // priorities/statuses never remap: the 5×3 matrix scales cell-wise
+      val b = q(srcDir, "pivot_status_matrix").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val s = q(outDir, "pivot_status_matrix").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      s.keySet == b.keySet && b.forall { case (k, (f, o, p)) =>
+        s(k) == ((factor * f, factor * o, factor * p))
+      }
+    }, "pivot matrix cells not factor x base")
     check("topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: identical |Q|
       // and k at both scales

@@ -297,6 +297,67 @@ object ExtensionQueries {
        |ORDER BY w0.doc_id""".stripMargin
   }
 
+  /** Build-once memo for the pinned-centroid corpus ASSIGNMENT — the
+    * serve-side artifact of the streaming embedding gate (the same
+    * build/serve split as the LSH/IVF index dirs): a batch job assigns
+    * the 90% corpus to the pinned centroids ONCE and persists
+    * (c_id, c_vec, bucket); every gate session reads it back. The
+    * `dedup_stream_embedding_served` row times THIS configuration — the
+    * per-session steady state — while the `_pinned` row keeps timing
+    * build + serve as the cold-start contrast.
+    */
+  private def embedAssignDir(s: org.apache.spark.sql.SparkSession, d: String,
+                             cs: Seq[Seq[Double]]): String = {
+    val dir = QueryDefs.ioDir(d, "stream_embed_served_assign")
+    ivfIndexBuilt.computeIfAbsent(dir, _ => {
+      val corpus = t(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      graft.streaming.StreamDedup.assignCentroids(corpus, "vec_id", "embedding", cs)
+        .write.mode("overwrite").parquet(dir)
+      java.lang.Boolean.TRUE
+    })
+    dir
+  }
+
+  /** Shared EXACT oracle of the pinned streaming embedding gate —
+    * used by BOTH `dedup_stream_embedding_pinned` (build + serve) and
+    * `dedup_stream_embedding_served` (persisted-assignment serve): the
+    * assignment under pinned centroids is deterministic, so the two
+    * rows are value-identical.
+    */
+  private lazy val sqlStreamEmbedPinned: String =
+    s"""WITH c AS (
+        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |ad AS (
+        |  SELECT v.vec_id, c.bucket,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings v CROSS JOIN c),
+        |cassign AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id % 10 <> 0) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
+        |    FROM ad WHERE vec_id % 10 = 0) WHERE r <= 2),
+        |m AS (
+        |  SELECT p.vec_id AS sid, COUNT(DISTINCT s.vec_id) AS n
+        |  FROM probe p
+        |  JOIN cassign s ON s.bucket = p.bucket
+        |  JOIN embeddings a ON a.vec_id = p.vec_id
+        |  JOIN embeddings b ON b.vec_id = s.vec_id
+        |  WHERE ${sqlCos("a", "b")} >= 0.45
+        |  GROUP BY 1)
+        |SELECT e.vec_id, COALESCE(m.n, 0) AS n_matches,
+        |       COALESCE(m.n, 0) > 0 AS is_dup
+        |FROM embeddings e LEFT JOIN m ON m.sid = e.vec_id
+        |WHERE e.vec_id % 10 = 0 ORDER BY e.vec_id""".stripMargin
+
   private def pinnedVecs(s: org.apache.spark.sql.SparkSession, d: String,
                          lo: Int, hi: Int): Array[Array[Double]] =
     // sort the handful of pinned rows on the DRIVER: a distributed
@@ -988,42 +1049,27 @@ object ExtensionQueries {
     // nearest lists, the verify is the shared rounded cosine at 0.45,
     // and the fold counts distinct matching corpus vectors. Recall vs
     // nprobe stays with the trained rows' zero-FP/exactness tests.
-    Q("dedup_stream_embedding_pinned",
-      s"""WITH c AS (
-        |  SELECT vec_id - 100 AS bucket, embedding FROM embeddings
-        |  WHERE vec_id BETWEEN 100 AND 103),
-        |ad AS (
-        |  SELECT v.vec_id, c.bucket,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-        |              * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS dist
-        |  FROM embeddings v CROSS JOIN c),
-        |cassign AS (
-        |  SELECT vec_id, bucket FROM (
-        |    SELECT vec_id, bucket,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
-        |    FROM ad WHERE vec_id % 10 <> 0) WHERE r = 1),
-        |probe AS (
-        |  SELECT vec_id, bucket FROM (
-        |    SELECT vec_id, bucket,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, bucket) AS r
-        |    FROM ad WHERE vec_id % 10 = 0) WHERE r <= 2),
-        |m AS (
-        |  SELECT p.vec_id AS sid, COUNT(DISTINCT s.vec_id) AS n
-        |  FROM probe p
-        |  JOIN cassign s ON s.bucket = p.bucket
-        |  JOIN embeddings a ON a.vec_id = p.vec_id
-        |  JOIN embeddings b ON b.vec_id = s.vec_id
-        |  WHERE ${sqlCos("a", "b")} >= 0.45
-        |  GROUP BY 1)
-        |SELECT e.vec_id, COALESCE(m.n, 0) AS n_matches,
-        |       COALESCE(m.n, 0) > 0 AS is_dup
-        |FROM embeddings e LEFT JOIN m ON m.sid = e.vec_id
-        |WHERE e.vec_id % 10 = 0 ORDER BY e.vec_id""".stripMargin) {
+    Q("dedup_stream_embedding_pinned", sqlStreamEmbedPinned) {
       (s, d) =>
         graft.streaming.StreamDedup.embeddingIngestDedupPinned(s, d,
             pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq,
             nprobe = 2, threshold = 0.45)
+          .orderBy(col("vec_id"))
+    },
+
+    // ---- SERVE-ONLY streaming embedding gate (persisted assignment) --------
+    // The steady-state configuration: the corpus assignment is a
+    // build-once artifact (embedAssignDir — the LSH/IVF build/serve
+    // precedent), so the timed row is load-assignment + run the
+    // triggers: the per-trigger cost the assignment-served gate actually
+    // buys, vs the `_pinned` row which re-times the one-time corpus
+    // assignment build on every run. Same centroids ⇒ identical output ⇒
+    // the SAME exact oracle.
+    Q("dedup_stream_embedding_served", sqlStreamEmbedPinned) {
+      (s, d) =>
+        val cs = pinnedVecs(s, d, 100, 103).map(_.toSeq).toSeq
+        graft.streaming.StreamDedup.embeddingIngestDedupServed(s, d,
+            embedAssignDir(s, d, cs), cs, nprobe = 2, threshold = 0.45)
           .orderBy(col("vec_id"))
     },
 

@@ -200,6 +200,19 @@ object RelationalQueries {
     "q19_disjunctive" -> sqlQ19,
     "q20_part_suppliers" -> sqlQ20)
 
+  // Shared by `window_ntile` (the SQL-window dialect-parity row) and
+  // `window_ntile_scalable` (the histogram-cut map-side plan): the
+  // assignment rule is identical, so ONE oracle pins both.
+  private val sqlNtile =
+    """SELECT o_orderpriority, tile, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS tile
+      |  FROM orders)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def sqlQuery(name: String, sql: String): Q =
     Q(name, sql) { (s, d) =>
       graft.sources.Tables.registerAll(s, d)
@@ -660,18 +673,29 @@ object RelationalQueries {
     // larger on remainders) is identical in both engines and
     // deterministic under the (price, orderkey) total order; the rollup
     // pins every tile boundary via the exact-decimal per-tile sums.
-    Q("window_ntile",
-      """SELECT o_orderpriority, tile, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
-        |FROM (
-        |  SELECT o_orderpriority, o_totalprice,
-        |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
-        |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS tile
-        |  FROM orders)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+    Q("window_ntile", sqlNtile) {
       (s, d) =>
         Windows.withNtile(t(s, d, "orders"), Seq("o_orderpriority"),
             Seq(SortKey("o_totalprice"), SortKey("o_orderkey")), 4, "tile")
+          .groupBy(col("o_orderpriority"), col("tile"))
+          .agg(count(lit(1)).as("cnt"),
+            Det.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderpriority"), col("tile"))
+    },
+
+    // ---- n-tile cohorts, SCALE-SAFE plan ------------------------------
+    // Same cohorts, same oracle — but via Windows.ntileMapSide's
+    // histogram-cut boundaries + map-side assignment instead of a window
+    // sort: the SQL form above partitions by ~5 priorities, so its
+    // parallelism ceiling is the key cardinality (each priority's entire
+    // row set is ONE task's sort — a 100× straggler). This is the
+    // catalog's quantile-cohort primitive at scale; the SQL row stays as
+    // the dialect-parity contrast. Plan shape (no full-corpus per-key
+    // window) is asserted in WindowSpec.
+    Q("window_ntile_scalable", sqlNtile) {
+      (s, d) =>
+        Windows.ntileMapSide(t(s, d, "orders"), "o_orderpriority",
+            "o_totalprice", "o_orderkey", 4, "tile")
           .groupBy(col("o_orderpriority"), col("tile"))
           .agg(count(lit(1)).as("cnt"),
             Det.dsum(col("o_totalprice")).as("sum_price"))
@@ -784,6 +808,88 @@ object RelationalQueries {
           .select(col("o_custkey"), Det.fmtTs(col("o_orderdate")).as("order_ts"),
             col("o_orderkey"), col("o_totalprice"), col("running_sum"))
           .orderBy(col("o_custkey"), col("order_ts"), col("o_orderkey"))
+    },
+
+    // ---- FULL OUTER join: indebted customers vs cheap suppliers by nation --
+    // Completes the outer-join family (q13 covers LEFT OUTER): two
+    // sketch-sized per-nation aggregates full-outer-joined so BOTH
+    // null-extension directions genuinely occur — the customer side is
+    // capped to nations < 12 (left-only rows where no cheap supplier
+    // exists there; right-only rows for every nation >= 12 with one).
+    // Null counts stay null (not 0) — the honest outer-join rendering,
+    // and hash-exact. Scale shape: the work is the two map-side partial
+    // aggregations; the join itself is ~25 rows a side.
+    Q("join_full_outer",
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS cust_bal
+        |  FROM customer WHERE c_acctbal < -200 AND c_nationkey < 12 GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal < 1000 GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, c.cust_bal, s.n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin) {
+      (s, d) =>
+        val c = t(s, d, "customer")
+          .filter(col("c_acctbal") < -200 && col("c_nationkey") < 12)
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("cust_bal"))
+        val sup = t(s, d, "supplier").filter(col("s_acctbal") < 1000)
+          .groupBy(col("s_nationkey").as("snk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("nk") === col("snk"), "full_outer")
+          .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+            col("n_cust"), col("cust_bal"), col("n_supp"))
+          .orderBy(col("nationkey"))
+    },
+
+    // ---- PIVOT: order-status columns per priority ---------------------------
+    // The everyday analytics reshape: one row per priority, one count
+    // column per status. The pivot VALUES are declared explicitly
+    // (Seq("F","O","P")) — at scale the implicit form first runs a
+    // distinct scan over the pivot key just to learn the columns. Cells
+    // coalesce to 0 (Spark pivot yields null for an empty cell, DuckDB's
+    // COUNT FILTER yields 0).
+    Q("pivot_status_matrix",
+      """SELECT o_orderpriority,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- UNPIVOT: the wide matrix melted back to long -----------------------
+    // Dataset.unpivot over the pivot row's wide frame — the round trip
+    // must land exactly on the direct (priority, status) group counts,
+    // which IS the oracle (a melt that loses or relabels a cell breaks
+    // the hash). The melt runs on the 5-row aggregate: pivot does the
+    // corpus work, unpivot is a shape operator.
+    Q("unpivot_status_matrix",
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val wide = t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+        wide.unpivot(Array(col("o_orderpriority")),
+            Array(col("F"), col("O"), col("P")), "o_orderstatus", "n_orders")
+          // an EMPTY pivot cell melts back as null — the long form has no
+          // such row, so drop it (keeps the round trip exact if a fixture
+          // ever lacks a (priority, status) combination)
+          .filter(col("n_orders").isNotNull)
+          .orderBy(col("o_orderpriority"), col("o_orderstatus"))
     }
   )
 }

@@ -135,6 +135,12 @@ object Repl {
       |                                         hybrid page: BM25 over <term...> fused
       |                                         (reciprocal-rank) with the dense page
       |                                         around embedding row <id>
+      |  split <view> <threshold> [idCol textCol]
+      |                                         child view: leakage-safe train/val/test
+      |                                         split (near-dup components stay whole)
+      |  balance <view> <nlist> <k> [idCol vecCol]
+      |                                         child view: cluster-balanced sample —
+      |                                         k-means topics, k kept per cluster
       |  semdedup <view> <threshold> [idCol vecCol]
       |                                         SemDeDup kept set: k-means clusters,
       |                                         in-cluster cosine groups, least-
@@ -197,6 +203,11 @@ object Repl {
         // pushdown/broadcast/codegen shapes interactively
         Tables.registerAll(spark, sfDir)
         spark.sql(cmd.split("\\s+", 3)(2)).queryExecution.executedPlan.toString
+      case "explain" :: "sql" :: Nil =>
+        // bare `explain sql` must not fall through to the view case below
+        // (which would look up a view literally named 'sql' and fail with
+        // a confusing view-lookup error)
+        "usage: explain sql <query>"
       case "explain" :: vid :: Nil =>
         df(vid).queryExecution.executedPlan.toString
       case "sql" :: rest if rest.nonEmpty =>
@@ -299,6 +310,32 @@ object Repl {
             col("vec_id") === lit(id.toLong), kk * 2)
           .select(col("n_id").as("id"), col("rk").as("rank"))
         render(graft.operators.TextOps.rrfFuse(Seq(sparse, dense), kk))
+      case "split" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
+        val (idCol, textCol) = rest match {
+          case i :: c :: Nil => (i, c)
+          case _             => ("doc_id", "text")
+        }
+        // leakage-safe 0.8/0.1/0.1 split keyed by each doc's near-dup
+        // COMPONENT rep (a train doc's near-copy never lands in eval) —
+        // a child view, so later verbs compose over one split via filter
+        s"view ${s.child(ViewId(vid), "split")(d =>
+          graft.operators.Export.splitByComponents(d, idCol,
+            graft.operators.Dedup.minHashLSH(d, idCol, textCol,
+              threshold = thr.toDouble),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))).value}"
+      case "balance" :: vid :: nlist :: k :: rest if rest.size == 0 || rest.size == 2 =>
+        val (idCol, vecCol) = rest match {
+          case i :: c :: Nil => (i, c)
+          case _             => ("vec_id", "embedding")
+        }
+        // cluster-balanced sample: k-means topics, exactly k kept per
+        // cluster by the portable md5 rank — the rebalanced corpus as a
+        // child view
+        s"view ${s.child(ViewId(vid), "balance")(d =>
+          graft.operators.Similarity.clusterBalancedSample(d, idCol, vecCol,
+            graft.operators.Similarity.trainCentroids(d, idCol, vecCol,
+              nlist.toInt, seed = 42L).map(_.toSeq).toSeq,
+            k.toInt)).value}"
       // chunk/contaminate outputs are corpus-LINEAR, not sketch-sized, so
       // they must NOT go through the sketch memo (which collects fully);
       // render's limit over orderBy plans as TakeOrderedAndProject — one

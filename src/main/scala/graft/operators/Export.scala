@@ -66,6 +66,11 @@ object Export {
   def splitByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
                         fractions: Seq[(String, Double)],
                         seed: Long = 42L): DataFrame = {
+    // loud type guard BEFORE the long-cast join below: a string-keyed
+    // corpus would null-cast and silently drop every row at the equi
+    // join (connectedComponents requires integral ids anyway — fail
+    // here with this operator's name)
+    Dedup.requireIntegralId(df, idCol, "splitByComponents")
     val comp = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
       .select(col("id").as("__cid"), col("rep_id").as("__rep"))
     val joined = df.join(comp, df(idCol).cast("long") === col("__cid"))

@@ -384,6 +384,27 @@ object StreamDedup {
       "vec_id", "embedding", indexDir, nprobe = 4))
   }
 
+  /** SERVE-ONLY sibling of [[embeddingIngestDedupPinned]]: the corpus
+    * assignment is read back from `assignDir` — a PRE-BUILT
+    * [[assignCentroids]] parquet (the caller builds it once, out of
+    * band) — so this measures what a long-lived production gate pays
+    * PER SESSION: load the assignment, run the triggers. Identical
+    * output to the pinned row (same centroids ⇒ same deterministic
+    * assignment ⇒ same oracle hash); the pinned row keeps timing
+    * build + serve as the cold-start cost, this row times the steady
+    * state.
+    */
+  def embeddingIngestDedupServed(spark: SparkSession, sfDir: String,
+                                 assignDir: String, cs: Seq[Seq[Double]],
+                                 nprobe: Int, threshold: Double): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val incoming = graft.sources.Tables
+      .streamTable(spark, sfDir, "embeddings", emb.schema)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+    runKeyed(embeddingDedupWithAssignments(spark.read.parquet(assignDir),
+      incoming, "vec_id", "embedding", cs, nprobe, threshold))
+  }
+
   /** Perceptual-fingerprint sibling of [[dedupAgainstCorpus]] — the
     * MULTIMODAL ingest gate: incoming assets, already reduced to 64-bit
     * perceptual fingerprints (image dHash, audio fingerprint — any

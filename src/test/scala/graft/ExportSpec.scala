@@ -118,6 +118,20 @@ class ExportSpec extends SparkSpec {
     } finally { split.unpersist(); () }
   }
 
+  test("splitByComponents rejects a string id column loudly") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // a string-keyed corpus would null-cast at the component join and
+    // silently drop every row — the guard must fail before any job runs
+    val strDocs = Seq(("a", "x y z"), ("b", "x y z")).toDF("doc_id", "text")
+    val pairs = Seq(("a", "b")).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Export.splitByComponents(strDocs, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }
+    assert(e.getMessage.contains("splitByComponents"))
+  }
+
   test("clusterBalancedSample: exactly-k caps per cluster, partition invariance") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -101,6 +101,10 @@ class PlanGuardSpec extends SparkSpec {
       "Quantiles.scala"     -> 3,
       "HeavyHitters.scala"  -> 1,  // twoPhase phase 1: ≤ k MG candidates
       "Histograms.scala"    -> 1,  // equiDepth: k-1 boundary rows (the sketch)
+      // ntileMapSide: the (group, bin) histogram (≤ maxHistRows by the
+      // guarded contract) + the groups·(k-1) boundary composites (the
+      // sketch itself — the equiDepth threshold-collect precedent)
+      "Windows.scala"       -> 2,
       // temperatureMix + temperatureMixTokens and their portable hash
       // twins (temperatureMixByHash + temperatureMixTokensByHash): one
       // row per source each; selectByBudget: the (group, bin) histogram,
@@ -145,8 +149,14 @@ class PlanGuardSpec extends SparkSpec {
       // doc; +1: the scaled hybrid-RRF page, k rows; +6: the
       // correlated-subquery per-copy replication checks — q4/q21/q17/q22
       // result sets at both scales, each ≤ 20 rows by their GROUP BY /
-      // LIMIT shapes)
-      "BenchScale.scala"    -> 39,
+      // LIMIT shapes; +12 round-18: the ntile rollups at both scales
+      // (priority×tile cells ×4 — the structural-counts and
+      // scalable≡window checks), the copy-0 window-frame row sets at
+      // both scales (fixture-bounded by their l_suppkey filters), the
+      // leakage-split assignments (base set + scaled copy-0 filter, one
+      // row per base doc), and the full-outer / pivot grids at both
+      // scales (≤ 25 and 5 rows))
+      "BenchScale.scala"    -> 51,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Joins}
+import graft.operators.{Dedup, Joins, SortKey, Windows}
 
 /** Randomized brute-force parity for the two subtlest operators:
   * prefix-filtered / dense Jaccard joins vs an in-memory model over
@@ -249,5 +249,41 @@ class RandomizedParitySpec extends SparkSpec {
         probs.indices.map(i => graft.operators.Det.round6(agg.getDouble(i))): _*)
       assert(got == expect, s"global quantiles diverged on trial $trial: $got vs $expect")
     }
+  }
+
+  test("map-side ntile equals window ntile on hostile randoms") {
+    // hostile shapes for the histogram-cut assignment: heavy value ties
+    // straddling tile boundaries (row-splitting, the part a value-only
+    // threshold cannot express), groups smaller than the tile count
+    // (repeated boundary ranks), negative values (negative bins), a null
+    // group (its own partition), and occasional NaN (ranks above all)
+    val rnd = new scala.util.Random(47L)
+    (1 to 6).foreach { trial =>
+      val nGroups = 1 + rnd.nextInt(4)
+      val k = 2 + rnd.nextInt(6)
+      val rows = (0L until (2 + rnd.nextInt(50)).toLong).map { id =>
+        val g = if (rnd.nextInt(8) == 0) null else s"g${rnd.nextInt(nGroups)}"
+        val v = if (rnd.nextInt(15) == 0) Double.NaN
+                else (rnd.nextInt(5) - 2).toDouble // 5 values → heavy ties
+        (g, v, id)
+      }
+      val df = rows.toDF("g", "v", "id")
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.select(col("g"), col("id"), col("tile")).collect()
+          .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getInt(2)).toMap
+      val win = canon(Windows.withNtile(df, Seq("g"),
+        Seq(SortKey("v"), SortKey("id")), k, "tile"))
+      val ms = canon(Windows.ntileMapSide(df, "g", "v", "id", k))
+      assert(ms == win, s"ntile diverged on trial $trial (k=$k)")
+    }
+  }
+
+  test("map-side ntile rejects null values loudly") {
+    val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L))
+      .toDF("g", "v", "id")
+    val e = intercept[IllegalArgumentException] {
+      Windows.ntileMapSide(df, "g", "v", "id", 2).collect()
+    }
+    assert(e.getMessage.contains("null values"))
   }
 }

@@ -431,4 +431,31 @@ class ReplSpec extends SparkSpec {
       assert(rows.nonEmpty && rows.forall(_.split("\t").length == 3), out)
     }
   }
+
+  test("split and balance register curation child views; bare 'explain sql' hints usage") {
+    val out = script(
+      "open documents",
+      "split documents-1 0.5",
+      "project split-2 doc_id,split",
+      "open embeddings",
+      "balance embeddings-4 4 8",
+      "explain sql",
+      "quit")
+    // split: a composable child view carrying the split column
+    assert(out.contains("view split-2"), s"split must register a child view:\n$out")
+    assert(out.contains("view project-3"), out)
+    // balance: the rebalanced corpus as a child view
+    assert(out.contains("view balance-5"), s"balance must register a child view:\n$out")
+    // bare `explain sql` gets a usage hint, not a view-lookup error
+    assert(out.contains("usage: explain sql <query>"), out)
+    // and the split view really is leakage-safe-shaped: evaluate it
+    val sess = new ViewSession(spark)
+    val vid = sess.open("documents",
+      graft.sources.Tables.open(spark, sf, "documents"))
+    val resp = Repl.eval(spark, sess, sf, s"split ${vid.value} 0.5")
+    val splitId = resp.stripPrefix("view ")
+    val splits = sess(ViewId(splitId)).df.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+  }
 }

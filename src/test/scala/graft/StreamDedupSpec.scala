@@ -330,6 +330,19 @@ class StreamDedupSpec extends SparkSpec {
     assert(canon(servedAssign) == canon(pinnedEntry))
   }
 
+  test("serve-only streaming embedding row equals the pinned row") {
+    // the catalog-level parity behind the shared oracle: the serve-only
+    // row (assignment pre-built out of band, memoized) and the pinned
+    // row (build + serve each run) must be value-identical — both are
+    // the same deterministic assignment under the same pinned centroids
+    val pinned = SparkEntry.queries("dedup_stream_embedding_pinned")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("dedup_stream_embedding_served")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === pinned)
+    assert(pinned.nonEmpty)
+  }
+
   test("streamed image dedup gate equals the batch plan; null fingerprints survive") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
