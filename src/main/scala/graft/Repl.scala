@@ -135,6 +135,8 @@ object Repl {
       |                                         hybrid page: BM25 over <term...> fused
       |                                         (reciprocal-rank) with the dense page
       |                                         around embedding row <id>
+      |  ntile <view> <group> <value> <tie> <k>  child view with a scale-safe k-tile
+      |                                         cohort column (no per-key sort)
       |  split <view> <threshold> [idCol textCol]
       |                                         child view: leakage-safe train/val/test
       |                                         split (near-dup components stay whole)
@@ -310,6 +312,11 @@ object Repl {
             col("vec_id") === lit(id.toLong), kk * 2)
           .select(col("n_id").as("id"), col("rk").as("rank"))
         render(graft.operators.TextOps.rrfFuse(Seq(sparse, dense), kk))
+      case "ntile" :: vid :: g :: v :: tie :: k :: Nil =>
+        // the scale-safe quantile-cohort plan (histogram-cut boundaries,
+        // map-side assignment — no per-key window sort) as a child view
+        s"view ${s.child(ViewId(vid), "ntile")(d =>
+          graft.operators.Windows.ntileMapSide(d, g, v, tie, k.toInt)).value}"
       case "split" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
         val (idCol, textCol) = rest match {
           case i :: c :: Nil => (i, c)

@@ -278,6 +278,12 @@ class RandomizedParitySpec extends SparkSpec {
     }
   }
 
+  test("map-side ntile: k = 1 short-circuits to the constant tile") {
+    val df = Seq(("a", 1.0, 1L), ("b", 2.0, 2L)).toDF("g", "v", "id")
+    val out = Windows.ntileMapSide(df, "g", "v", "id", 1)
+    assert(out.select("tile").collect().map(_.getInt(0)).toSeq == Seq(1, 1))
+  }
+
   test("map-side ntile rejects null values loudly") {
     val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L))
       .toDF("g", "v", "id")

@@ -29,6 +29,20 @@ class RelationalShapeSpec extends SparkSpec {
       s"boundary table is not broadcast:\n$p")
   }
 
+  test("new rows prune and push down at the scan") {
+    // pivot: only the two grouping/pivot columns reach the parquet reader
+    val pp = run("pivot_status_matrix").queryExecution.executedPlan.toString
+    assert(pp.contains("o_orderstatus") && !pp.contains("o_totalprice"),
+      s"pivot scan reads more than (priority, status):\n$pp")
+    // full outer: both acctbal range filters reach their scans, and the
+    // unused wide columns are pruned
+    val fp = run("join_full_outer").queryExecution.executedPlan.toString
+    assert(fp.contains("LessThan(c_acctbal,") && fp.contains("LessThan(s_acctbal,"),
+      s"acctbal filters not pushed to the scans:\n$fp")
+    assert(!fp.contains("c_mktsegment") && !fp.contains("s_name"),
+      s"full-outer scan reads unused columns:\n$fp")
+  }
+
   test("join_full_outer null-extends BOTH sides at sf0.001") {
     val rows = run("join_full_outer").collect()
     assert(rows.nonEmpty)

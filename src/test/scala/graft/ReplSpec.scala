@@ -439,6 +439,9 @@ class ReplSpec extends SparkSpec {
       "project split-2 doc_id,split",
       "open embeddings",
       "balance embeddings-4 4 8",
+      "open orders",
+      "ntile orders-6 o_orderpriority o_totalprice o_orderkey 4",
+      "summary ntile-7 tile",
       "explain sql",
       "quit")
     // split: a composable child view carrying the split column
@@ -446,6 +449,8 @@ class ReplSpec extends SparkSpec {
     assert(out.contains("view project-3"), out)
     // balance: the rebalanced corpus as a child view
     assert(out.contains("view balance-5"), s"balance must register a child view:\n$out")
+    // ntile: a composable cohort view whose tile column summarizes 1..4
+    assert(out.contains("view ntile-7"), s"ntile must register a child view:\n$out")
     // bare `explain sql` gets a usage hint, not a view-lookup error
     assert(out.contains("usage: explain sql <query>"), out)
     // and the split view really is leakage-safe-shaped: evaluate it
