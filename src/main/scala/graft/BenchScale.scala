@@ -45,7 +45,7 @@ object BenchScale {
     "q1_pricing_summary", "q18_large_volume", "q16_supplier_cnt",
     // FULL OUTER join (two map-side partial aggs + a 25-row join) and
     // the PIVOT reshape (one conditional aggregation pass)
-    "join_full_outer", "pivot_status_matrix",
+    "join_full_outer", "pivot_status_matrix", "unpivot_status_matrix",
     // correlated-subquery class (decorrelated semi/anti joins + joined-
     // back scalar aggregates — the everyday SQL shapes; copies are
     // self-contained under the key shift, so results scale structurally)
@@ -63,11 +63,14 @@ object BenchScale {
     // is the ~5-key cardinality — the measured CONTRAST);
     // window_ntile_scalable is the histogram-cut map-side plan, and the
     // ntile_scalable_equals_window invariant pins them equal at scale.
-    // window_first_last / window_percent_rank are fixture-bounded
-    // (copy-0 filters), so their sweep evidence is the copy-0-exact
-    // invariant plus ~flat absolute time.
+    // window_first_last / window_percent_rank / window_lag /
+    // window_running_sum are fixture-bounded (copy-0 l_suppkey /
+    // o_custkey filters — copy offsets shift both keys far above the
+    // bounds), so their sweep evidence is the copy-0-exact invariant
+    // plus ~flat absolute time.
     "window_ntile", "window_ntile_scalable", "window_moving_sum",
     "window_range_band", "window_first_last", "window_percent_rank",
+    "window_lag", "window_running_sum",
     // keyless interval join (grid-bucketed cell equi join)
     "join_range_bucketed",
     // gap-filled resample (one data pass + calendar-sized grid)
@@ -97,12 +100,15 @@ object BenchScale {
     "text_lm_score",
     // export side (map-side pure expressions — the exponent should be ~I/O)
     "pipeline_split_counts", "pipeline_shuffle_shards",
-    // leakage-safe split: dense-pair CC + rep-keyed hash. Its pair
-    // source is the quadratic-by-contract dense walk (the dedup_groups
-    // contrast argument — the 100 TB flow keys the SAME splitByComponents
-    // off LSH pairs), so its exponent documents the contract; the
-    // invariant below pins copy-0 assignments and the train fraction
-    "pipeline_split_leakage_safe",
+    // leakage-safe split, both pair paths: the dense row's exponent
+    // documents the quadratic-by-contract contrast (the dedup_groups
+    // argument); _lsh IS the 100 TB composition (same splitByComponents
+    // keyed off MinHash-LSH pairs — expect the dedup_groups_lsh
+    // sub-linear class). The invariant below pins copy-0 assignments,
+    // the train fraction, and lsh ≈ dense agreement at scale (banding
+    // re-rolls per copy, so exact equality is the FIXTURE's contract —
+    // the shared oracle — not the scaled corpus's).
+    "pipeline_split_leakage_safe", "pipeline_split_leakage_safe_lsh",
     // cluster-balanced sample: map-side argmin + bounded page aggregate
     "pipeline_cluster_balance",
     // budget/cap curation (histogram cut + bounded page aggregate)
@@ -410,10 +416,12 @@ object BenchScale {
         q(outDir, "window_ntile").collect().map(_.toSeq).toSet
     }, "histogram-cut ntile departed from the window form at scale")
     check("window_frames_copy0_exact", {
-      // first/last and percent_rank rows are confined to copy 0 by their
-      // l_suppkey filters (copy offsets shift l_suppkey far above the
-      // bound), so the scaled results are byte-identical to the base
-      Seq("window_first_last", "window_percent_rank").forall { n =>
+      // first/last, percent_rank, lag and running_sum rows are confined
+      // to copy 0 by their l_suppkey / o_custkey filters (copy offsets
+      // shift both keys far above the bounds), so the scaled results are
+      // byte-identical to the base
+      Seq("window_first_last", "window_percent_rank",
+          "window_lag", "window_running_sum").forall { n =>
         q(srcDir, n).collect().map(_.toSeq).toSet ==
           q(outDir, n).collect().map(_.toSeq).toSet
       }
@@ -435,6 +443,26 @@ object BenchScale {
           math.abs(train.toDouble / total - 205.0 / 256) <= 0.03
       } finally s.unpersist()
     }, "leakage-safe split broke the copy-0/fraction contract at scale")
+    check("leakage_split_lsh_agrees_with_dense", {
+      // the sub-quadratic composition must assign every doc (row count
+      // exactly factor× the base — one assignment per doc regardless of
+      // recall) and agree with the dense-pair split on ≥ 99% of docs:
+      // LSH banding re-rolls per copy (minhash_pairs_scale_linearly's
+      // argument), so a scaled copy can miss a true pair — that moves
+      // only members of the affected component, never singletons, so
+      // near-total agreement is the correct scaled contract (fixture
+      // equality is already pinned by the shared DuckDB oracle)
+      val dense = q(outDir, "pipeline_split_leakage_safe")
+        .withColumnRenamed("split", "__dsplit")
+      val lsh = q(outDir, "pipeline_split_leakage_safe_lsh").cache()
+      try {
+        val total = lsh.count()
+        val agree = lsh.join(dense, "doc_id")
+          .filter(col("split") === col("__dsplit")).count()
+        total == factor.toLong * q(srcDir, "pipeline_split_leakage_safe_lsh").count() &&
+          agree.toDouble / total >= 0.99
+      } finally lsh.unpersist()
+    }, "LSH leakage-safe split departed from the dense assignment at scale")
     check("cluster_balance_page_shape", {
       // the pinned 4-list quantizer caps every cluster at k = 8 kept
       // rows; at any factor each bucket holds ≥ 8 members, so the page
@@ -478,6 +506,15 @@ object BenchScale {
         s(k) == ((factor * f, factor * o, factor * p))
       }
     }, "pivot matrix cells not factor x base")
+    check("unpivot_melt_scales_exactly", {
+      // the melt is the pivot's exact long-form round trip, so its
+      // (priority, status) cells scale cell-wise factor× too
+      val b = q(srcDir, "unpivot_status_matrix").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val s = q(outDir, "unpivot_status_matrix").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      s.keySet == b.keySet && b.forall { case (k, n) => s(k) == factor * n }
+    }, "unpivot long-form cells not factor x base")
     check("topk_size_unchanged", {
       // the query set (vec_id < 5) lives entirely in copy 0: identical |Q|
       // and k at both scales

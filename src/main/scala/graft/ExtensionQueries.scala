@@ -214,6 +214,33 @@ object ExtensionQueries {
        |SELECT id AS doc_id, MIN(r) AS rep_id FROM reach
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Shared DuckDB oracle: leakage-safe split assignment — recursive
+    * components of the exact pair graph, min-id representative, md5
+    * bucket of the REP at the 0.8/0.1/0.1 boundaries. One copy serving
+    * `pipeline_split_leakage_safe` (dense exact pair walk — the
+    * quadratic-by-contract contrast, like `dedup_groups`) and
+    * `pipeline_split_leakage_safe_lsh` (the 100 TB composition over
+    * MinHash-LSH pairs): both split the same component partition on the
+    * fixture, where LSH recall is 1.0.
+    */
+  private val sqlLeakageSplit =
+    s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
+       |b AS (SELECT id AS doc_id,
+       |        CAST(('0x' || substring(md5(rep || ':42'), 1, 2)) AS BIGINT) AS bucket
+       |      FROM comp)
+       |SELECT doc_id, CASE WHEN bucket < 205 THEN 'train'
+       |                    WHEN bucket < 230 THEN 'val'
+       |                    ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB oracle for all three corpus-representative rows
     * (dense-exact, LSH, star-contraction — identical kept sets on the
     * fixture, where LSH recall is 1.0): recursive components of the
@@ -1104,26 +1131,29 @@ object ExtensionQueries {
     // min-id representative, md5 bucket of the REP — and pins every
     // doc's split; singleton assignments equal the plain hash split of
     // their own id by construction.
-    Q("pipeline_split_leakage_safe",
-      s"""WITH RECURSIVE pairs AS ($sqlExactPairs),
-         |edges AS (
-         |  SELECT d1 AS src, d2 AS dst FROM pairs
-         |  UNION SELECT d2, d1 FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1),
-         |b AS (SELECT id AS doc_id,
-         |        CAST(('0x' || substring(md5(rep || ':42'), 1, 2)) AS BIGINT) AS bucket
-         |      FROM comp)
-         |SELECT doc_id, CASE WHEN bucket < 205 THEN 'train'
-         |                    WHEN bucket < 230 THEN 'val'
-         |                    ELSE 'test' END AS split
-         |FROM b ORDER BY doc_id""".stripMargin) {
+    Q("pipeline_split_leakage_safe", sqlLeakageSplit) {
       (s, d) =>
         val docs = t(s, d, "documents")
         val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+        Export.splitByComponents(docs, "doc_id", pairs,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+    },
+
+    // ---- LEAKAGE-SAFE split over the SUB-QUADRATIC pair path ---------------
+    // The 100 TB flow: the SAME splitByComponents keyed off MinHash-LSH
+    // pairs (linear-shuffle candidates + exact verify on candidates
+    // only) instead of the quadratic-by-contract dense walk above. The
+    // oracle stays the exact-pair recursive-CTE replay — valid because
+    // LSH verifies exact Jaccard on its candidates and its recall on the
+    // fixture corpus is 1.0 (asserted in ExtensionOpsSpec), the
+    // dedup_groups_lsh / pipeline_clean_corpus precedent. The dense row
+    // stays as the documented contrast, mirroring dedup_groups.
+    Q("pipeline_split_leakage_safe_lsh", sqlLeakageSplit) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLSH(docs, "doc_id", "text", n = 2, threshold = 0.5)
         Export.splitByComponents(docs, "doc_id", pairs,
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select(col("doc_id"), col("split"))

@@ -694,7 +694,7 @@ object RelationalQueries {
     // window) is asserted in WindowSpec.
     Q("window_ntile_scalable", sqlNtile) {
       (s, d) =>
-        Windows.ntileMapSide(t(s, d, "orders"), "o_orderpriority",
+        Windows.ntileMapSide(t(s, d, "orders"), Seq("o_orderpriority"),
             "o_totalprice", "o_orderkey", 4, "tile")
           .groupBy(col("o_orderpriority"), col("tile"))
           .agg(count(lit(1)).as("cnt"),
@@ -850,7 +850,11 @@ object RelationalQueries {
     // (Seq("F","O","P")) — at scale the implicit form first runs a
     // distinct scan over the pivot key just to learn the columns. Cells
     // coalesce to 0 (Spark pivot yields null for an empty cell, DuckDB's
-    // COUNT FILTER yields 0).
+    // COUNT FILTER yields 0). The F/O/P closed set is pinned by the
+    // TPC-H o_orderstatus domain on BOTH sides — any future status value
+    // would be silently absent from this matrix in both engines, and
+    // unpivot_status_matrix's full-GROUP-BY oracle is the loud guard
+    // that would catch it.
     Q("pivot_status_matrix",
       """SELECT o_orderpriority,
         |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -136,7 +136,8 @@ object Repl {
       |                                         (reciprocal-rank) with the dense page
       |                                         around embedding row <id>
       |  ntile <view> <group> <value> <tie> <k>  child view with a scale-safe k-tile
-      |                                         cohort column (no per-key sort)
+      |                                         cohort column (no per-key sort);
+      |                                         <group> = col or comma-joined cols
       |  split <view> <threshold> [idCol textCol]
       |                                         child view: leakage-safe train/val/test
       |                                         split (near-dup components stay whole)
@@ -314,9 +315,12 @@ object Repl {
         render(graft.operators.TextOps.rrfFuse(Seq(sparse, dense), kk))
       case "ntile" :: vid :: g :: v :: tie :: k :: Nil =>
         // the scale-safe quantile-cohort plan (histogram-cut boundaries,
-        // map-side assignment — no per-key window sort) as a child view
+        // map-side assignment — no per-key window sort) as a child view;
+        // <group> takes comma-separated columns for multi-key cohorts
         s"view ${s.child(ViewId(vid), "ntile")(d =>
-          graft.operators.Windows.ntileMapSide(d, g, v, tie, k.toInt)).value}"
+          graft.operators.Windows.ntileMapSide(
+            d, g.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+            v, tie, k.toInt)).value}"
       case "split" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
         val (idCol, textCol) = rest match {
           case i :: c :: Nil => (i, c)

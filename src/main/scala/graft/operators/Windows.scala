@@ -98,21 +98,46 @@ object Windows {
     * determinism contract the SQL form needs); groups·bins must fit
     * `maxHistRows` (the per-group-quantile sketch contract). NaN values
     * rank above every finite value (Spark sort order), matching the
-    * window form.
+    * window form. `groupCols` takes any non-empty column list — the
+    * columns key an internal struct, so a (source, language)-style
+    * two-key cohort needs no pre-concat (the [[withNtile]] signature
+    * parity).
+    *
+    * Precision bound: binning, boundary extraction and the final
+    * comparison all run on `valueCol` CAST TO DOUBLE, while the window
+    * form orders on the native type — integral values beyond 2^53 or
+    * decimals beyond ~15 significant digits collapse under the cast,
+    * and rows whose values are distinct only past double precision tile
+    * by the `tieCol` order instead of the native value order. Exact
+    * window parity therefore holds for double-representable values
+    * (the tie key still makes the assignment deterministic outside that
+    * range). Bin saturation: bins are `floor(v·10^binScale)` cast to
+    * long, so finite values ≥ ~9.2×10^18/10^binScale saturate into the
+    * NaN sentinel bin `Long.MaxValue` — the assignment stays correct
+    * (bin order remains monotone with value order since NaN sorts above
+    * all finites, and the within-bin window refines by exact (v, tie)),
+    * it just stops sub-dividing the overflow range.
     */
-  def ntileMapSide(df: DataFrame, groupCol: String, valueCol: String,
+  def ntileMapSide(df: DataFrame, groupCols: Seq[String], valueCol: String,
                    tieCol: String, k: Int, outCol: String = "tile",
                    binScale: Int = 2, maxHistRows: Int = 1 << 20): DataFrame = {
     require(k > 0, s"ntile k must be > 0, got $k")
+    require(groupCols.nonEmpty,
+      "ntileMapSide needs at least one group column (use a constant for a global cohort)")
     if (k == 1) return df.withColumn(outCol, lit(1))
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
     val binExpr = when(isnan(v), lit(Long.MaxValue))
       .otherwise(floor(v * math.pow(10, binScale)).cast("long"))
-    val binned = df.withColumn("__bin", binExpr)
+    // the group key is one struct of the grouping columns: groupBy,
+    // driver maps, and both broadcast joins key on the struct value
+    // (Row equality driver-side, null-safe struct compare plan-side),
+    // so multi-column cohorts cost nothing extra
+    val binned = df.withColumn("__gk", struct(groupCols.map(col): _*))
+      .withColumn("__bin", binExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val hist = binned.groupBy(col(groupCol).as("__g"), col("__bin"))
+      val hist = binned.groupBy(col("__gk").as("__g"), col("__bin"))
         .agg(count(lit(1)).as("c"))
         .limit(maxHistRows + 1).collect()
       require(hist.length <= maxHistRows,
@@ -144,9 +169,12 @@ object Windows {
           org.apache.spark.sql.Row(g, i - 1, bin, within) // 0-based boundary index
         }
       }.toSeq
-      val groupField = df.schema(df.schema.fieldIndex(groupCol))
+      val groupField = org.apache.spark.sql.types.StructField("__cg",
+        org.apache.spark.sql.types.StructType(
+          groupCols.map(c => df.schema(df.schema.fieldIndex(c)))),
+        nullable = false)
       val cutSchema = org.apache.spark.sql.types.StructType(Seq(
-        groupField.copy(name = "__cg"),
+        groupField,
         org.apache.spark.sql.types.StructField("__i",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("__cbin",
@@ -161,7 +189,7 @@ object Windows {
         .orderBy(v.asc, col(tieCol).cast("long").asc)
       val boundaries = binned
         .join(broadcast(cutDf),
-          col(groupCol) <=> col("__cg") && col("__bin") === col("__cbin"))
+          col("__gk") <=> col("__cg") && col("__bin") === col("__cbin"))
         .withColumn("__rn", row_number().over(bw))
         .filter(col("__rn") === col("__rk"))
         .select(col("__cg"), col("__i"), v.as("__bv"),
@@ -188,9 +216,9 @@ object Windows {
         acc + when(v > col(s"__bv$i") ||
           (v === col(s"__bv$i") && tie > col(s"__bt$i")), 1).otherwise(0)
       }
-      binned.join(broadcast(thDf), col(groupCol) <=> col("__tg"))
+      binned.join(broadcast(thDf), col("__gk") <=> col("__tg"))
         .withColumn(outCol, tile)
-        .drop("__bin", "__tg")
+        .drop("__gk", "__bin", "__tg")
         .drop((0 until k - 1).flatMap(i => Seq(s"__bv$i", s"__bt$i")): _*)
     } finally binned.unpersist()
   }

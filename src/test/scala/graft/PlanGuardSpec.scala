@@ -155,8 +155,11 @@ class PlanGuardSpec extends SparkSpec {
       // both scales (fixture-bounded by their l_suppkey filters), the
       // leakage-split assignments (base set + scaled copy-0 filter, one
       // row per base doc), and the full-outer / pivot grids at both
-      // scales (≤ 25 and 5 rows))
-      "BenchScale.scala"    -> 51,
+      // scales (≤ 25 and 5 rows); +2 round-19: the unpivot long-form
+      // grids at both scales (15 cells each — the melt twin of the
+      // pivot check; the LSH-vs-dense split agreement check itself uses
+      // only count()s))
+      "BenchScale.scala"    -> 53,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table

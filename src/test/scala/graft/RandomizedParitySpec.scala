@@ -273,14 +273,66 @@ class RandomizedParitySpec extends SparkSpec {
           .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getInt(2)).toMap
       val win = canon(Windows.withNtile(df, Seq("g"),
         Seq(SortKey("v"), SortKey("id")), k, "tile"))
-      val ms = canon(Windows.ntileMapSide(df, "g", "v", "id", k))
+      val ms = canon(Windows.ntileMapSide(df, Seq("g"), "v", "id", k))
       assert(ms == win, s"ntile diverged on trial $trial (k=$k)")
+    }
+  }
+
+  test("map-side ntile: multi-value bins make the within-bin order load-bearing") {
+    // fractional random values with binScale = 0 force every bin to hold
+    // MANY distinct values, so a boundary bin's within-bin window must
+    // order by the VALUE (v.asc) before the tie key — integer-tie trials
+    // above have one distinct value per bin and never exercise that leg
+    val rnd = new scala.util.Random(53L)
+    (1 to 4).foreach { trial =>
+      val k = 2 + rnd.nextInt(6)
+      val rows = (0L until (10 + rnd.nextInt(60)).toLong).map { id =>
+        val g = s"g${rnd.nextInt(3)}"
+        val v = rnd.nextDouble() * 4 - 2 // continuous in [-2, 2)
+        (g, v, id)
+      }
+      val df = rows.toDF("g", "v", "id")
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.select(col("g"), col("id"), col("tile")).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val win = canon(Windows.withNtile(df, Seq("g"),
+        Seq(SortKey("v"), SortKey("id")), k, "tile"))
+      val ms = canon(Windows.ntileMapSide(df, Seq("g"), "v", "id", k,
+        binScale = 0))
+      assert(ms == win, s"ntile diverged on fractional trial $trial (k=$k)")
+    }
+  }
+
+  test("map-side ntile: two-column grouping equals the window form") {
+    // the (source, language)-style cohort shape: multi-column groups key
+    // the internal struct — hostile mix of a nullable string key and an
+    // int key, heavy ties, fractional values, groups smaller than k
+    val rnd = new scala.util.Random(59L)
+    (1 to 4).foreach { trial =>
+      val k = 2 + rnd.nextInt(5)
+      val rows = (0L until (5 + rnd.nextInt(60)).toLong).map { id =>
+        val g1 = if (rnd.nextInt(8) == 0) null else s"s${rnd.nextInt(3)}"
+        val g2 = rnd.nextInt(3)
+        val v = if (rnd.nextInt(4) == 0) (rnd.nextInt(3) - 1).toDouble
+                else rnd.nextDouble() * 2 - 1
+        (g1, g2, v, id)
+      }
+      val df = rows.toDF("g1", "g2", "v", "id")
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.select(col("g1"), col("g2"), col("id"), col("tile")).collect()
+          .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2)) -> r.getInt(3))
+          .toMap
+      val win = canon(Windows.withNtile(df, Seq("g1", "g2"),
+        Seq(SortKey("v"), SortKey("id")), k, "tile"))
+      val ms = canon(Windows.ntileMapSide(df, Seq("g1", "g2"), "v", "id", k,
+        binScale = 1))
+      assert(ms == win, s"2-col ntile diverged on trial $trial (k=$k)")
     }
   }
 
   test("map-side ntile: k = 1 short-circuits to the constant tile") {
     val df = Seq(("a", 1.0, 1L), ("b", 2.0, 2L)).toDF("g", "v", "id")
-    val out = Windows.ntileMapSide(df, "g", "v", "id", 1)
+    val out = Windows.ntileMapSide(df, Seq("g"), "v", "id", 1)
     assert(out.select("tile").collect().map(_.getInt(0)).toSeq == Seq(1, 1))
   }
 
@@ -288,7 +340,7 @@ class RandomizedParitySpec extends SparkSpec {
     val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L))
       .toDF("g", "v", "id")
     val e = intercept[IllegalArgumentException] {
-      Windows.ntileMapSide(df, "g", "v", "id", 2).collect()
+      Windows.ntileMapSide(df, Seq("g"), "v", "id", 2).collect()
     }
     assert(e.getMessage.contains("null values"))
   }
