@@ -453,6 +453,15 @@ class ReplSpec extends SparkSpec {
     assert(out.contains("view ntile-7"), s"ntile must register a child view:\n$out")
     // bare `explain sql` gets a usage hint, not a view-lookup error
     assert(out.contains("usage: explain sql <query>"), out)
+    // multi-key cohorts: comma-joined group columns reach ntileMapSide's
+    // Seq[String] signature — tile must partition within each
+    // (priority, status) pair, so every such group holds tiles 1..k'
+    val mk = script(
+      "open orders",
+      "ntile orders-1 o_orderpriority,o_orderstatus o_totalprice o_orderkey 3",
+      "summary ntile-2 tile",
+      "quit")
+    assert(mk.contains("view ntile-2"), s"multi-key ntile must register:\n$mk")
     // and the split view really is leakage-safe-shaped: evaluate it
     val sess = new ViewSession(spark)
     val vid = sess.open("documents",
