@@ -50,6 +50,30 @@ object Projections {
   def jsonExtract(df: DataFrame, jsonCol: String, key: String, out: String): DataFrame =
     df.withColumn(out, get_json_object(col(jsonCol), s"$$.$key"))
 
+  /** Pack several columns into ONE struct key column — the documented
+    * multi-column-cohort path for every single-`groupCol` per-group
+    * operator ([[Quantiles.exactPerGroup]], [[Histograms.equiDepthPerGroup]],
+    * [[Sampling.qualityTiers]], [[Sampling.topKPerGroup]],
+    * [[Sampling.selectByBudget]], [[Sampling.uniformPerGroup]], ...):
+    * a (source, language)-style cohort is
+    * `op(withStructKey(df, Seq("source", "language"), "__k"), "__k", ...)`
+    * with `.drop("__k")` after. Works because those operators only ever
+    * groupBy / join / driver-map the group key generically, and struct
+    * values carry Spark's null-safe field-wise equality and ordering
+    * (the [[Windows.ntileMapSide]] struct-key machinery, exposed as a
+    * composition). Null semantics shift ON PURPOSE: the struct value is
+    * never null even when a member column is, so a (null, "en") cohort
+    * is a REAL group — it survives operators that drop a null group key
+    * outright (e.g. [[Sampling.qualityTiers]]'s inner threshold join).
+    * Pre-filter the member columns if drop-on-null is the intent.
+    * Zero extra shuffle: the struct is a map-side expression.
+    */
+  def withStructKey(df: DataFrame, columns: Seq[String],
+                    outCol: String): DataFrame = {
+    require(columns.nonEmpty, "withStructKey needs at least one column")
+    df.withColumn(outCol, struct(columns.map(col): _*))
+  }
+
   /** Linear projection: rows of `matrix` are projection vectors over
     * `inputs`; emits one new double column per row
     * (`ref:P/maps/LinearProjectionMap.java` — PCA screen projection).

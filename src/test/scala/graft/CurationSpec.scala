@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Sampling, TextOps}
+import graft.operators.{Projections, Sampling, TextOps}
 
 /** Budget / cap curation operators (`Sampling.selectByBudget`,
   * `Sampling.topKPerGroup`): exact parity with the naive window forms
@@ -233,6 +233,48 @@ class CurationSpec extends SparkSpec {
       id -> ("scored", if (s <= 0.2) 0 else if (s <= 0.4) 1 else 2)
     }.toMap
     assert(got == want, s"scored group drifted: $got")
+  }
+
+  test("withStructKey: multi-column cohorts through a single-groupCol operator") {
+    import spark.implicits._
+    // the documented composition path: qualityTiers over a packed
+    // (source, lang) struct key must tier exactly as over an equivalent
+    // single concatenated key (groups are isomorphic when no member is
+    // null) — and a null MEMBER column forms a REAL cohort (the struct
+    // itself is non-null), the documented semantic shift vs a direct
+    // null group key, which qualityTiers drops
+    val rnd = new scala.util.Random(61L)
+    val rows = (1L to 60L).map { id =>
+      (id, s"s${rnd.nextInt(3)}", s"l${rnd.nextInt(2)}", rnd.nextDouble())
+    }.toDF("doc_id", "source", "lang", "score")
+    val viaStruct = Sampling.qualityTiers(
+        Projections.withStructKey(rows, Seq("source", "lang"), "__k"),
+        "__k", "score", tiers = 3)
+      .select("doc_id", "tier")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaConcat = Sampling.qualityTiers(
+        rows.withColumn("__c", concat_ws(" ", col("source"), col("lang"))),
+        "__c", "score", tiers = 3)
+      .select("doc_id", "tier")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaStruct == viaConcat,
+      s"struct-key cohorts diverged from the concat-key cohorts")
+    // null member: (null, "en") survives as its own cohort
+    val withNull = Seq((1L, null.asInstanceOf[String], "en", 0.1),
+      (2L, null.asInstanceOf[String], "en", 0.5),
+      (3L, null.asInstanceOf[String], "en", 0.9),
+      (4L, "web", "en", 0.2), (5L, "web", "en", 0.6), (6L, "web", "en", 0.8))
+      .toDF("doc_id", "source", "lang", "score")
+    val kept = Sampling.qualityTiers(
+        Projections.withStructKey(withNull, Seq("source", "lang"), "__k"),
+        "__k", "score", tiers = 3)
+      .select("doc_id", "tier")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"a null-member struct cohort must survive, got $kept")
+    // each 3-doc cohort tiers 0/1/2 independently
+    assert(kept(1L) == 0 && kept(2L) == 1 && kept(3L) == 2, kept.toString)
+    assert(kept(4L) == 0 && kept(5L) == 1 && kept(6L) == 2, kept.toString)
   }
 
   test("topKPerGroup: groups smaller than k return whole group; payload survives") {
