@@ -68,7 +68,8 @@ object BenchScale {
     // o_custkey filters — copy offsets shift both keys far above the
     // bounds), so their sweep evidence is the copy-0-exact invariant
     // plus ~flat absolute time.
-    "window_ntile", "window_ntile_scalable", "window_moving_sum",
+    "window_ntile", "window_ntile_scalable", "window_ntile_scalable_multi",
+    "window_moving_sum",
     "window_range_band", "window_first_last", "window_percent_rank",
     "window_lag", "window_running_sum",
     // keyless interval join (grid-bucketed cell equi join)
@@ -407,6 +408,24 @@ object BenchScale {
           (if (i <= m) qsz + 1 else qsz))
       }
     }, "scaled per-(priority, tile) counts departed from ntile's size rule")
+    check("ntile_multi_counts_scale_structurally", {
+      // the multi-key cohort row: (priority, status) pairs repeat across
+      // copies, so each pair's group grows to exactly factor×n_g and the
+      // tile COUNTS follow ntile's size rule on factor×n_g — the same
+      // argument as the single-key structural check above
+      val b = q(srcDir, "window_ntile_scalable_multi").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(_._2).sum }
+      val s = q(outDir, "window_ntile_scalable_multi").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getInt(2)) -> r.getLong(3)).toMap
+      b.forall { case (g, ng) =>
+        val n = factor * ng
+        val qsz = n / 4
+        val m = n % 4
+        (1 to 4).forall(i => s.getOrElse((g, i), 0L) ==
+          (if (i <= m) qsz + 1 else qsz))
+      }
+    }, "multi-key tile counts departed from ntile's size rule at scale")
     check("ntile_scalable_equals_window", {
       // the two plans implement ONE assignment rule — at scale (where
       // the map-side boundaries genuinely matter) the rollups must be

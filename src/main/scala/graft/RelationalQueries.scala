@@ -213,6 +213,16 @@ object RelationalQueries {
       |  FROM orders)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val sqlNtileMulti =
+    """SELECT o_orderpriority, o_orderstatus, tile, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT o_orderpriority, o_orderstatus, o_totalprice,
+      |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority, o_orderstatus
+      |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS tile
+      |  FROM orders)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private def sqlQuery(name: String, sql: String): Q =
     Q(name, sql) { (s, d) =>
       graft.sources.Tables.registerAll(s, d)
@@ -700,6 +710,24 @@ object RelationalQueries {
           .agg(count(lit(1)).as("cnt"),
             Det.dsum(col("o_totalprice")).as("sum_price"))
           .orderBy(col("o_orderpriority"), col("tile"))
+    },
+
+    // ---- Multi-column cohorts through the scale-safe plan ------------------
+    // The (source, language)-shape: ntileMapSide's Seq-of-group-columns
+    // signature keys one internal struct, so a (priority, status)
+    // cohort needs no pre-concat — the SQL window oracle partitions by
+    // both columns directly, pinning the multi-key assignment hash-exact
+    // (the two-column hostile parity in RandomizedParitySpec is the
+    // property test; this row is the oracle-green deployment shape).
+    Q("window_ntile_scalable_multi", sqlNtileMulti) {
+      (s, d) =>
+        Windows.ntileMapSide(t(s, d, "orders"),
+            Seq("o_orderpriority", "o_orderstatus"),
+            "o_totalprice", "o_orderkey", 4, "tile")
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"), col("tile"))
+          .agg(count(lit(1)).as("cnt"),
+            Det.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderpriority"), col("o_orderstatus"), col("tile"))
     },
 
     // ---- Sliding rows frame: trailing-4-order spend per customer -----------

@@ -158,8 +158,9 @@ class PlanGuardSpec extends SparkSpec {
       // scales (≤ 25 and 5 rows); +2 round-19: the unpivot long-form
       // grids at both scales (15 cells each — the melt twin of the
       // pivot check; the LSH-vs-dense split agreement check itself uses
-      // only count()s))
-      "BenchScale.scala"    -> 53,
+      // only count()s; +2: the multi-key ntile grids at both scales,
+      // (priority, status)×tile cells)
+      "BenchScale.scala"    -> 55,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table

@@ -22,11 +22,13 @@ class RelationalShapeSpec extends SparkSpec {
     // construction; the RETURNED plan must be scan + broadcast join +
     // map-side tile arithmetic, with no Window exec (whose parallelism
     // ceiling would be the ~5-key priority cardinality) anywhere
-    val p = run("window_ntile_scalable").queryExecution.executedPlan.toString
-    assert(!p.contains("Window"), s"scalable ntile still plans a window:\n$p")
-    assert(!p.contains("ntile("), s"scalable ntile still calls ntile():\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"boundary table is not broadcast:\n$p")
+    for (row <- Seq("window_ntile_scalable", "window_ntile_scalable_multi")) {
+      val p = run(row).queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$row still plans a window:\n$p")
+      assert(!p.contains("ntile("), s"$row still calls ntile():\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$row boundary table is not broadcast:\n$p")
+    }
   }
 
   test("new rows prune and push down at the scan") {
