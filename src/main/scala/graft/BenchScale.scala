@@ -114,6 +114,11 @@ object BenchScale {
     "pipeline_cluster_balance",
     // budget/cap curation (histogram cut + bounded page aggregate)
     "pipeline_token_budget", "pipeline_source_cap", "pipeline_quality_tiers",
+    // the struct-keyed multi-column-cohort deployment of the same tiers
+    // composition (withStructKey ∘ qualityTiers): same plan shape, one
+    // struct expression more — the invariant below pins its populations
+    // to a closed form at scale
+    "pipeline_quality_tiers_multi",
     // perceptual image/audio dedup (map-side hash + pigeonhole banding)
     "multimodal_image_dedup", "multimodal_audio_dedup",
     // BM25 search (map-side term filter + TakeOrderedAndProject)
@@ -400,7 +405,14 @@ object BenchScale {
         .map { case (g, rs) => g -> rs.map(_._2).sum }
       val s = q(outDir, "window_ntile").collect()
         .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
-      b.forall { case (g, ng) =>
+      // the scaled key set must BE the expected (group × nonempty-tile)
+      // grid — getOrElse alone would let a phantom extra key (a group
+      // the base never had) pass unnoticed
+      val expected = b.flatMap { case (g, ng) =>
+        val n = factor * ng
+        (1 to 4).collect { case i if (if (i <= n % 4) n / 4 + 1 else n / 4) > 0 => (g, i) }
+      }.toSet
+      s.keySet == expected && b.forall { case (g, ng) =>
         val n = factor * ng
         val qsz = n / 4
         val m = n % 4
@@ -418,7 +430,12 @@ object BenchScale {
         .map { case (g, rs) => g -> rs.map(_._2).sum }
       val s = q(outDir, "window_ntile_scalable_multi").collect()
         .map(r => ((r.getString(0), r.getString(1)), r.getInt(2)) -> r.getLong(3)).toMap
-      b.forall { case (g, ng) =>
+      // key-set equality mirrors the single-key check: no phantom keys
+      val expected = b.flatMap { case (g, ng) =>
+        val n = factor * ng
+        (1 to 4).collect { case i if (if (i <= n % 4) n / 4 + 1 else n / 4) > 0 => (g, i) }
+      }.toSet
+      s.keySet == expected && b.forall { case (g, ng) =>
         val n = factor * ng
         val qsz = n / 4
         val m = n % 4
@@ -426,6 +443,41 @@ object BenchScale {
           (if (i <= m) qsz + 1 else qsz))
       }
     }, "multi-key tile counts departed from ntile's size rule at scale")
+    check("tiers_multi_populations_closed_form", {
+      // the struct-keyed tiers row has an EXACT closed form at scale:
+      // token salting turns every non-copy-0 stop_ratio into exactly 0
+      // (salted tokens never match the stop list), so for factor >= 3
+      // each (source, lang) cohort's zero block holds >= (factor-1)/factor
+      // >= 2/3 of its scores and BOTH tercile thresholds land inside it
+      // (rank ceil(2n/3) <= (factor-1)·n_g ⇔ factor >= 3). Therefore
+      // per cohort of base size n_g with z zero-score base docs:
+      // tier 0 = (factor-1)·n_g + z docs, tier 1 = none (t1 == t2),
+      // tier 2 = n_g − z; token sums are salting-invariant, so each
+      // cohort's total is exactly factor× the base rollup's.
+      val scoredBase = graft.operators.TextOps.qualityScore(
+          spark.read.parquet(s"$srcDir/documents.parquet"), "doc_id", "text",
+          passthrough = Seq("source", "lang"))
+        .select(col("source"), col("lang"),
+          (round(col("stop_ratio"), 6) === 0.0).as("z"))
+        .collect() // corpus-cohort facts: 5k rows at sf0.1 — sketch-sized
+      val baseCohorts = scoredBase.groupBy(r => (r.getString(0), r.getString(1)))
+        .map { case (k, rs) => k -> (rs.length.toLong, rs.count(_.getBoolean(2)).toLong) }
+      val baseTok = q(srcDir, "pipeline_quality_tiers_multi").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).sum }
+      val out = q(outDir, "pipeline_quality_tiers_multi").collect()
+      val counts = out.map(r => ((r.getString(0), r.getString(1)), r.getInt(2)) -> r.getLong(3)).toMap
+      val toks = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).sum }
+      factor < 3 ||
+        (counts.keySet.map(_._1) == baseCohorts.keySet &&
+          baseCohorts.forall { case (k, (n, z)) =>
+            counts.getOrElse((k, 0), 0L) == (factor - 1) * n + z &&
+              !counts.contains((k, 1)) &&
+              counts.getOrElse((k, 2), 0L) == n - z &&
+              toks.getOrElse(k, 0L) == factor * baseTok(k)
+          })
+    }, "struct-keyed tier populations departed from the zero-block closed form")
     check("ntile_scalable_equals_window", {
       // the two plans implement ONE assignment rule — at scale (where
       // the map-side boundaries genuinely matter) the rollups must be

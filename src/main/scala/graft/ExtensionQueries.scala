@@ -64,6 +64,27 @@ object ExtensionQueries {
     Similarity.autoNlist(
       embCounts.computeIfAbsent(d, _ => t(s, d, "embeddings").count()))
 
+  /** Catalog rows whose frame serves from one of the build-once memoized
+    * index artifacts above (the `*Dir` builders — keyed per (process, sf
+    * dir)). Their timing contract is STEADY-STATE SERVE: the index is "a
+    * prior batch job's output", so the bench warms each of these once at
+    * the bench dir before the timed passes — otherwise pass 1 silently
+    * measures build+serve for whichever row reaches its memo first,
+    * absorbed only by min-of-N. Kept here, next to the builders, so a new
+    * serve row and its warmup tag land in the same diff; a guard test
+    * pins every name to a live catalog row.
+    */
+  val steadyStateServeRows: Set[String] = Set(
+    "dedup_groups_incremental_fold",   // lshIndexDir
+    "dedup_stream_ingest_index",       // lshIndexDir
+    "dedup_stream_embedding_index",    // ivfCorpusIndexDir
+    "dedup_stream_embedding_served",   // embedAssignDir
+    "dedup_groups_embedding_ivf",      // ivfIndexDir
+    "dedup_embedding_ivf",             // ivfIndexDir
+    "similarity_ivf_index",            // ivfIndexDir
+    "similarity_ivfpq_index",          // ivfPqIndexDir
+    "similarity_ivfpq_residual")       // ivfPqResIndexDir
+
   private def ivfIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = QueryDefs.ioDir(d, "ivf_index")
     ivfIndexBuilt.computeIfAbsent(dir, _ => {
@@ -2626,6 +2647,51 @@ object ExtensionQueries {
           .groupBy(col("source"), col("tier"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .orderBy(col("source"), col("tier"))
+      }
+    },
+
+    // ---- Quality tiers over a MULTI-COLUMN cohort --------------------------
+    // The deployment shape of [[Projections.withStructKey]]: the same
+    // qualityTiers composition, but the cohort is (source, lang) — the
+    // struct key carries both columns through exactPerGroup's groupBy and
+    // the broadcast threshold join with zero extra shuffle, so a
+    // "tercile within each source×language slice" curation rule costs
+    // exactly what the single-key rule costs. The oracle is the two-key
+    // generalization of the single-key rank-window SQL (PARTITION BY /
+    // JOIN on both columns), certifying the whole struct-keyed flow.
+    Q("pipeline_quality_tiers_multi",
+      raw"""WITH q AS (
+        |  SELECT doc_id, source, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS BIGINT) * 1.0
+        |      / CAST(len(toks) AS BIGINT), 6) AS score
+        |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |r AS (
+        |  SELECT source, lang, score,
+        |    row_number() OVER (PARTITION BY source, lang ORDER BY score) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source, lang) AS n
+        |  FROM q WHERE score IS NOT NULL),
+        |t AS (
+        |  SELECT source, lang,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(n * (1.0/3.0)) AS BIGINT)) THEN score END) AS t1,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(n * (2.0/3.0)) AS BIGINT)) THEN score END) AS t2
+        |  FROM r GROUP BY source, lang)
+        |SELECT q.source, q.lang,
+        |  CASE WHEN score <= t1 THEN 0 WHEN score <= t2 THEN 1 ELSE 2 END AS tier,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM q JOIN t ON q.source = t.source AND q.lang = t.lang
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, d) => {
+        val scored = TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text",
+          passthrough = Seq("source", "lang"))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+            round(col("stop_ratio"), 6).as("score"))
+        Sampling.qualityTiers(
+            Projections.withStructKey(scored, Seq("source", "lang"), "__k"),
+            "__k", "score", tiers = 3)
+          .drop("__k")
+          .groupBy(col("source"), col("lang"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("source"), col("lang"), col("tier"))
       }
     },
 

@@ -156,9 +156,11 @@ object Repl {
       |                                         count windows over an events view
       |  overlap <view>                         audience-overlap matrix (theta set
       |                                         algebra) over an events view
-      |  tiers <view> [k]                       per-(source, tier) doc/token rollup
-      |                                         of the per-source quality k-tiles
-      |                                         (default terciles; histogram-cut)
+      |  tiers <view> [k] [col,col...]          per-(cohort, tier) doc/token rollup
+      |                                         of the per-cohort quality k-tiles
+      |                                         (default terciles over source;
+      |                                         comma-joined cols tier within each
+      |                                         multi-column slice)
       |  lmscore <lmView> <view>                bigram-LM cross-entropy of <view> docs
       |                                         under a model trained on <lmView>
       |  lineage <view>                         root-to-leaf chain of a view
@@ -188,6 +190,18 @@ object Repl {
       }
       line = in.readLine()
     }
+  }
+
+  /** Comma-joined cohort columns, loudly rejecting empty segments:
+    * 'a,,b' or a trailing comma is a typo, and silently filtering it to
+    * two columns would tier/tile the wrong cohort without a trace.
+    */
+  private def cohortCols(arg: String): Seq[String] = {
+    val parts = arg.split(",", -1).toSeq.map(_.trim)
+    require(parts.forall(_.nonEmpty),
+      s"bad cohort column list '$arg' — expected comma-joined non-empty " +
+        "column names (e.g. source,lang)")
+    parts
   }
 
   /** One command → one printed result (exposed for scripted tests). */
@@ -319,8 +333,7 @@ object Repl {
         // <group> takes comma-separated columns for multi-key cohorts
         s"view ${s.child(ViewId(vid), "ntile")(d =>
           graft.operators.Windows.ntileMapSide(
-            d, g.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
-            v, tie, k.toInt)).value}"
+            d, cohortCols(g), v, tie, k.toInt)).value}"
       case "split" :: vid :: thr :: rest if rest.size == 0 || rest.size == 2 =>
         val (idCol, textCol) = rest match {
           case i :: c :: Nil => (i, c)
@@ -395,19 +408,31 @@ object Repl {
           graft.operators.SketchTables.thetaTable(
             df(vid), Seq("event_type"), "user_id"), "event_type")
           .orderBy(col("key_a"), col("key_b")))
-      case "tiers" :: vid :: rest if rest.size <= 1 =>
-        // per-(source, tier) rollup of the quality terciles (or k-tiles):
-        // sources·k rows — sketch-sized summary, never per-doc output
+      case "tiers" :: vid :: rest if rest.size <= 2 =>
+        // per-(cohort, tier) rollup of the quality terciles (or k-tiles):
+        // cohorts·k rows — sketch-sized summary, never per-doc output.
+        // Cohort defaults to source; comma-joined columns tier within
+        // each multi-column slice (withStructKey carries them through
+        // the single-groupCol operator — the ntile verb precedent)
         val k = rest.headOption.map(_.toInt).getOrElse(3)
+        val cols = rest.lift(1).map(cohortCols).getOrElse(Seq("source"))
         val scored = graft.operators.TextOps
-          .qualityScore(df(vid).select(col("doc_id"), col("text"), col("source")),
-            "doc_id", "text", passthrough = Seq("source"))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            round(col("stop_ratio"), 6).as("score"))
-        render(graft.operators.Sampling.qualityTiers(scored, "source", "score", k)
-          .groupBy(col("source"), col("tier"))
+          .qualityScore(
+            df(vid).select((Seq("doc_id", "text") ++ cols).distinct.map(col): _*),
+            "doc_id", "text", passthrough = cols)
+          .select(col("doc_id") +: cols.map(col) :+ col("n_tokens") :+
+            round(col("stop_ratio"), 6).as("score"): _*)
+        val tiered =
+          if (cols.size == 1)
+            graft.operators.Sampling.qualityTiers(scored, cols.head, "score", k)
+          else
+            graft.operators.Sampling.qualityTiers(
+              graft.operators.Projections.withStructKey(scored, cols, "__k"),
+              "__k", "score", k).drop("__k")
+        render(tiered
+          .groupBy(cols.map(col) :+ col("tier"): _*)
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-          .orderBy(col("source"), col("tier")))
+          .orderBy(cols.map(col) :+ col("tier"): _*))
       case "sample" :: vid :: idCol :: fraction :: Nil =>
         // portable md5-keyed sample as a child view: the same subset
         // re-derives anywhere (growth-stable, nested fractions), so a

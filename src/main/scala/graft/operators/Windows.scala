@@ -124,6 +124,11 @@ object Windows {
     require(k > 0, s"ntile k must be > 0, got $k")
     require(groupCols.nonEmpty,
       "ntileMapSide needs at least one group column (use a constant for a global cohort)")
+    // __gk / __bin are this plan's internal working columns: a caller
+    // frame already carrying either would be silently overwritten and
+    // then dropped — corrupt the input loudly instead
+    Seq("__gk", "__bin").foreach(c => require(!df.columns.contains(c),
+      s"ntileMapSide reserves internal column '$c' — rename it on the input"))
     if (k == 1) return df.withColumn(outCol, lit(1))
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")

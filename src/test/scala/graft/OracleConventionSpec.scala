@@ -53,4 +53,13 @@ class OracleConventionSpec extends AnyFunSuite {
       "uncast aliased SUM() in oracle SQL (DuckDB returns HUGEINT, the driver hash " +
         s"is type-sensitive — wrap in CAST(... AS BIGINT/DOUBLE)):\n${offenders.mkString("\n")}")
   }
+
+  test("every steady-state serve tag names a live catalog row") {
+    // Bench warms ExtensionQueries.steadyStateServeRows at the bench dir
+    // before the timed passes; a renamed or removed row would silently
+    // turn its warmup into a no-op and put build cost back into pass 1
+    val dead = ExtensionQueries.steadyStateServeRows -- SparkEntry.queries.keySet
+    assert(dead.isEmpty,
+      s"steadyStateServeRows names rows absent from the catalog: ${dead.mkString(", ")}")
+  }
 }

@@ -159,8 +159,11 @@ class PlanGuardSpec extends SparkSpec {
       // grids at both scales (15 cells each — the melt twin of the
       // pivot check; the LSH-vs-dense split agreement check itself uses
       // only count()s; +2: the multi-key ntile grids at both scales,
-      // (priority, status)×tile cells)
-      "BenchScale.scala"    -> 55,
+      // (priority, status)×tile cells; +3 round-20: the struct-keyed
+      // tiers closed-form check — base per-doc zero-score flags (5k rows
+      // at sf0.1) plus the (cohort, tier) rollups at both scales (≤ 300
+      // cells each)
+      "BenchScale.scala"    -> 58,
       // similarity_ivf_pinned's 4-row pinned-quantizer collect, plus the
       // shared pinnedVecs helper behind every round-15 pinned-artifact
       // row (4-vector constant reads — the nlist-row centroid-table

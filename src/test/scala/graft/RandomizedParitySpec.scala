@@ -344,4 +344,18 @@ class RandomizedParitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("null values"))
   }
+
+  test("map-side ntile rejects inputs carrying its reserved internal columns") {
+    // __gk / __bin are the plan's working columns: an input already
+    // holding either would be silently overwritten and then dropped —
+    // the operator must corrupt loudly, not quietly
+    Seq("__gk", "__bin").foreach { reserved =>
+      val df = Seq(("a", 1.0, 1L, "x"), ("a", 2.0, 2L, "y"))
+        .toDF("g", "v", "id", reserved)
+      val e = intercept[IllegalArgumentException] {
+        Windows.ntileMapSide(df, Seq("g"), "v", "id", 2).collect()
+      }
+      assert(e.getMessage.contains(reserved), e.getMessage)
+    }
+  }
 }

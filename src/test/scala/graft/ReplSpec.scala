@@ -243,6 +243,32 @@ class ReplSpec extends SparkSpec {
       s"cap view must join the lineage chain:\n$out")
   }
 
+  test("tiers accepts comma-joined cohort columns; malformed cohort lists fail loudly") {
+    // the multi-column-cohort shape: terciles within each (source, lang)
+    // slice, via the withStructKey composition behind the verb
+    val out = script(
+      "open documents",
+      "tiers documents-1 3 source,lang",
+      "quit")
+    val h = out.linesIterator.indexWhere(_.startsWith("source\tlang\ttier\tn_docs\tn_tokens"))
+    assert(h >= 0, s"multi-cohort tiers must render the (source, lang, tier) rollup:\n$out")
+    assert(out.linesIterator.drop(h + 1).next().split("\t").length == 5,
+      s"no multi-cohort tier rows rendered:\n$out")
+    // 'a,,b' / a trailing comma are typos, not cohorts: both verbs that
+    // take comma-joined columns must reject them loudly (a silent filter
+    // would tier/tile the wrong cohort without a trace)
+    val bad = script(
+      "open orders",
+      "ntile orders-1 o_orderpriority,,o_orderstatus o_totalprice o_orderkey 3",
+      "open documents",
+      "tiers documents-2 3 source,",
+      "quit")
+    assert(bad.contains("bad cohort column list 'o_orderpriority,,o_orderstatus'"),
+      s"empty ntile cohort segment must be rejected loudly:\n$bad")
+    assert(bad.contains("bad cohort column list 'source,'"),
+      s"trailing tiers cohort comma must be rejected loudly:\n$bad")
+  }
+
   test("sample verb registers a reproducible hash-sampled child view") {
     val out = script(
       "open documents",
