@@ -322,6 +322,10 @@ object VectorExprs {
     ("graft_fdot", 2, exprs => FloatVectorDot(exprs.head, exprs(1))),
     ("graft_nearest_centroids", 3, exprs => NearestCentroids(exprs.head, exprs(1), exprs(2))),
     ("graft_hyperplane_sig", 2, exprs => HyperplaneSignature(exprs.head, exprs(1))),
+    ("graft_lsh_band_sigs", 4,
+      exprs => LshBandSigs(exprs.head, exprs(1), exprs(2), exprs(3))),
+    ("graft_token_windows", 2, exprs => TokenWindows(exprs.head, exprs(1))),
+    ("graft_token_window_md5s", 2, exprs => TokenWindowMd5s(exprs.head, exprs(1))),
     // AggregateFunction builders — the analyzer wraps them in
     // AggregateExpressions like any registered aggregate
     ("graft_mg_sketch", 2, exprs => MisraGriesSketch(exprs.head, exprs(1))),

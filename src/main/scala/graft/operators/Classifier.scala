@@ -42,7 +42,11 @@ object Classifier {
     val sh = Sampling.hashedNgramBuckets(df, idCol, textCol, n, buckets)
     val counts = sh.groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
-    val totals = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__t"))
+    // per-doc totals fold the (much smaller) bucket counts, not a second
+    // full pass over the exploded shingle frame: Σ_b C(id,b) ≡ C(id)
+    // exactly (long sums), and the shuffle carries one row per (id,
+    // bucket) instead of one per shingle occurrence
+    val totals = counts.groupBy(col(idCol)).agg(sum(col("__c")).as("__t"))
     counts.join(totals, Seq(idCol))
       .select(col(idCol), col("__b").as("bucket"),
         round(col("__c") / col("__t"), 6).as("tf"))
@@ -80,8 +84,13 @@ object Classifier {
       while (it < iters) {
         val wLit = typedlit(w.toIndexedSeq)
         // per-doc margin → residual σ(m) − y, rounded (the one lossy step
-        // per pass, shared with the weight rounding below); persisted so
-        // the bucket and bias gradients don't recompute the margins
+        // per pass, shared with the weight rounding below); persisted —
+        // the margin aggregation (element_at over the weight literal +
+        // exact-decimal dsum per feature row) is the pass's dominant
+        // compute and the frame is referenced twice below: without the
+        // pin both references re-run it per action (the broadcast-build
+        // and shuffle-union exchanges do not reuse each other — MEASURED
+        // +0.5 s/pass at sf0.1)
         val resid = feats
           .groupBy(col("__lid"), col("__y"))
           .agg((Det.dsum(col("tf") * element_at(wLit, col("bucket") + 1)) + lit(bias))
@@ -90,12 +99,18 @@ object Classifier {
             round(lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y"), 6).as("__r"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // bucket gradient Σ r·tf (exact); bias gradient Σ r — resid is
-          // already one row per doc, no join needed
+          // ONE Spark job per pass (this loop ran TWO actions per
+          // iteration): bucket gradients Σ r·tf and the bias gradient
+          // Σ r ride one aggregation, the bias under sentinel bucket −1
+          // (real buckets are 0-based; dsum(__r) ≡ the old standalone
+          // bias sum — exact decimal, order-independent, so the weights
+          // stay bit-identical; ClassifierSpec's determinism pins hold)
           val g = feats.join(resid, Seq("__lid"))
-            .groupBy(col("bucket")).agg(Det.dsum(col("__r") * col("tf")).as("g"))
+            .select(col("bucket"), (col("__r") * col("tf")).as("__c"))
+            .unionByName(resid.select(lit(-1).as("bucket"), col("__r").as("__c")))
+            .groupBy(col("bucket")).agg(Det.dsum(col("__c")).as("g"))
             .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-          val gBias = resid.agg(Det.dsum(col("__r"))).head().getDouble(0)
+          val gBias = g.getOrElse(-1, 0.0)
           w = Array.tabulate(buckets)(b =>
             Det.round6(w(b) - lr * (g.getOrElse(b, 0.0) / nDocs + l2 * w(b))))
           bias = Det.round6(bias - lr * gBias / nDocs)

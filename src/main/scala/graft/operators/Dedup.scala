@@ -260,16 +260,20 @@ object Dedup {
     // termination = the STRUCTURAL goal itself, not plan-level fixpoint:
     // the canonical edge set is a star forest iff every child u carries
     // exactly one edge AND no node is both child and root — precisely the
-    // state where (u, v) IS the (id, rep) mapping. Two bounded scans over
-    // the materialized (shrinking) edge table per round
-    def isStarForest(e: DataFrame): Boolean = {
-      val multiEdgeChild = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).count() > 0
-      if (multiEdgeChild) false
-      else e.select(col("v"))
-        .join(e.select(col("u").as("v")), Seq("v"), "left_semi")
+    // state where (u, v) IS the (id, rep) mapping. ONE job per round
+    // (this was two: a multi-edge count probe plus a child∩root semi
+    // join): both endpoint roles union into a single per-node aggregate
+    // over the materialized (shrinking) edge table — c = child-edge
+    // count, r = appears-as-root flag — and a violation is c > 1 (a
+    // multi-edge child) or c > 0 ∧ r > 0 (a node on both sides), exactly
+    // the two conditions the separate probes tested
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("u").as("k"), lit(1).as("child"), lit(0).as("root"))
+        .union(e.select(col("v").as("k"), lit(0).as("child"), lit(1).as("root")))
+        .groupBy(col("k"))
+        .agg(sum(col("child")).as("c"), max(col("root")).as("r"))
+        .filter(col("c") > 1 || (col("c") > 0 && col("r") > 0))
         .limit(1).count() == 0
-    }
 
     var edges = ckpt(init)
     var prev: DataFrame = null
@@ -486,6 +490,7 @@ object Dedup {
                          textCol: String, n: Int = 2, bands: Int = 8,
                          rowsPerBand: Int = 4, threshold: Double = 0.5,
                          seed: Long = 42L): DataFrame = {
+    graft.functions.VectorExprs.register(train.sparkSession) // native bandSigs
     val edocs = shingleIdArrays(evalSet, idCol, textCol, n)
       .select(col(idCol).as("eval_id"), col("ids").as("e_ids"))
     val ebuckets = edocs
@@ -691,6 +696,7 @@ object Dedup {
                     rowsPerBand: Int = 4, seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    graft.functions.VectorExprs.register(spark) // native bandSigs
     val cdocs = shingleIdArrays(corpus, idCol, textCol, n)
     cdocs.select(col(idCol).as("c_id"), col("ids").as("c_ids"))
       .write.mode("overwrite").parquet(s"$indexDir/arrays")
@@ -716,6 +722,7 @@ object Dedup {
   def appendToLshIndex(accepted: DataFrame, idCol: String, textCol: String,
                        indexDir: String): Unit = {
     val spark = accepted.sparkSession
+    graft.functions.VectorExprs.register(spark) // native bandSigs
     val p = spark.read.parquet(s"$indexDir/params").head()
     val (n, bands, rowsPerBand, seed) =
       (p.getAs[Int]("n"), p.getAs[Int]("bands"),
@@ -749,6 +756,7 @@ object Dedup {
   def lshIndexPairs(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                     idCol: String, textCol: String, indexDir: String,
                     threshold: Double = 0.5): DataFrame = {
+    graft.functions.VectorExprs.register(spark) // native bandSigs
     val p = spark.read.parquet(s"$indexDir/params").head()
     val (n, bands, rowsPerBand, seed) =
       (p.getAs[Int]("n"), p.getAs[Int]("bands"),
@@ -783,9 +791,27 @@ object Dedup {
     * LSH pair path and the streaming ingest-dedup path (which computes it
     * per incoming row with NO shuffle — band routing is the whole point
     * of LSH at ingest time).
+    *
+    * Evaluates through the native [[graft.functions.LshBandSigs]]
+    * expression: the fold form below runs bands×rowsPerBand interpreted
+    * `transform` passes per row (higher-order functions are
+    * CodegenFallback), which dominated every LSH row's cost at sf0.1; the
+    * native kernel is one primitive loop per row using Spark's own XXH64,
+    * bit-identical by construction (parity-pinned in TextHashExprsSpec
+    * against [[bandSigsFold]]). Callers must have run
+    * `VectorExprs.register` on the session — every entry point in this
+    * file and StreamDedup does.
     */
   private[graft] def bandSigs(idsCol: org.apache.spark.sql.Column,
                               bands: Int, rowsPerBand: Int, seed: Long) =
+    graft.functions.TextHashExprs.lshBandSigs(idsCol, bands, rowsPerBand, seed)
+
+  /** The lambda-fold construction [[bandSigs]] replaced — kept as the
+    * dependency-free parity baseline the native expression is pinned
+    * against (the `Similarity.hyperplaneSignature` precedent).
+    */
+  private[graft] def bandSigsFold(idsCol: org.apache.spark.sql.Column,
+                                  bands: Int, rowsPerBand: Int, seed: Long) =
     array((0 until bands).map { b =>
       val mins = (0 until rowsPerBand).map { r =>
         val s = seed + (b * rowsPerBand + r)
@@ -808,6 +834,7 @@ object Dedup {
   private def lshStages(df: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rowsPerBand: Int, seed: Long,
                         scope: graft.CacheScope): (DataFrame, DataFrame) = {
+    graft.functions.VectorExprs.register(df.sparkSession) // native bandSigs
     val docs = scope.pin(shingleIdArrays(df, idCol, textCol, n))
     // band signature = hash of the band's rowsPerBand min-rehashes,
     // computed per row from the hash array (map-side only)

@@ -140,6 +140,7 @@ object NgramSpans {
     */
   private def evalMarked(toks: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, n: Int): DataFrame = {
+    graft.functions.VectorExprs.register(toks.sparkSession) // native windowHashes
     val evalGrams = tokenized(eval, idCol, textCol)
       .filter(col("n_tokens") >= n)
       .select(explode(windowHashes(n)).as("__gram")).distinct()
@@ -186,11 +187,24 @@ object NgramSpans {
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
 
   /** Array of the row's n-token window md5s (index = start position),
-    * over the materialized `__toks` column. Callers must guard
-    * `n_tokens >= n` (an unguarded negative upper bound would make
-    * `sequence` DESCEND) — [[windowHashArray]] is the guarded form.
+    * over the materialized `__toks` column. The native
+    * [[graft.functions.TokenWindowMd5s]] kernel handles short rows itself
+    * (empty array below `n` tokens), so no caller guard is needed — the
+    * fold form it replaces ([[windowHashesFold]], kept as the parity
+    * baseline) ran one interpreted md5+concat_ws+slice lambda per window
+    * (higher-order functions are CodegenFallback) and needed the
+    * `n_tokens >= n` guard against a DESCENDING `sequence`. Callers must
+    * have run `VectorExprs.register` on the session — [[windowHashArray]]
+    * and [[evalMarked]]'s entry points do.
     */
   private def windowHashes(n: Int): Column =
+    graft.functions.TextHashExprs.tokenWindowMd5s(col("__toks"), n)
+
+  /** The lambda-fold construction [[windowHashes]] replaced — the parity
+    * baseline (callers must guard `n_tokens >= n`: an unguarded negative
+    * upper bound makes `sequence` DESCEND).
+    */
+  private[graft] def windowHashesFold(n: Int): Column =
     transform(sequence(lit(0), col("n_tokens").cast("int") - lit(n)),
       p => md5(concat_ws(" ", slice(col("__toks"), p + lit(1), lit(n)))))
 
@@ -202,10 +216,9 @@ object NgramSpans {
   private[graft] def windowHashArray(df: DataFrame, idCol: String, textCol: String,
                                      n: Int): DataFrame = {
     require(n >= 2, "window width must be >= 2 tokens")
+    graft.functions.VectorExprs.register(df.sparkSession) // native windowHashes
     tokenized(df, idCol, textCol)
-      .select(col(idCol),
-        when(col("n_tokens") >= n, windowHashes(n))
-          .otherwise(array().cast("array<string>")).as("__grams"))
+      .select(col(idCol), windowHashes(n).as("__grams"))
   }
 
   /** Exploded window occurrences (id, __pos, __gram) for rows with at

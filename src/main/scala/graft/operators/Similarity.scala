@@ -41,7 +41,7 @@ object Similarity {
     * `VectorExprs.register(spark)` first — the top-k entry points below
     * do.
     */
-  private def cosineNative(a: Column, b: Column): Column = {
+  private[graft] def cosineNative(a: Column, b: Column): Column = {
     import graft.functions.VectorExprs.fdot
     fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b)))
   }

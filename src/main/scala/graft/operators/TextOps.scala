@@ -39,6 +39,20 @@ object TextOps {
     */
   def shingles(toksCol: Column, n: Int): Column = {
     require(n >= 2)
+    // native TokenWindows expression: the fold form below evaluates one
+    // interpreted concat_ws lambda per window (higher-order functions are
+    // CodegenFallback); the native kernel is one primitive loop per row,
+    // value-identical (parity-pinned in TextHashExprsSpec against
+    // [[shinglesFold]]). Callers must have run VectorExprs.register on
+    // the session — rawShingles/repetitionScore/StreamDedup do.
+    graft.functions.TextHashExprs.tokenWindows(toksCol, n)
+  }
+
+  /** The lambda-fold construction [[shingles]] replaced — kept as the
+    * dependency-free parity baseline (the bandSigsFold precedent).
+    */
+  private[graft] def shinglesFold(toksCol: Column, n: Int): Column = {
+    require(n >= 2)
     when(size(toksCol) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toksCol) - lit(n - 1)),
@@ -63,6 +77,7 @@ object TextOps {
     * dedups AFTER its broadcast filter) build on this directly.
     */
   def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession) // native shingles
     val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val sh = if (n == 1) col("__toks") else shingles(col("__toks"), n)
     withToks.select(col(idCol), explode(sh).as("sh"))
@@ -278,6 +293,7 @@ object TextOps {
     */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession) // native shingles
     val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     withToks.select(col(idCol), explode(shingles(col("__toks"), n)).as("sh"))
       .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("cnt"))

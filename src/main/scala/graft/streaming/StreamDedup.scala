@@ -111,6 +111,7 @@ object StreamDedup {
                          idCol: String, textCol: String,
                          n: Int = 2, bands: Int = 8, rowsPerBand: Int = 4,
                          threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession) // native bandSigs
     // static side: per-doc shingle arrays + band buckets (the "index"
     // `Dedup.buildLshIndex` persists; docs with no shingles have no
     // buckets)
@@ -156,6 +157,7 @@ object StreamDedup {
                           incoming: DataFrame, idCol: String, textCol: String,
                           n: Int, bands: Int, rowsPerBand: Int,
                           threshold: Double, seed: Long): DataFrame = {
+    graft.functions.VectorExprs.register(incoming.sparkSession) // native bandSigs
     // stream side: shingle-hash array and band signatures per ROW —
     // `array_distinct` over hashes mirrors shingleSet's distinct-shingle
     // contract (identical sets absent 64-bit collisions); the token array
@@ -315,9 +317,12 @@ object StreamDedup {
         // rounded to 6 dp BEFORE the threshold compare — the batch
         // embedding-dedup family's shared contract (bucketVerifiedPairs,
         // cosineDupPairs), which also makes the pinned gate row exactly
-        // replayable at the threshold boundary
+        // replayable at the threshold boundary. cosineNative: the verify
+        // fan-out is candidates × dim multiply-adds — the gate's dominant
+        // cost — and the interpreted fold form evaluated per element;
+        // the native fdot kernel is bit-identical (VectorExprsSpec)
         when(col("c_id").isNotNull,
-          round(Similarity.cosine(col("s_vec"), col("c_vec")), 6)).as("sim"),
+          round(Similarity.cosineNative(col("s_vec"), col("c_vec")), 6)).as("sim"),
         col("c_id"))
       .groupBy(col("s_id").as("vec_id"))
       .agg(size(array_distinct(collect_list(
