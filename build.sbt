@@ -10,7 +10,23 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// per-test durations in the report (-oD) — the evidence trail for keeping
+// the suite inside the driver's verification budget
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
+// The driver parses the bench/verify mains' stdout with per-line JSON
+// reads. sbt's default LoggedOutput wraps every forked-process line in
+// an "[info] " prefix (and logs its stderr as "[error] " to stdout),
+// which broke the parse two rounds running (PERF r19/r20 `parsed: null`).
+// StdoutOutput inherits the real stdout/stderr instead: the forked
+// main's println lines reach the driver byte-for-byte, and its stderr
+// diagnostics stay on stderr.
+outputStrategy := Some(StdoutOutput)
+// ... and sbt's own trailing "[success] Total time: ..." line lands on
+// stdout AFTER the bench's final JSON line, so a last-line parser reads
+// sbt noise instead of the bench output. rc still signals success.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // forward sbt's stdin to the forked JVM (graft.Repl reads commands from it)
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -114,7 +114,7 @@ object Bench {
     // original passes; extra spaced samples let min-of-N see through.
     // The adjudication (query, previous, final) is logged to stderr so a
     // reviewer can separate environmental swings from real regressions.
-    val prev = previousCommitted(sfDir)
+    val prev = previousCommitted(sfDir, cpus)
     val swung = queries.filter { case (name, _) =>
       (samplesSoFar.toMap.apply(name).minOption, prev.get(name)) match {
         case (Some(cur), Some(p)) if p > 0 =>
@@ -169,7 +169,7 @@ object Bench {
       .filter(_._2.size >= 2)
       .map { case (k, s) => "\"" + k + "\":" + fmt(s.max / s.min) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir","cpus":$cpus}"""
     // The driver's stdout capture is BOUNDED: rounds 9-12 clipped the
     // full per-query map mid-line and the round artifact's `parsed` field
     // came back null every time. So the FIRST stdout line is the compact
@@ -197,13 +197,21 @@ object Bench {
     // whose map is the 12-anchor subset (that number lives in
     // BENCH_full_latest.json, and here under `full_total`)
     val anchorTotal = anchors.flatMap(a => rmap.get(a).flatten).sum
-    val anchorLine = s"""{"metric":"anchor12_total","value":${fmt3(anchorTotal)},"unit":"sec","queries":$aqs,"full_total":${fmt3(total)},"errors":$errors,"sf":"$sfDir","subset":"anchor12_of_${results.size}","full":"BENCH_full_latest.json"}"""
-    println(anchorLine)
+    val anchorLine = s"""{"metric":"anchor12_total","value":${fmt3(anchorTotal)},"unit":"sec","queries":$aqs,"full_total":${fmt3(total)},"errors":$errors,"sf":"$sfDir","cpus":$cpus,"subset":"anchor12_of_${results.size}","full":"BENCH_full_latest.json"}"""
     val qs3 = results
       .map { case (k, v) => "\"" + k + "\":" + v.map(fmt3).getOrElse("-1.0") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"errors":$errors,"sf":"$sfDir"}""")
+    val fullLine3 = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs3,"errors":$errors,"sf":"$sfDir","cpus":$cpus}"""
+    // Emission order matters: with build.sbt's StdoutOutput these println
+    // lines are the ONLY stdout, and the driver reads the stream tail-first.
+    // Head anchor (small, clip-proof), then the full map, then the anchor
+    // again (so a very short tail capture still yields the §B subset +
+    // full_total), then the COMPLETE per-query map as the TRUE LAST line —
+    // the driver's per-query/geomean/scaling tables parse from it.
     println(anchorLine)
+    println(fullLine3)
+    println(anchorLine)
+    println(fullLine3)
     // self-contained artifact: the driver captures stdout, but a truncated
     // capture loses the tail of the (long) per-query map — persist the full
     // line so the bench is reconstructable from disk. Written BOTH to
@@ -221,12 +229,17 @@ object Bench {
     // SPARK_GRAFT_ONLY subset run would silently replace the 100+-query
     // record with its few rows
     if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty && only.isEmpty) {
-      persistAtRepoRoot("bench", line, "BENCH_full_latest.json")
+      // the committed round record is the 32-core run; the driver's c8
+      // scaling sweep runs SECOND and used to clobber it (r20 lost its
+      // c32 per-query record that way). Non-32-core runs stamp their own
+      // cpus-suffixed artifact instead.
+      val suffix = if (cpus == "32") "" else s"_c$cpus"
+      persistAtRepoRoot("bench", line, s"BENCH_full_latest$suffix.json")
       // the anchor-12 map ALSO lands as its own small durable artifact:
       // three rounds of driver-side stdout parsing came back `parsed:
       // null` despite head+tail anchor emission, so the normative
       // BASELINE.md §B comparison must never depend on stdout at all
-      persistAtRepoRoot("bench", anchorLine, "BENCH_anchor_latest.json")
+      persistAtRepoRoot("bench", anchorLine, s"BENCH_anchor_latest$suffix.json")
     }
     spark.stop()
   }
@@ -239,13 +252,18 @@ object Bench {
     * artifact is this object's own single-line output, so the quoted-key
     * number-value shape is stable by construction.
     */
-  private def previousCommitted(sfDir: String): Map[String, Double] =
+  private def previousCommitted(sfDir: String, cpus: String): Map[String, Double] =
     try {
-      val p = java.nio.file.Paths.get("BENCH_full_latest.json")
+      val suffix = if (cpus == "32") "" else s"_c$cpus"
+      val p = java.nio.file.Paths.get(s"BENCH_full_latest$suffix.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // a mismatched sf or core count is not a comparable baseline
+        // (legacy artifacts without a cpus field are accepted as-is)
         if (!line.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else if ("\"cpus\":([0-9]+)".r.findFirstMatchIn(line)
+                   .exists(_.group(1) != cpus)) Map.empty
         else {
           val start = line.indexOf("\"queries\":{")
           val end = line.indexOf("}", start)

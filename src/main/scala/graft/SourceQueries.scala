@@ -30,9 +30,13 @@ object SourceQueries {
          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin) {
       (s, d) =>
         val out = ioDir(d, "lineitem_csv")
-        Tables.exportCsv(
-          t(s, d, "lineitem").select("l_returnflag", "l_quantity"), out)
-        Tables.csv(s, out)
+        val src = t(s, d, "lineitem").select("l_returnflag", "l_quantity")
+        Tables.exportCsv(src, out)
+        // explicit schema on the re-read: inference costs a SECOND full
+        // scan of the CSV (guide §6); the writer knows the schema, and
+        // inference parity (string + double → the same StructType) is
+        // pinned in PlanAndSourceSpec so the certification survives
+        Tables.csvWithSchema(s, out, src.schema)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first)
@@ -44,9 +48,12 @@ object SourceQueries {
          |FROM orders GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin) {
       (s, d) =>
         val out = ioDir(d, "orders_json")
-        t(s, d, "orders").select("o_orderstatus", "o_totalprice")
-          .write.mode("overwrite").json(out)
-        Tables.json(s, out)
+        val src = t(s, d, "orders").select("o_orderstatus", "o_totalprice")
+        src.write.mode("overwrite").json(out)
+        // explicit schema: bare read.json runs a full inference pass over
+        // the files before the real scan (§6); parity pinned in
+        // PlanAndSourceSpec
+        Tables.jsonWithSchema(s, out, src.schema)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("sum_price"))
           .orderBy(col("o_orderstatus").asc_nulls_first)

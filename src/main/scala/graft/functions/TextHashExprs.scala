@@ -50,6 +50,11 @@ object TextHashExprs {
   def tokenWindowMd5s(toks: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_token_window_md5s", toks,
       org.apache.spark.sql.functions.lit(n))
+
+  def winnowMinMd5s(toks: Column, k: Int, window: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_winnow_min_md5s", toks,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(window))
 }
 
 /** MinHash band signatures over a doc's (sorted, distinct) shingle-hash
@@ -121,6 +126,16 @@ case class LshBandSigs(ids: Expression, bandsExpr: Expression,
   def sigs(x: Any): ArrayData = {
     val arr = if (x == null) null else x.asInstanceOf[ArrayData]
     val n = if (arr == null) 0 else arr.numElements()
+    // xxhash64(x, lit(s)) evaluates as fold(s, fold(x, 42)) — the inner
+    // fold(x, 42) is independent of the per-(band, row) seed s, so hoist
+    // it once per element instead of recomputing it bands×rowsPerBand
+    // times (a NULL element skips only its own fold, leaving the bare 42)
+    val h0 = new Array[Long](n)
+    var e = 0
+    while (e < n) {
+      h0(e) = if (arr.isNullAt(e)) 42L else XXH64.hashLong(arr.getLong(e), 42L)
+      e += 1
+    }
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
@@ -132,11 +147,7 @@ case class LshBandSigs(ids: Expression, bandsExpr: Expression,
         var found = false
         var i = 0
         while (i < n) {
-          // xxhash64(x, lit(s)): seed 42, fold the element (skipped when
-          // NULL — Spark hash exprs skip null children), fold s
-          var h = 42L
-          if (!arr.isNullAt(i)) h = XXH64.hashLong(arr.getLong(i), h)
-          h = XXH64.hashLong(s, h)
+          val h = XXH64.hashLong(s, h0(i))
           if (!found || h < min) { min = h; found = true }
           i += 1
         }
@@ -279,4 +290,130 @@ case class TokenWindowMd5s(toks: Expression, nExpr: Expression)
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(toks = l, nExpr = r)
+}
+
+/** The complete winnowing-fingerprint kernel (Schleimer/Wilkerson/Aiken)
+  * as ONE map-side expression: per row, md5-hex each k-token window of
+  * the string array (concat_ws(" ") join semantics, the
+  * [[TokenWindowExpression]] kernel), then the DISTINCT minima of each
+  * sliding `window` of consecutive k-gram hashes, in first-occurrence
+  * order. Fewer than `window` k-grams yield the single global minimum
+  * (the clipped first window); fewer than `k` tokens yield an EMPTY
+  * array; a NULL token array yields NULL.
+  *
+  * This replaces `TextOps.winnowFingerprints`' distributed form — explode
+  * to k-gram positions, a per-doc window-min (one Exchange + sort), a
+  * DISTINCT (second Exchange) and a per-doc rollup (third Exchange) —
+  * with zero shuffles: n_fp/min_fp derive map-side as size()/array_min()
+  * of this array. Value-identical by construction (same md5 hex, same
+  * lexicographic minima — hex is ASCII, so java.lang.String ordering,
+  * UTF8String binary ordering and the SQL ORDER BY agree); parity-pinned
+  * in TextHashExprsSpec against the shuffle form and the local
+  * `TextOps.winnow` library twin.
+  */
+case class WinnowMinMd5s(toks: Expression, kExpr: Expression, windowExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = toks
+  override def second: Expression = kExpr
+  override def third: Expression = windowExpr
+  override def prettyName: String = "graft_winnow_min_md5s"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    toks.dataType match {
+      case ArrayType(StringType, _) =>
+      case t => return TypeCheckFailure(
+        s"$prettyName needs an array<string> token column, got ${t.simpleString}")
+    }
+    def foldablePos(e: Expression, what: String): Option[org.apache.spark.sql.catalyst.analysis.TypeCheckResult] =
+      e.dataType match {
+        case IntegerType if e.foldable =>
+          e.eval(null) match {
+            case null => Some(TypeCheckFailure(s"$prettyName $what must not be NULL"))
+            case v: Integer if v < 1 =>
+              Some(TypeCheckFailure(s"$prettyName $what must be >= 1, got $v"))
+            case _ => None
+          }
+        case t => Some(TypeCheckFailure(
+          s"$prettyName needs a foldable int $what, got ${t.simpleString}"))
+      }
+    foldablePos(kExpr, "k").orElse(foldablePos(windowExpr, "window"))
+      .getOrElse(TypeCheckSuccess)
+  }
+
+  private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
+  private lazy val window: Int = windowExpr.eval(null).asInstanceOf[Int]
+
+  /** Shared by eval and the generated code (via reference object). */
+  def mins(x: Any): ArrayData = {
+    if (x == null) return null
+    val arr = x.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val ng = m - k + 1 // number of k-grams
+    if (ng < 1) return new GenericArrayData(Array.empty[Any])
+    // md5-hex each k-gram (concat_ws(" ") semantics: null tokens
+    // contribute nothing — no token, no separator)
+    val hashes = new Array[String](ng)
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p < ng) {
+      sb.setLength(0)
+      var j = 0
+      var firstTok = true
+      while (j < k) {
+        if (!arr.isNullAt(p + j)) {
+          if (!firstTok) sb.append(' ')
+          sb.append(arr.getUTF8String(p + j).toString)
+          firstTok = false
+        }
+        j += 1
+      }
+      hashes(p) = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p += 1
+    }
+    // window minima: every full window of `window` consecutive k-gram
+    // hashes; a doc with fewer than one full window keeps the single
+    // clipped minimum of ALL its k-grams. Distinct in first-occurrence
+    // order (the local TextOps.winnow `.distinct` contract).
+    val seen = new java.util.LinkedHashSet[String]()
+    if (ng <= window) {
+      var best = hashes(0)
+      var i = 1
+      while (i < ng) { if (hashes(i).compareTo(best) < 0) best = hashes(i); i += 1 }
+      seen.add(best)
+    } else {
+      var s = 0
+      while (s <= ng - window) {
+        var best = hashes(s)
+        var i = s + 1
+        while (i < s + window) { if (hashes(i).compareTo(best) < 0) best = hashes(i); i += 1 }
+        seen.add(best)
+        s += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  // TernaryExpression's null-safe plumbing: a NULL token array (the only
+  // nullable child — k/window are non-null foldables by the check above)
+  // yields NULL, exactly the kernel's contract
+  override def nullSafeEval(t: Any, kk: Any, ww: Any): Any = mins(t)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val self = ctx.addReferenceObj("winnowMinMd5s", this, classOf[WinnowMinMd5s].getName)
+      s"${ev.value} = $self.mins($v);"
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(toks = f, kExpr = s, windowExpr = t)
 }

@@ -326,6 +326,8 @@ object VectorExprs {
       exprs => LshBandSigs(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("graft_token_windows", 2, exprs => TokenWindows(exprs.head, exprs(1))),
     ("graft_token_window_md5s", 2, exprs => TokenWindowMd5s(exprs.head, exprs(1))),
+    ("graft_winnow_min_md5s", 3,
+      exprs => WinnowMinMd5s(exprs.head, exprs(1), exprs(2))),
     // AggregateFunction builders — the analyzer wraps them in
     // AggregateExpressions like any registered aggregate
     ("graft_mg_sketch", 2, exprs => MisraGriesSketch(exprs.head, exprs(1))),

@@ -72,8 +72,17 @@ object Classifier {
       .unionByName(neg.select(col(idCol), col(textCol), lit(0.0).as("__y")))
       .select(concat(col("__y").cast("int"), lit("_"), col(idCol).cast("string")).as("__lid"),
         col(textCol), col("__y"))
+    // persisted PRE-PARTITIONED on __lid: every iteration's margin
+    // aggregation (groupBy __lid, __y — satisfied by the __lid hash
+    // partitioning) and the feats ⋈ resid gradient join (both sides
+    // derive from this cache) then reuse the cached partitioning instead
+    // of re-exchanging per pass — 30 iterations, zero feats-side
+    // Exchanges. Partition count stays the session's shuffle default
+    // (scale-adaptive), and dsum is order-independent exact decimal, so
+    // the weights are bit-identical (ClassifierSpec pins).
     val feats = features(labeled, "__lid", textCol, n, buckets)
       .join(labeled.select(col("__lid"), col("__y")), Seq("__lid"))
+      .repartition(col("__lid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nDocs = feats.select(col("__lid")).distinct().count().toDouble

@@ -346,15 +346,29 @@ object Dedup {
       .select(coalesce(col("ra"), col("a")).as("d1"),
         coalesce(col("rb"), col("b")).as("d2"))
       .filter(col("d1") =!= col("d2"))
-    // the touched subgraph is ingest-batch-sized: pin it so the CC
-    // loop's rounds, the vertex derivation, and the final label joins
-    // share one materialization (scope-released, not eagerly unpersisted
-    // — the output plan still references it lazily)
-    val cached = scope.pin(contracted)
+    // the touched subgraph is ingest-batch-sized: CHECKPOINT it (not just
+    // pin) — its plan embeds the whole pair-producer DAG (an LSH index
+    // probe + verify at serving time) and is referenced by the vertex
+    // derivation (twice), the CC loop and the final label joins; pinned-
+    // but-untruncated, the output plan re-embedded that DAG per reference
+    // (305 Exchanges / 2933 plan lines on the served fold row) and
+    // Catalyst re-analyzed all of it on every action. Truncation bounds
+    // the plan at a batch-sized leaf; reliable when a checkpoint dir is
+    // set (the connectedComponents durability contract), executor-local
+    // otherwise. `scope` stays in the signature for callers that pinned
+    // through it historically — the checkpoint supersedes it here.
+    val reliable = newPairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    val cached = ckpt(contracted)
     val touched = cached.select(col("d1").as("id"))
       .union(cached.select(col("d2").as("id"))).distinct()
-    val sub = connectedComponentsStar(touched, "id", cached)
-      .select(col("id").as("t_id"), col("rep_id").as("t_rep"))
+    // the sub-clustering output is referenced by BOTH final label joins;
+    // checkpointing it too keeps the returned plan constant-sized (two
+    // joins against two batch-sized leaves) instead of duplicating the
+    // CC fixpoint plan per side
+    val sub = ckpt(connectedComponentsStar(touched, "id", cached)
+      .select(col("id").as("t_id"), col("rep_id").as("t_rep")))
     // compose: members of touched old components re-point at the merged
     // rep; everything else keeps its label. One rep-keyed join each side
     // (sub is batch-sized — broadcast-able at real scale).

@@ -595,14 +595,20 @@ object Similarity {
                                         seed: Long): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // reliable checkpoints when the session has a checkpoint dir (the
+    // connectedComponents durability contract: executor-local blocks die
+    // with an executor, which on a real cluster kills a mid-init build);
+    // the localCheckpoint default remains the single-JVM fast path
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def ckpt[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+      if (reliable) ds.checkpoint(eager = true) else ds.localCheckpoint(eager = true)
     val base = emb
       .select(xxhash64(col(idCol), lit(seed)).as("h"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
     val seedVec = base.orderBy(col("h")).limit(1)
       .collect().head._2.map(_.toDouble)
     val cand = scala.collection.mutable.ArrayBuffer[Array[Double]](seedVec)
-    var pts = base.map { case (h, v) => (h, v, l2f(v, seedVec)) }
-      .localCheckpoint(eager = true)
+    var pts = ckpt(base.map { case (h, v) => (h, v, l2f(v, seedVec)) })
     var round = 1
     var exhausted = false
     while (round <= kmeansParRounds && !exhausted && cand.length < maxInitCandidates) {
@@ -625,12 +631,12 @@ object Similarity {
         else {
           cand ++= added
           val bc = spark.sparkContext.broadcast(added)
-          val next = pts.map { case (h, v, d) =>
+          val next = ckpt(pts.map { case (h, v, d) =>
             val cs = bc.value
             var best = d; var i = 0
             while (i < cs.length) { val t = l2f(v, cs(i)); if (t < best) best = t; i += 1 }
             (h, v, best)
-          }.localCheckpoint(eager = true)
+          })
           Iterative.releaseCheckpoint(pts)
           pts = next
           bc.destroy()

@@ -383,8 +383,37 @@ object TextOps {
 
   /** Shingle-set fingerprint: min-hash digest + cardinality per doc —
     * cheap dedup fingerprint, SQL-mirrorable (md5-based).
+    *
+    * MAP-SIDE (n ≥ 2): both outputs are per-row functions of the token
+    * array — min(md5(distinct shingles)) ≡ array_min over ALL window md5s
+    * (duplicates never change a min) and the distinct-shingle count is
+    * size(array_distinct(windows)) — so the shuffle form's two Exchanges
+    * (distinct on (id, sh), then the per-doc rollup) disappear entirely.
+    * Value-identical (parity-pinned in TextHashExprsSpec against
+    * [[fingerprintShuffle]]); n = 1 keeps the grouped form (the window
+    * kernels require n ≥ 2).
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    if (n == 1) fingerprintShuffle(df, idCol, textCol, n)
+    else {
+      graft.functions.VectorExprs.register(df.sparkSession)
+      // absence filter on the cheap token count (size(toks) >= n ⟺ the
+      // doc has ≥ 1 window), so no kernel output feeds a pushable
+      // predicate (the §4.4 double-eval shape — see winnowFingerprints)
+      df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(col(idCol),
+          array_min(graft.functions.TextHashExprs.tokenWindowMd5s(col("__toks"), n))
+            .as("min_shingle_hash"),
+          size(array_distinct(graft.functions.TextHashExprs.tokenWindows(col("__toks"), n)))
+            .cast("long").as("n_shingles"))
+    }
+
+  /** The grouped construction [[fingerprint]] replaced — the parity
+    * baseline (and the n = 1 path, below the window kernels' n ≥ 2).
+    */
+  private[graft] def fingerprintShuffle(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int): DataFrame =
     shingleSet(df, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(min(md5(col("sh"))).as("min_shingle_hash"),
@@ -404,6 +433,37 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1)
+    // MAP-SIDE: the whole winnow — k-gram md5s, sliding window minima,
+    // distinct — is a per-row function of the token array, computed by
+    // the native WinnowMinMd5s kernel; n_fp/min_fp are size()/array_min()
+    // of its result. The shuffle form below (explode + per-doc window
+    // min + DISTINCT + rollup = three Exchanges) survives as
+    // [[winnowFingerprintsShuffle]], the parity baseline.
+    graft.functions.VectorExprs.register(df.sparkSession)
+    // the absence filter tests the CHEAP token count, not the kernel
+    // output: a size(kernel(...)) predicate gets pushed below the
+    // projection and re-evaluates the kernel per row (the §4.4
+    // double-eval shape); size(toks) >= k is exactly "has ≥ 1 k-gram",
+    // and the surviving rows' kernel output is non-empty by construction.
+    // Project-level subexpression elimination then computes the kernel
+    // ONCE for the two output columns.
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol),
+        graft.functions.TextHashExprs.winnowMinMd5s(
+          col("__toks"), k, window).as("__mins"))
+      .select(col(idCol),
+        size(col("__mins")).cast("long").as("n_fp"),
+        array_min(col("__mins")).as("min_fp"))
+  }
+
+  /** The distributed explode+window construction [[winnowFingerprints]]
+    * replaced — the parity baseline.
+    */
+  private[graft] def winnowFingerprintsShuffle(df: DataFrame, idCol: String,
+                                               textCol: String,
+                                               k: Int, window: Int): DataFrame = {
     require(k >= 1 && window >= 1)
     val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val ng = size(col("__toks")) - lit(k - 1) // number of k-grams

@@ -158,7 +158,29 @@ object Tables {
       .option("inferSchema", inferSchema.toString)
       .csv(path)
 
+  /** CSV re-read with an EXPLICIT schema — inference costs a second full
+    * scan of the files (guide §6: one listing, one scan), which a
+    * round-trip whose writer knows the schema never needs to pay.
+    * Inference parity with the explicit schema is pinned in
+    * PlanAndSourceSpec, so the certification the inferring form provided
+    * is kept — in a test, not in every timed read.
+    */
+  def csvWithSchema(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path)
+
   def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+
+  /** JSON re-read with an EXPLICIT schema — `spark.read.json` without one
+    * runs a full inference pass over the files first (§6).
+    */
+  def jsonWithSchema(spark: SparkSession, path: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
   def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
   /** Line-oriented text source (log-file shape): one row per line,

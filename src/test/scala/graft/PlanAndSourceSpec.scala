@@ -92,6 +92,37 @@ class PlanAndSourceSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("explicit-schema CSV/JSON re-reads equal the inferring reads") {
+    // the roundtrip queries re-read with the WRITER's schema (killing
+    // inference's second full scan, guide §6); this pins that inference
+    // would have produced the identical schema and values, so the
+    // lossless-round-trip certification is unchanged
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv_sch").toString
+    val csvSrc = Tables.open(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").limit(200)
+    Tables.exportCsv(csvSrc, csvDir)
+    val inferred = Tables.csv(spark, csvDir)
+    val explicit = Tables.csvWithSchema(spark, csvDir, csvSrc.schema)
+    assert(inferred.schema == explicit.schema,
+      s"CSV inference diverged: ${inferred.schema} vs ${explicit.schema}")
+    assert(inferred.collect().map(_.toSeq).toSet == explicit.collect().map(_.toSeq).toSet)
+
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_json_sch").toString
+    val jsonSrc = Tables.open(spark, sf, "orders")
+      .select("o_orderstatus", "o_totalprice").limit(200)
+    jsonSrc.write.mode("overwrite").json(jsonDir)
+    val jInferred = Tables.json(spark, jsonDir)
+    val jExplicit = Tables.jsonWithSchema(spark, jsonDir, jsonSrc.schema)
+    // inferring JSON orders fields alphabetically; compare field sets and
+    // per-field types, then values by name
+    assert(jInferred.schema.fields.map(f => f.name -> f.dataType).toMap ==
+      jExplicit.schema.fields.map(f => f.name -> f.dataType).toMap,
+      s"JSON inference diverged: ${jInferred.schema} vs ${jExplicit.schema}")
+    assert(
+      jInferred.select(col("o_orderstatus"), col("o_totalprice")).collect().map(_.toSeq).toSet ==
+        jExplicit.select(col("o_orderstatus"), col("o_totalprice")).collect().map(_.toSeq).toSet)
+  }
+
   test("hive-partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.open(spark, sf, "lineitem")

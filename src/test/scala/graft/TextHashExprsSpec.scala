@@ -97,6 +97,61 @@ class TextHashExprsSpec extends SparkSpec {
     assert(one.getSeq[String](0) == Seq(one.getString(1)))
   }
 
+  test("map-side winnow equals the explode+window shuffle form on the fixture") {
+    VectorExprs.register(spark)
+    val native = TextOps.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val shuffle = TextOps.winnowFingerprintsShuffle(docs, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(native == shuffle)
+    assert(native.nonEmpty)
+  }
+
+  test("winnow kernel handles hostile token arrays like the shuffle form") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    // shorter than k (no row), exactly k (one clipped window), between k
+    // and k+window (clipped min), exactly one full window, several full
+    // windows with repeats (distinct), null text (no row), empty string
+    // (single empty token -> shorter than k)
+    val weird = Seq(
+      (1L, "a b"), (2L, "a b c"), (3L, "a b c d"), (4L, "a b c d e f"),
+      (5L, "x x x x x x x x x x"), (6L, null.asInstanceOf[String]), (7L, ""))
+      .toDF("doc_id", "text")
+    val native = TextOps.winnowFingerprints(weird, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val shuffle = TextOps.winnowFingerprintsShuffle(weird, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(native == shuffle)
+    // and the absent-row contract: 1, 6 and 7 have no k-gram at all
+    assert(!native.exists(t => Set(1L, 6L, 7L)(t._1)))
+    // local library twin agrees too (first-occurrence-distinct order)
+    val mins = TextOps.winnow(IndexedSeq("a", "b", "c", "d", "e", "f"), 3, 4)
+    val row4 = native.find(_._1 == 4L).get
+    assert(row4._2 == mins.distinct.size && row4._3 == mins.min)
+  }
+
+  test("map-side fingerprint equals the grouped shuffle form incl. hostile docs") {
+    VectorExprs.register(spark)
+    val native = TextOps.fingerprint(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val shuffle = TextOps.fingerprintShuffle(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native == shuffle)
+    assert(native.nonEmpty)
+    import spark.implicits._
+    val weird = Seq(
+      (1L, "one"), (2L, "a b a b a b"), (3L, null.asInstanceOf[String]),
+      (4L, ""), (5L, "x y"))
+      .toDF("doc_id", "text")
+    val n2 = TextOps.fingerprint(weird, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val s2 = TextOps.fingerprintShuffle(weird, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(n2 == s2)
+    assert(!n2.exists(t => Set(1L, 3L, 4L)(t._1))) // no bigram -> absent
+  }
+
   test("the native kernels participate in whole-stage codegen") {
     VectorExprs.register(spark)
     // the input must itself be codegen-friendly (a HOF-built array would
@@ -110,5 +165,9 @@ class TextHashExprsSpec extends SparkSpec {
       .select(TextHashExprs.tokenWindows(TextOps.tokens(col("text")), 2).as("s"))
       .queryExecution.executedPlan.toString
     assert(plan2.contains("*(1) Project [graft_token_windows"), s"no codegen span:\n$plan2")
+    val plan3 = docs
+      .select(TextHashExprs.winnowMinMd5s(TextOps.tokens(col("text")), 3, 4).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan3.contains("*(1) Project [graft_winnow_min_md5s"), s"no codegen span:\n$plan3")
   }
 }
