@@ -1230,16 +1230,20 @@ object Similarity {
     * with [[semDedup]]'s brute-parity contracts in SemDedupSpec.
     */
   def semDedupWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, cs: Seq[Seq[Double]]): DataFrame = {
+                            threshold: Double, cs: Seq[Seq[Double]],
+                            scope: graft.CacheScope = graft.CacheScope.session): DataFrame = {
     Dedup.requireIntegralId(emb, idCol, "semDedupWithCentroids")
     require(cs.nonEmpty, "centroid list must be non-empty")
     graft.functions.VectorExprs.register(emb.sparkSession)
     val spark = emb.sparkSession
     import graft.functions.VectorExprs.nearestCentroids
     val nonNull = emb.filter(col(vecCol).isNotNull)
-    val tagged = nonNull
+    // pinned: three consumers read the assignment (the pair scan, the CC
+    // vertex set, and the centroid-similarity join) — unpinned, each
+    // re-scans the corpus and re-runs the nearest-centroid kernel
+    val tagged = scope.pin(nonNull
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", nearestCentroids(col("vec"), cs, 1).getItem(0))
+      .withColumn("bucket", nearestCentroids(col("vec"), cs, 1).getItem(0)))
     val pairs = bucketVerifiedPairs(tagged, threshold)
     val comps = Dedup.connectedComponents(
       tagged.select(col("id")), "id", pairs)
