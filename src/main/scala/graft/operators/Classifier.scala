@@ -63,26 +63,61 @@ object Classifier {
     * Ids must be unique within each frame; a doc in both
     * frames contributes one row per side, which is also well-defined.
     */
-  def trainLogistic(pos: DataFrame, neg: DataFrame, idCol: String, textCol: String,
-                    n: Int = 2, buckets: Int = 1024, iters: Int = 30,
-                    lr: Double = 3.0, l2: Double = 1e-4): LogisticModel = {
-    require(iters >= 1 && buckets >= 2)
+  /** The labeled training-feature frame — (__lid, bucket, tf, __y),
+    * REPARTITIONED on __lid so that, once persisted, every gradient
+    * pass's margin aggregation (groupBy __lid, __y — satisfied by the
+    * __lid hash partitioning) and the feats ⋈ resid join (both sides
+    * derive from the cache) reuse the cached partitioning instead of
+    * re-exchanging per pass. Partition count stays the session's shuffle
+    * default (scale-adaptive). Exposed private[graft] so the spec can
+    * pin the no-feats-side-Exchange plan shape.
+    */
+  private[graft] def labeledFeatures(pos: DataFrame, neg: DataFrame,
+                                     idCol: String, textCol: String,
+                                     n: Int, buckets: Int): DataFrame = {
     // disambiguate colliding ids across sides; labels ride the feature rows
     val labeled = pos.select(col(idCol), col(textCol), lit(1.0).as("__y"))
       .unionByName(neg.select(col(idCol), col(textCol), lit(0.0).as("__y")))
       .select(concat(col("__y").cast("int"), lit("_"), col(idCol).cast("string")).as("__lid"),
         col(textCol), col("__y"))
-    // persisted PRE-PARTITIONED on __lid: every iteration's margin
-    // aggregation (groupBy __lid, __y — satisfied by the __lid hash
-    // partitioning) and the feats ⋈ resid gradient join (both sides
-    // derive from this cache) then reuse the cached partitioning instead
-    // of re-exchanging per pass — 30 iterations, zero feats-side
-    // Exchanges. Partition count stays the session's shuffle default
-    // (scale-adaptive), and dsum is order-independent exact decimal, so
-    // the weights are bit-identical (ClassifierSpec pins).
-    val feats = features(labeled, "__lid", textCol, n, buckets)
+    features(labeled, "__lid", textCol, n, buckets)
       .join(labeled.select(col("__lid"), col("__y")), Seq("__lid"))
       .repartition(col("__lid"))
+  }
+
+  /** One pass's per-doc residuals σ(m) − y over the (cached) feature
+    * frame — rounded to 6, the one lossy step per pass (shared with the
+    * weight rounding). Private[graft] for the plan-shape spec.
+    */
+  private[graft] def residFrame(feats: DataFrame,
+                                wLit: org.apache.spark.sql.Column,
+                                bias: Double): DataFrame =
+    feats
+      .groupBy(col("__lid"), col("__y"))
+      .agg((Det.dsum(col("tf") * element_at(wLit, col("bucket") + 1)) + lit(bias))
+        .as("__m"))
+      .select(col("__lid"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y"), 6).as("__r"))
+
+  /** One pass's gradient frame: bucket gradients Σ r·tf with the bias
+    * gradient Σ r riding the same aggregation under sentinel bucket −1
+    * (real buckets are 0-based; dsum is exact decimal and
+    * order-independent, so the weights stay bit-identical).
+    * Private[graft] for the plan-shape spec.
+    */
+  private[graft] def gradientFrame(feats: DataFrame, resid: DataFrame): DataFrame =
+    feats.join(resid, Seq("__lid"))
+      .select(col("bucket"), (col("__r") * col("tf")).as("__c"))
+      .unionByName(resid.select(lit(-1).as("bucket"), col("__r").as("__c")))
+      .groupBy(col("bucket")).agg(Det.dsum(col("__c")).as("g"))
+
+  def trainLogistic(pos: DataFrame, neg: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2, buckets: Int = 1024, iters: Int = 30,
+                    lr: Double = 3.0, l2: Double = 1e-4): LogisticModel = {
+    require(iters >= 1 && buckets >= 2)
+    // persisted pre-partitioned (see labeledFeatures): 30 iterations,
+    // zero feats-side Exchanges — pinned in ClassifierSpec
+    val feats = labeledFeatures(pos, neg, idCol, textCol, n, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nDocs = feats.select(col("__lid")).distinct().count().toDouble
@@ -92,32 +127,15 @@ object Classifier {
       var it = 0
       while (it < iters) {
         val wLit = typedlit(w.toIndexedSeq)
-        // per-doc margin → residual σ(m) − y, rounded (the one lossy step
-        // per pass, shared with the weight rounding below); persisted —
-        // the margin aggregation (element_at over the weight literal +
-        // exact-decimal dsum per feature row) is the pass's dominant
-        // compute and the frame is referenced twice below: without the
-        // pin both references re-run it per action (the broadcast-build
-        // and shuffle-union exchanges do not reuse each other — MEASURED
-        // +0.5 s/pass at sf0.1)
-        val resid = feats
-          .groupBy(col("__lid"), col("__y"))
-          .agg((Det.dsum(col("tf") * element_at(wLit, col("bucket") + 1)) + lit(bias))
-            .as("__m"))
-          .select(col("__lid"),
-            round(lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y"), 6).as("__r"))
+        // residuals persisted per pass — referenced by both union sides
+        // of the gradient frame; without the pin both references re-run
+        // the margin aggregation (MEASURED +0.5 s/pass at sf0.1)
+        val resid = residFrame(feats, wLit, bias)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // ONE Spark job per pass (this loop ran TWO actions per
-          // iteration): bucket gradients Σ r·tf and the bias gradient
-          // Σ r ride one aggregation, the bias under sentinel bucket −1
-          // (real buckets are 0-based; dsum(__r) ≡ the old standalone
-          // bias sum — exact decimal, order-independent, so the weights
-          // stay bit-identical; ClassifierSpec's determinism pins hold)
-          val g = feats.join(resid, Seq("__lid"))
-            .select(col("bucket"), (col("__r") * col("tf")).as("__c"))
-            .unionByName(resid.select(lit(-1).as("bucket"), col("__r").as("__c")))
-            .groupBy(col("bucket")).agg(Det.dsum(col("__c")).as("g"))
+          // iteration) — see gradientFrame
+          val g = gradientFrame(feats, resid)
             .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
           val gBias = g.getOrElse(-1, 0.0)
           w = Array.tabulate(buckets)(b =>

@@ -74,4 +74,38 @@ class ClassifierSpec extends SparkSpec {
   test("the model is sketch-sized") {
     assert(model.weights.length == 256)
   }
+
+  test("gradient passes reuse the cached __lid partitioning (no feats-side Exchange)") {
+    // the round-21 optimization contract: feats persists repartition'd on
+    // __lid, so the per-pass margin aggregation needs NO exchange (its
+    // grouping keys ⊇ the cache partitioning keys) and the feats ⋈ resid
+    // gradient join re-exchanges NEITHER side — the only shuffle left per
+    // pass is the sketch-sized bucket-keyed gradient rollup
+    // AQE's AdaptiveSparkPlanExec hides the operator tree from collect();
+    // the shape under test is the static planner's (AQE only coalesces)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val feats = Classifier.labeledFeatures(pos, neg, "doc_id", "text", 2, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      feats.count() // materialize the cache so plans build on it
+      def shuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      val resid = Classifier.residFrame(feats, typedlit(Seq.fill(64)(0.0)), 0.0)
+      assert(shuffles(resid).isEmpty,
+        s"margin aggregation re-exchanged the cached feature frame:\n" +
+          resid.queryExecution.executedPlan)
+      val g = Classifier.gradientFrame(feats, resid)
+      val gShuffles = shuffles(g)
+      assert(gShuffles.size == 1 &&
+        gShuffles.head.outputPartitioning.toString.contains("bucket"),
+        s"expected only the bucket-keyed gradient exchange:\n" +
+          g.queryExecution.executedPlan)
+    } finally {
+      feats.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
 }
